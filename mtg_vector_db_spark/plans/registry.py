@@ -1,0 +1,54 @@
+"""Registration plumbing for the driver contract.
+
+``queries()`` / ``oracle_sql()`` in ``__spark_entry__.py`` are views over
+these dicts. Each query module registers callables with :func:`query` and
+(when SQL-expressible) a DuckDB oracle with :func:`oracle`.
+
+Conventions enforced here by discipline (checked in tests):
+* every float column is ``round(x, 6)`` on BOTH sides (Spark computes in
+  float64 with sequential accumulation; DuckDB matches to ≤1 ulp, so 6-digit
+  rounding hash-matches — validated empirically in tests/test_oracle_parity);
+* every computed column is aliased identically in Spark and SQL;
+* deterministic ORDER tie-breaks on id columns wherever top-k boundaries
+  could be ambiguous.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str) -> Callable:
+    """Decorator: register a (spark, sf_dir) -> DataFrame callable."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        return fn
+
+    return deco
+
+
+def oracle(name: str, sql: str) -> None:
+    """Register the DuckDB-equivalent SQL for a query name."""
+    ORACLES[name] = sql
+
+
+def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    """Load parquet tables (lazy scans; pruning/pushdown per query)."""
+    return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
+
+
+def load_all() -> None:
+    """Import every query module (idempotent) so registration runs."""
+    from mtg_vector_db_spark.plans import (  # noqa: F401
+        dedup_queries,
+        pipeline_queries,
+        relational_queries,
+        text_queries,
+        vector_queries,
+    )

@@ -1,0 +1,164 @@
+"""Vector-search queries (SURVEY.md §2.5 K1, §2.7 V1/V2/V9-core, §2.3 J1).
+
+The driver's ``embeddings.parquet`` (vec_id, embedding array<float>, label)
+plays the role of the reference's four ``*_embeddings`` tables and
+``documents.parquet`` the document side; ``vec_id == doc_id`` is the FK
+(J1, /root/reference/db/init.sql:175-176).
+
+The "query embedding" is the stored vector of ``vec_id = 0`` — the Spark
+callables look it up with a 1-row driver collect (the analog of the
+reference embedding the query string before searching,
+db/search_with_reranker.py:273-280) and inline it as a literal; the oracles
+use a scalar subquery over the same table, so both sides are self-contained
+per scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mtg_vector_db_spark.operators.knn import knn_join, knn_with_documents
+from mtg_vector_db_spark.plans.registry import oracle, query, tables
+
+R = 6  # float rounding digits for oracle hash parity
+
+
+def query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").first()
+    return [float(x) for x in row[0]]
+
+
+_Q_SUB = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+_SIM = f"round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), {_Q_SUB}), {R})"
+
+
+# ---------------------------------------------------------------------------
+# K1: exact KNN top-k + J1 document join — the reference's core retrieval
+# (db/search_strategies.py:147-162). Flagship query.
+# ---------------------------------------------------------------------------
+@query("v01_knn_topk")
+def v01_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, emb = tables(spark, sf_dir, "documents", "embeddings")
+    qv = query_vector(spark, sf_dir)
+    return knn_with_documents(
+        docs, emb, qv, k=10, doc_cols=("lang", "source"), round_digits=R
+    ).orderBy(F.desc("sim"), F.asc("doc_id"))
+
+
+oracle(
+    "v01_knn_topk",
+    f"""
+    WITH top AS (
+      SELECT e.vec_id AS doc_id, {_SIM} AS sim
+      FROM embeddings e
+      ORDER BY sim DESC, e.vec_id ASC
+      LIMIT 10
+    )
+    SELECT t.doc_id, d.lang, d.source, t.sim
+    FROM top t JOIN documents d ON t.doc_id = d.doc_id
+    ORDER BY t.sim DESC, t.doc_id ASC
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# P6+K1: threshold-filtered similarity search — the plpgsql table functions
+# search_similar_cards/rules/glossary (db/init.sql:159-181,184-210,213-237).
+# ---------------------------------------------------------------------------
+@query("v02_search_similar_documents")
+def v02_search_similar_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, emb = tables(spark, sf_dir, "documents", "embeddings")
+    qv = query_vector(spark, sf_dir)
+    return knn_with_documents(
+        docs, emb, qv, k=20, threshold=0.15, doc_cols=("text",), round_digits=R
+    ).orderBy(F.desc("sim"), F.asc("doc_id"))
+
+
+oracle(
+    "v02_search_similar_documents",
+    f"""
+    WITH top AS (
+      SELECT e.vec_id AS doc_id, {_SIM} AS sim
+      FROM embeddings e
+      WHERE {_SIM} > 0.15
+      ORDER BY sim DESC, e.vec_id ASC
+      LIMIT 20
+    )
+    SELECT t.doc_id, d.text, t.sim
+    FROM top t JOIN documents d ON t.doc_id = d.doc_id
+    ORDER BY t.sim DESC, t.doc_id ASC
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Batch KNN join: per-query top-k for a set of query vectors (the shape the
+# reference runs one query at a time, db/search_with_reranker.py:249-290,
+# generalized to the batch form a 100 TB pipeline needs).
+# ---------------------------------------------------------------------------
+@query("v03_knn_batch")
+def v03_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_join(emb, queries_df, k=5, round_digits=R)
+    return out.select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        "sim",
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+oracle(
+    "v03_knn_batch",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS doc_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), {R}) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, doc_id, sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# V2 as a standalone scored projection: similarity + distance columns for a
+# band of ids (the SELECT list of init.sql:171-174).
+# ---------------------------------------------------------------------------
+@query("v04_similarity_projection")
+def v04_similarity_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.vector import cosine_similarity
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir)
+    sim = F.round(cosine_similarity(F.col("embedding"), qv), R)
+    return (
+        emb.filter(F.col("vec_id") < 50)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            sim.alias("sim"),
+            F.round(F.lit(1.0) - sim, R).alias("dist"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+oracle(
+    "v04_similarity_projection",
+    f"""
+    SELECT e.vec_id AS doc_id, {_SIM} AS sim, round(1.0 - {_SIM}, {R}) AS dist
+    FROM embeddings e WHERE e.vec_id < 50 ORDER BY doc_id
+    """,
+)

@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference delegates all execution to a single Postgres instance
+(``/root/reference/db/db_utils.py:33-48``); here the equivalent "engine
+bring-up" is a SparkSession tuned for columnar scans and adaptive execution.
+Local testing uses ``local[N]``; the same configs are what we would ship to a
+1000-executor cluster (AQE handles post-shuffle coalescing and skew there).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "mtg-vector-db-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard configs.
+
+    - AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+      and dynamic broadcast conversion — the knobs that make a fixed
+      ``spark.sql.shuffle.partitions`` safe at any scale factor.
+    - Arrow on: every pandas_udf boundary is Arrow-batched.
+    - Session timezone pinned to UTC so event-time results are stable across
+      environments (and match the DuckDB oracle).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet side: keep pushdown + pruning on (defaults, pinned here as
+        # documentation that the engine depends on them).
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Load driver parquet tables from ``sf_dir`` as DataFrames.
+
+    Returns a dict name -> DataFrame. Scans are lazy; column pruning and
+    filter pushdown apply per-query.
+    """
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}

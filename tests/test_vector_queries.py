@@ -1,0 +1,43 @@
+"""Vector query correctness: Spark result ≡ DuckDB oracle at sf0.01."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from mtg_vector_db_spark.plans import registry
+from tests.oracle_utils import assert_matches_oracle
+
+registry.load_all()
+
+VECTOR_QUERIES = [n for n in registry.QUERIES if n.startswith("v")]
+
+
+@pytest.mark.parametrize("name", VECTOR_QUERIES)
+def test_oracle_parity(spark, sf001, name):
+    if name not in registry.ORACLES:
+        pytest.skip("rows-only query")
+    df = registry.QUERIES[name](spark, sf001)
+    assert_matches_oracle(df, registry.ORACLES[name], sf001)
+
+
+def test_knn_topk_is_sorted_and_k(spark, sf001):
+    rows = registry.QUERIES["v01_knn_topk"](spark, sf001).collect()
+    assert len(rows) == 10
+    sims = [r["sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert rows[0]["doc_id"] == 0 and math.isclose(rows[0]["sim"], 1.0)
+
+
+def test_threshold_respected(spark, sf001):
+    rows = registry.QUERIES["v02_search_similar_documents"](spark, sf001).collect()
+    assert all(r["sim"] > 0.15 for r in rows)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    assert set(df.columns) == {"doc_id", "text", "sim"}
