@@ -40,7 +40,29 @@ def oracle(name: str, sql: str) -> None:
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     """Load parquet tables (lazy scans; pruning/pushdown per query)."""
-    return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
+    return [
+        events_df(spark, sf_dir) if n == "events" else
+        spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        for n in names
+    ]
+
+
+def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table with nanosecond-timestamp handling.
+
+    The driver writes ``events.parquet`` with ``timestamp[ns]``, which Spark's
+    parquet reader rejects by default (PARQUET_TYPE_ILLEGAL). We read nanos as
+    long (runtime SQL conf — works on any session the driver hands us) and
+    convert to microsecond timestamps, matching DuckDB's own ns→µs truncation
+    so event-time results hash-match the oracle.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
 
 
 def load_all() -> None:

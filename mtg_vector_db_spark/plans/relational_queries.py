@@ -1,1 +1,460 @@
-"""Placeholder — populated in this round."""
+"""Relational-core queries (SURVEY.md §2.1-2.6): scans, filters, joins,
+aggregations, sorts/top-k, set ops, window/event-time operators.
+
+These are the Spark-native forms of every relational shape the reference
+ships to Postgres (projections/filters db/search_strategies.py:51-106, FK
+joins db/init.sql:175-176, group-by counts db/ingest_rules.py:184-204,
+ordered top-k db/search_strategies.py:156-158, existence probes
+db/ingest_cards.py:240-258), exercised on the driver's TPC-H-ish tables.
+
+Float-parity rule for aggregates: floating sums are order-dependent
+(Spark partial aggregation vs DuckDB sequential), so every SUM over a
+double column goes through an exact DECIMAL cast on BOTH sides — decimal
+addition is associative, making the result bit-stable regardless of
+partitioning — then back to double for the output schema. This is also the
+right call at 100 TB: money in binary float drifts; money in decimal doesn't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from mtg_vector_db_spark.plans.registry import oracle, query, tables
+
+DEC = "decimal(18,2)"
+DEC4 = "decimal(22,4)"
+
+
+def _dsum2(col: F.Column) -> F.Column:
+    """Exact sum of a money-ish double: decimal(18,2) in, double out."""
+    return F.round(F.sum(col.cast(DEC)).cast("double"), 2)
+
+
+# ---------------------------------------------------------------------------
+# A2/A6-style pricing summary (TPC-H Q1 shape): multi-aggregate group-by
+# with partial/final hash aggregation — the scale-critical aggregate path.
+# ---------------------------------------------------------------------------
+@query("r01_pricing_summary")
+def r01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = tables(spark, sf_dir, "lineitem")
+    # Scales chosen to be EXACT for the data: price/discount/tax are 2-dp, so
+    # price*(1-d) has 4 true decimals and price*(1-d)*(1+t) has 6 — casting at
+    # those scales never rounds, which is what makes the sum engine-invariant.
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(22,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum2(F.col("l_quantity")).alias("sum_qty"),
+            _dsum2(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 6).alias("sum_charge"),
+            F.round(
+                F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+oracle(
+    "r01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE), 4) AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,6))) AS DOUBLE), 6) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# J1 chain: orders ⋈ customer ⋈ nation ⋈ region with dimension broadcast —
+# the FK-join pattern of init.sql:175-176 at star-schema shape. Filters on
+# the region side prune before the join (Catalyst pushes them down).
+# ---------------------------------------------------------------------------
+@query("r02_revenue_by_nation")
+def r02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust, nation, region = tables(
+        spark, sf_dir, "orders", "customer", "nation", "region"
+    )
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _dsum2(F.col("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+oracle(
+    "r02_revenue_by_nation",
+    """
+    SELECT r_name, n_name,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# A3: group-by count + top-N (db/ingest_rules.py:195-204 "top sections").
+# ---------------------------------------------------------------------------
+@query("r03_event_type_counts")
+def r03_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum2(F.col("value")).alias("total_value"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(10)
+    )
+
+
+oracle(
+    "r03_event_type_counts",
+    """
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY event_type ORDER BY n DESC, event_type ASC LIMIT 10
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# J2 as anti-join: rows NOT present in another table (the reference's
+# per-row existence probe for dedup, db/ingest_cards.py:240-258, done as a
+# single distributed anti-join instead of 30k round-trips).
+# ---------------------------------------------------------------------------
+@query("r04_customers_without_orders")
+def r04_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust = tables(spark, sf_dir, "orders", "customer")
+    big = orders.filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+oracle(
+    "r04_customers_without_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer WHERE NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# J2 as semi-join: the positive existence probe.
+# ---------------------------------------------------------------------------
+@query("r05_customers_with_open_orders")
+def r05_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust = tables(spark, sf_dir, "orders", "customer")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+oracle(
+    "r05_customers_with_open_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers,
+           round(avg(c_acctbal), 4) AS avg_acctbal
+    FROM customer WHERE EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# K1 relational form: ORDER BY … LIMIT k → TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@query("r06_top_orders")
+def r06_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+    )
+
+
+oracle(
+    "r06_top_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Window function: per-group top-k (rank-within-partition) — the positional
+# re-association pattern (J5, db/search_strategies.py:203-215) generalized.
+# ---------------------------------------------------------------------------
+@query("r07_top_orders_per_customer")
+def r07_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= 2)
+        .orderBy("o_custkey", "rank")
+    )
+
+
+oracle(
+    "r07_top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+      FROM orders WHERE o_custkey < 100
+    ) WHERE rank <= 2 ORDER BY o_custkey, rank
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Event-time tumbling window (extension per SURVEY §2.10; batch form of the
+# Structured Streaming hourly rollup in streaming/windows.py).
+# ---------------------------------------------------------------------------
+@query("r08_events_hourly")
+def r08_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("ts") < F.lit("2024-01-03"))
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), _dsum2(F.col("value")).alias("total_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+oracle(
+    "r08_events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+           event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY 1, 2 ORDER BY hour, event_type
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Sliding event-time window (2h window, 1h slide): each event lands in two
+# buckets. Spark's window() generator vs an explicit 2-bucket UNION in SQL.
+# ---------------------------------------------------------------------------
+@query("r09_events_sliding")
+def r09_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("ts") < F.lit("2024-01-02"))
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), _dsum2(F.col("value")).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+oracle(
+    "r09_events_sliding",
+    """
+    WITH buckets AS (
+      SELECT date_trunc('hour', ts) AS ws, value FROM events
+      WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, value FROM events
+      WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM buckets GROUP BY ws ORDER BY window_start
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# A7/J3: group-and-nest — subrules collected under their parent rule
+# (rulesCleaning/parse_rules_both_versions.py:149-198), as order⋈lineitem
+# nesting. Nested list rendered as a CSV string for hash stability.
+# ---------------------------------------------------------------------------
+@query("r10_order_line_nesting")
+def r10_order_line_nesting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    nested = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("l_linenumber"))), ","
+            ).alias("line_numbers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    return (
+        orders.filter(F.col("o_orderkey") < 200)
+        .join(nested, orders.o_orderkey == nested.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("line_numbers", F.lit("")).alias("line_numbers"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+oracle(
+    "r10_order_line_nesting",
+    """
+    SELECT o_orderkey,
+           coalesce(string_agg(l_linenumber, ',' ORDER BY l_linenumber), '') AS line_numbers,
+           count(l_orderkey) AS n_lines
+    FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey < 200
+    GROUP BY o_orderkey ORDER BY o_orderkey
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# U1/U3: union + distinct across sources (multi-source fan-out shape,
+# db/search_with_reranker.py:249-290).
+# ---------------------------------------------------------------------------
+@query("r11_union_distinct")
+def r11_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, region, nation = tables(spark, sf_dir, "customer", "region", "nation")
+    a = cust.select(F.col("c_mktsegment").alias("name")).distinct()
+    b = region.select(F.col("r_name").alias("name"))
+    c = nation.select(F.col("n_name").alias("name"))
+    return a.unionByName(b).unionByName(c).distinct().orderBy("name")
+
+
+oracle(
+    "r11_union_distinct",
+    """
+    SELECT DISTINCT name FROM (
+      SELECT DISTINCT c_mktsegment AS name FROM customer
+      UNION ALL SELECT r_name FROM region
+      UNION ALL SELECT n_name FROM nation
+    ) ORDER BY name
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# P8: dynamic JSON field access (card_data['type'] analog,
+# db/search_strategies.py:190-196) over events.props.
+# ---------------------------------------------------------------------------
+@query("r12_json_field_stats")
+def r12_json_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+oracle(
+    "r12_json_field_stats",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+           min(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS min_k,
+           max(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS max_k
+    FROM events
+    WHERE regexp_extract(props, '"k":\\s*(-?\\d+)', 1) <> ''
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# A1: global counts across all tables (db/query_example.py:148-171's
+# corpus-stats report) — one row, scalar subquery per table.
+# ---------------------------------------------------------------------------
+@query("r13_corpus_stats")
+def r13_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, emb, li = tables(spark, sf_dir, "documents", "embeddings", "lineitem")
+    a = docs.agg(F.count(F.lit(1)).alias("n_documents"))
+    b = emb.agg(F.count(F.lit(1)).alias("n_embeddings"))
+    c = li.agg(F.count(F.lit(1)).alias("n_lineitems"))
+    return a.crossJoin(b).crossJoin(c)
+
+
+oracle(
+    "r13_corpus_stats",
+    """
+    SELECT (SELECT count(*) FROM documents) AS n_documents,
+           (SELECT count(*) FROM embeddings) AS n_embeddings,
+           (SELECT count(*) FROM lineitem) AS n_lineitems
+    """,
+)
