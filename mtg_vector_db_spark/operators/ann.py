@@ -1,0 +1,168 @@
+"""Approximate nearest-neighbor strategies (SURVEY.md §4.3, V3).
+
+The reference's HNSW indexes (/root/reference/db/init.sql:50-53,69-72,
+111-114,146-149; m=16, ef_construction=64) have no Spark equivalent; exact
+brute-force KNN (operators/knn.py) is the declared correctness baseline.
+These are the batch/scale paths:
+
+* IVF (inverted file): partition vectors into coarse cells, search only the
+  ``nprobe`` nearest cells. Centroid build is one aggregation; the probe is
+  a partition-pruned exact KNN. On disk, writing the corpus partitioned by
+  cell id makes the probe a partition-pruned parquet scan at 100 TB —
+  that layout IS the index.
+* MLlib BucketedRandomProjectionLSH on L2-normalized vectors (cosine top-k
+  ≡ Euclidean top-k on the unit sphere) — the "batch vector index build"
+  north star; persisted bucket table = the index.
+* numpy matrix-multiply kernel via mapInPandas — the Arrow fast path for
+  wide vectors / large query batches, where HOF expression evaluation is
+  not competitive.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from mtg_vector_db_spark.functions.vector import cosine_similarity
+
+
+def centroids_by(
+    emb: DataFrame,
+    cluster_col: str = "label",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean vector per cluster: (cluster, pos, c) long format —
+    a single shuffle keyed on (cluster, pos); no wide-row materialization."""
+    return (
+        emb.select(cluster_col, F.posexplode(emb_col).alias("pos", "v"))
+        .groupBy(cluster_col, "pos")
+        .agg(F.avg("v").alias("c"))
+    )
+
+
+def centroid_vectors(centroids_long: DataFrame, cluster_col: str = "label") -> DataFrame:
+    """Collapse long-format centroids to (cluster, centroid array<double>)."""
+    return centroids_long.groupBy(cluster_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+        ).alias("centroid")
+    )
+
+
+def ivf_probe_labels(
+    centroids: DataFrame,
+    query_vec: Sequence[float],
+    nprobe: int,
+    cluster_col: str = "label",
+) -> list:
+    """The ``nprobe`` clusters nearest to the query (driver-side pick over
+    the tiny centroid table — the IVF coarse quantizer step)."""
+    sim = cosine_similarity(F.col("centroid"), list(query_vec))
+    rows = (
+        centroids.select(cluster_col, sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(cluster_col))
+        .limit(nprobe)
+        .collect()
+    )
+    return [r[cluster_col] for r in rows]
+
+
+def ivf_search(
+    emb: DataFrame,
+    centroids: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    nprobe: int = 2,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """IVF ANN: exact KNN restricted to the nprobe nearest cells. With the
+    corpus written partitioned by cell, the ``isin`` filter prunes
+    partitions at the scan."""
+    from mtg_vector_db_spark.operators.knn import knn
+
+    labels = ivf_probe_labels(centroids, query_vec, nprobe, cluster_col)
+    pruned = emb.filter(F.col(cluster_col).isin(labels))
+    return knn(pruned, query_vec, k, emb_col=emb_col, id_col=id_col,
+               round_digits=round_digits)
+
+
+def knn_numpy(
+    emb: DataFrame,
+    query_vecs: np.ndarray,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Arrow fast-path batch KNN: per partition, one numpy GEMM of the
+    partition's vectors against all queries, keeping a per-partition top-k;
+    the tiny (n_queries × k × n_partitions) result is then globally reduced.
+    This is the throughput kernel for wide vectors — same semantics as
+    knn_join, different physical strategy.
+    """
+    q = np.asarray(query_vecs, dtype=np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    nq = qn.shape[0]
+
+    def part(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[emb_col]), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ qn.T  # (rows, nq)
+            kk = min(k, sims.shape[0])
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            ids = pdf[id_col].to_numpy()
+            out = {
+                "query_id": np.repeat(np.arange(nq), kk),
+                id_col: ids[top.T.ravel()],
+                "sim": np.take_along_axis(sims, top, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    partial = emb.select(id_col, emb_col).mapInPandas(
+        part, schema=f"query_id long, {id_col} long, sim double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_index(emb: DataFrame, emb_col: str = "embedding",
+              bucket_length: float = 2.0, num_tables: int = 3):
+    """MLlib BucketedRandomProjectionLSH model + transformed (bucketed)
+    corpus over L2-normalized vectors. Persisting the transformed DataFrame
+    is the reference's "HNSW index build" analog as a batch artifact."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from mtg_vector_db_spark.functions.vector import l2_normalize
+
+    feats = emb.withColumn(
+        "features", array_to_vector(l2_normalize(F.col(emb_col)))
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_tables, seed=42,
+    )
+    model = lsh.fit(feats)
+    return model, model.transform(feats)
+
+
+def lsh_query(model, indexed: DataFrame, query_vec: Sequence[float], k: int):
+    """approxNearestNeighbors over the persisted LSH index."""
+    from pyspark.ml.linalg import Vectors
+
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    return model.approxNearestNeighbors(indexed, Vectors.dense(q), k)

@@ -1,1 +1,252 @@
-"""Placeholder — populated in this round."""
+"""Deduplication queries (SURVEY.md §2.9 D-group + the corpus-pipeline
+dedup family): exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+cosine — every one oracle-checked, including a full SQL replay of the LSH
+banding so the approximate paths are verified exactly, not just loosely.
+
+The sf documents table contains driver-planted near-duplicates that SPAN
+``source`` values — so no cheap blocking key exists and banding is the only
+way to find them without O(n²); exactly the 100 TB-relevant shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mtg_vector_db_spark.operators import dedup as D
+from mtg_vector_db_spark.plans.registry import oracle, query, tables
+
+R = 6
+
+_TOKS_L = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> len(t) > 0)"
+_SHINGLES = (
+    f"CASE WHEN len({_TOKS_L}) >= 3 THEN "
+    f"list_distinct(list_transform(range(1, len({_TOKS_L}) - 1), "
+    f"i -> {_TOKS_L}[i] || ' ' || {_TOKS_L}[i+1] || ' ' || {_TOKS_L}[i+2])) "
+    f"ELSE CAST([] AS VARCHAR[]) END"
+)
+_JACC = (
+    "round(len(list_intersect(a.shingles, b.shingles)) * 1.0 / "
+    f"len(list_distinct(list_concat(a.shingles, b.shingles))), {R})"
+)
+
+
+# ---------------------------------------------------------------------------
+# D1: exact dedup by business key (db/ingest_cards.py:240-258) — duplicate
+# statistics over lineitem's (orderkey, linenumber), which the synthetic
+# data intentionally leaves non-unique.
+# ---------------------------------------------------------------------------
+@query("d01_exact_dup_stats")
+def d01_exact_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = tables(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")).alias("key")
+    )
+    groups = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    return groups.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.max("n").alias("max_group_size"),
+    )
+
+
+oracle(
+    "d01_exact_dup_stats",
+    """
+    WITH g AS (
+      SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS key,
+             count(*) AS n
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_distinct,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+           max(n) AS max_group_size
+    FROM g
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup, exact all-pairs baseline (bounded corpus).
+# ---------------------------------------------------------------------------
+@query("d02_jaccard_pairs_exact")
+def d02_jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.exact_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+oracle(
+    "d02_jaccard_pairs_exact",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACC} AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE {_JACC} >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (16 hashes, 4 bands × 4 rows) + exact verify — the
+# scale path. The oracle replays the identical LSH in SQL.
+# ---------------------------------------------------------------------------
+@query("d03_minhash_lsh_pairs")
+def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, verify_threshold=0.5).orderBy("id_a", "id_b")
+
+
+oracle(
+    "d03_minhash_lsh_pairs",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+    sig AS (
+      SELECT doc_id, shingles,
+             list_transform(range(0, 16), k ->
+               list_aggregate(list_transform(shingles,
+                 s -> md5(s || '#' || CAST(k AS VARCHAR))), 'min')) AS sig
+      FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, b AS band,
+             sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4] AS band_key
+      FROM sig, range(0, 4) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b, {_JACC} AS jaccard
+    FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
+    WHERE {_JACC} >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints (64-bit, as bit-strings).
+# ---------------------------------------------------------------------------
+_SIMHASH_CTE = f"""
+    tok AS (SELECT doc_id, unnest({_TOKS_L}) AS tok FROM documents),
+    hx AS (SELECT doc_id, substring(md5(tok), 1, 16) AS h FROM tok),
+    nib AS (
+      SELECT doc_id, i, strpos('0123456789abcdef', substring(h, i, 1)) - 1 AS v
+      FROM hx, range(1, 17) t(i)
+    ),
+    bits AS (
+      SELECT doc_id, (i - 1) * 4 + k AS bitpos,
+             (CAST(floor(v / power(2, k)) AS INT) % 2) * 2 - 1 AS s
+      FROM nib, range(0, 4) u(k)
+    ),
+    votes AS (SELECT doc_id, bitpos, sum(s) AS sm FROM bits GROUP BY 1, 2),
+    fp AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN sm >= 0 THEN '1' ELSE '0' END, '' ORDER BY bitpos) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+"""
+
+
+@query("d04_simhash_fingerprints")
+def d04_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return (
+        D.simhash_fingerprints(docs.filter(F.col("doc_id") < 100))
+        .orderBy("doc_id")
+    )
+
+
+oracle(
+    "d04_simhash_fingerprints",
+    f"""
+    WITH docs0 AS (SELECT * FROM documents WHERE doc_id < 100),
+    tok AS (SELECT doc_id, unnest({_TOKS_L}) AS tok FROM docs0),
+    hx AS (SELECT doc_id, substring(md5(tok), 1, 16) AS h FROM tok),
+    nib AS (
+      SELECT doc_id, i, strpos('0123456789abcdef', substring(h, i, 1)) - 1 AS v
+      FROM hx, range(1, 17) t(i)
+    ),
+    bits AS (
+      SELECT doc_id, (i - 1) * 4 + k AS bitpos,
+             (CAST(floor(v / power(2, k)) AS INT) % 2) * 2 - 1 AS s
+      FROM nib, range(0, 4) u(k)
+    ),
+    votes AS (SELECT doc_id, bitpos, sum(s) AS sm FROM bits GROUP BY 1, 2)
+    SELECT doc_id,
+           string_agg(CASE WHEN sm >= 0 THEN '1' ELSE '0' END, '' ORDER BY bitpos) AS simhash
+    FROM votes GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# SimHash banded near-dup pairs (Hamming ≤ 10 verified).
+# ---------------------------------------------------------------------------
+@query("d05_simhash_neardup")
+def d05_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    fps = D.simhash_fingerprints(docs)
+    return D.simhash_neardup_pairs(fps).orderBy("id_a", "id_b")
+
+
+oracle(
+    "d05_simhash_neardup",
+    f"""
+    WITH {_SIMHASH_CTE},
+    banded AS (
+      SELECT doc_id, simhash, b AS band, substring(simhash, 1 + b * 16, 16) AS block
+      FROM fp, range(0, 4) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.simhash AS fp_a, r.simhash AS fp_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.block = r.block AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_filter(range(1, 65),
+                i -> substring(fp_a, i, 1) <> substring(fp_b, i, 1))) AS BIGINT) AS hamming
+    FROM cand
+    WHERE len(list_filter(range(1, 65),
+          i -> substring(fp_a, i, 1) <> substring(fp_b, i, 1))) <= 10
+    ORDER BY id_a, id_b
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup (exact pairwise over an id-bounded block; the
+# ANN operators are the unbounded-corpus candidate generator).
+# ---------------------------------------------------------------------------
+@query("d06_embedding_neardup")
+def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.vector import cosine_similarity
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    small = emb.filter(F.col("vec_id") < 200)
+    a = small.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    b = small.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    sim = F.round(cosine_similarity(F.col("e_a"), F.col("e_b")), R)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.35)
+        .orderBy("id_a", "id_b")
+    )
+
+
+oracle(
+    "d06_embedding_neardup",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb
+               FROM embeddings WHERE vec_id < 200)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.emb, b.emb), {R}) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.emb, b.emb), {R}) >= 0.35
+    ORDER BY id_a, id_b
+    """,
+)

@@ -1,1 +1,189 @@
-"""Placeholder — populated in this round."""
+"""Composite pipeline queries (SURVEY.md §2.7 V6-V11, §4.3): two-stage
+retrieve-then-rerank, multi-source fan-out, IVF centroid build + probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mtg_vector_db_spark.operators.ann import (
+    centroid_vectors,
+    centroids_by,
+    ivf_search,
+)
+from mtg_vector_db_spark.operators.fanout import fanout_search
+from mtg_vector_db_spark.operators.knn import knn
+from mtg_vector_db_spark.operators.rerank import stub_rerank
+from mtg_vector_db_spark.plans.registry import oracle, query, tables
+from mtg_vector_db_spark.plans.vector_queries import query_vector
+
+R = 6
+
+_Q_SUB = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+_SIM = f"round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), {_Q_SUB}), {R})"
+
+
+# ---------------------------------------------------------------------------
+# V9: retrieve initial_k=30 by cosine → deterministic stub rerank →
+# final_k=10 (db/search_strategies.py:118-215 with the stub standing in for
+# the LLM; permutation/score semantics per db_utils.py:329-338).
+# ---------------------------------------------------------------------------
+@query("p01_retrieve_rerank")
+def p01_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir)
+    cands = knn(emb, qv, k=30, round_digits=R).withColumnRenamed("vec_id", "doc_id")
+    return stub_rerank(cands, final_k=10).orderBy("rank")
+
+
+oracle(
+    "p01_retrieve_rerank",
+    f"""
+    WITH cands AS (
+      SELECT e.vec_id AS doc_id, {_SIM} AS sim
+      FROM embeddings e
+      ORDER BY sim DESC, e.vec_id ASC LIMIT 30
+    ), ranked AS (
+      SELECT doc_id, sim,
+             row_number() OVER (ORDER BY round(sim, 2) DESC,
+                                md5(CAST(doc_id AS VARCHAR)) ASC) AS rank,
+             count(*) OVER () AS n
+      FROM cands
+    )
+    SELECT doc_id, sim, rank,
+           round(1.0 - (rank - 1) * 1.0 / n, {R}) AS rerank_score
+    FROM ranked ORDER BY rank LIMIT 10
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# V11/U1: multi-source fan-out with per-source k (10/10/5 defaults,
+# db/search_with_reranker.py:284-290), one shared query embedding.
+# ---------------------------------------------------------------------------
+@query("p02_fanout_multisource")
+def p02_fanout_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, emb = tables(spark, sf_dir, "documents", "embeddings")
+    qv = query_vector(spark, sf_dir)
+    return fanout_search(
+        docs, emb, qv,
+        source_ks={"src0": 10, "src1": 10, "src2": 5},
+        round_digits=R,
+    ).orderBy("source", F.desc("sim"), "doc_id")
+
+
+oracle(
+    "p02_fanout_multisource",
+    f"""
+    WITH scored AS (
+      SELECT d.doc_id, d.source, {_SIM} AS sim
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    s0 AS (SELECT * FROM scored WHERE source = 'src0' ORDER BY sim DESC, doc_id LIMIT 10),
+    s1 AS (SELECT * FROM scored WHERE source = 'src1' ORDER BY sim DESC, doc_id LIMIT 10),
+    s2 AS (SELECT * FROM scored WHERE source = 'src2' ORDER BY sim DESC, doc_id LIMIT 5)
+    SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
+    ORDER BY source, sim DESC, doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# IVF index build: element-wise centroid per label cell (long format —
+# one narrow shuffle; at 100 TB this plus a cell-partitioned rewrite of the
+# corpus IS the index build).
+# ---------------------------------------------------------------------------
+@query("p03_ivf_centroids")
+def p03_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    cents = centroids_by(emb)
+    return (
+        cents.select(
+            "label",
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("c"), R).alias("c"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+oracle(
+    "p03_ivf_centroids",
+    f"""
+    SELECT label, i - 1 AS pos, round(avg(embedding[i]), {R}) AS c
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY label, i ORDER BY label, pos
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# IVF probe search: exact KNN restricted to the nprobe=2 nearest cells.
+# The oracle replays the identical coarse-quantize + probe in SQL.
+# ---------------------------------------------------------------------------
+@query("p04_ivf_search")
+def p04_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir)
+    cents = centroid_vectors(centroids_by(emb))
+    out = ivf_search(emb, cents, qv, k=10, nprobe=2, round_digits=R)
+    return out.select(F.col("vec_id").alias("doc_id"), "sim").orderBy(
+        F.desc("sim"), "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary-column plumbing: documents' UTF-8 bytes stand in for an
+# opaque media payload (schema + byte-level ops are what's under test; real
+# codecs are stubbed per operators/multimodal.py).
+# ---------------------------------------------------------------------------
+@query("p05_binary_payload_meta")
+def p05_binary_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return (
+        docs.filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+            F.md5(payload).alias("content_md5"),
+            F.hex(F.encode(F.substring(F.col("text"), 1, 8), "UTF-8")).alias(
+                "feature_hex"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+oracle(
+    "p05_binary_payload_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           hex(encode(substring(text, 1, 8))) AS feature_hex
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+
+
+oracle(
+    "p04_ivf_search",
+    f"""
+    WITH cent AS (
+      SELECT label, list(c ORDER BY i) AS centroid FROM (
+        SELECT label, i, avg(embedding[i]) AS c
+        FROM embeddings, range(1, 65) t(i) GROUP BY label, i
+      ) GROUP BY label
+    ),
+    probe AS (
+      SELECT label FROM cent
+      ORDER BY list_cosine_similarity(CAST(centroid AS DOUBLE[]), {_Q_SUB}) DESC,
+               label ASC
+      LIMIT 2
+    )
+    SELECT e.vec_id AS doc_id, {_SIM} AS sim
+    FROM embeddings e WHERE e.label IN (SELECT label FROM probe)
+    ORDER BY sim DESC, e.vec_id ASC LIMIT 10
+    """,
+)

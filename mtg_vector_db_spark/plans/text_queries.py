@@ -1,1 +1,353 @@
-"""Placeholder — populated in this round."""
+"""Text/string queries (SURVEY.md §2.8 T-group, §2.7 V10 tiered search,
+plus the text-analysis pipeline operators: token stats, quality scoring,
+language ID, fingerprinting).
+
+``part.p_name`` (word-pair names like "blue bolt", with duplicates across
+partkeys) plays the card-name corpus; ``documents.text`` plays the document
+corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mtg_vector_db_spark.functions import text as T
+from mtg_vector_db_spark.functions import textstats as TS
+from mtg_vector_db_spark.functions.trigram import (
+    duckdb_trigram_similarity_sql,
+    trigram_similarity,
+)
+from mtg_vector_db_spark.operators.tiered import tiered_name_search
+from mtg_vector_db_spark.plans.registry import oracle, query, tables
+
+R = 6
+
+
+# ---------------------------------------------------------------------------
+# T1+K2/K3: pg_trgm similarity ranking (the fuzzy tier's ORDER BY
+# name <-> q, db/search_strategies.py:97-106).
+# ---------------------------------------------------------------------------
+@query("t01_trigram_topk")
+def t01_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = tables(spark, sf_dir, "part")
+    sim = F.round(trigram_similarity(F.col("p_name"), F.lit("blu bolt")), R)
+    return (
+        part.select("p_name")
+        .distinct()
+        .withColumn("sim", sim)
+        .filter(F.col("sim") > 0.0)
+        .orderBy(F.desc("sim"), F.asc("p_name"))
+        .limit(10)
+    )
+
+
+_TRI_BLU = duckdb_trigram_similarity_sql("p_name", "'blu bolt'")
+oracle(
+    "t01_trigram_topk",
+    f"""
+    SELECT p_name, round({_TRI_BLU}, {R}) AS sim
+    FROM (SELECT DISTINCT p_name FROM part)
+    WHERE round({_TRI_BLU}, {R}) > 0.0
+    ORDER BY sim DESC, p_name ASC LIMIT 10
+    """,
+)
+
+
+def _tiered_oracle(q: str, k: int = 10) -> str:
+    """Full 3-tier cascade as one SQL statement: the driver-side gating of
+    tiered_name_search expressed with NOT EXISTS guards, so the oracle
+    reproduces whichever tier the Spark operator settles on."""
+    sim = duckdb_trigram_similarity_sql("p_name", f"'{q}'")
+    return f"""
+    WITH exact_t AS (
+      SELECT p_partkey, p_name, 'exact' AS match_type, 1.0 AS sim
+      FROM part WHERE lower(p_name) = lower('{q}')
+    ), prefix_t AS (
+      SELECT p_partkey, p_name, 'prefix' AS match_type, round({sim}, {R}) AS sim
+      FROM part WHERE lower(p_name) LIKE lower('{q}') || '%'
+      ORDER BY sim DESC, p_name ASC, p_partkey ASC LIMIT {k}
+    ), fuzzy_t AS (
+      SELECT p_partkey, p_name, 'fuzzy' AS match_type, round({sim}, {R}) AS sim
+      FROM part WHERE round({sim}, {R}) > 0.3
+      ORDER BY sim DESC, p_name ASC, p_partkey ASC LIMIT {k}
+    )
+    SELECT * FROM exact_t
+    UNION ALL
+    SELECT * FROM prefix_t WHERE NOT EXISTS (SELECT 1 FROM exact_t)
+      AND (SELECT max(sim) FROM prefix_t) > 0.5
+    UNION ALL
+    SELECT * FROM fuzzy_t WHERE NOT EXISTS (SELECT 1 FROM exact_t)
+      AND coalesce((SELECT max(sim) FROM prefix_t), 0.0) <= 0.5
+    """
+
+
+def _tiered(spark: SparkSession, sf_dir: str, q: str) -> DataFrame:
+    (part,) = tables(spark, sf_dir, "part")
+    return tiered_name_search(
+        part.select("p_partkey", "p_name"),
+        q,
+        name_col="p_name",
+        k=10,
+        tiebreak=("p_partkey",),
+    ).select("p_partkey", "p_name", "match_type", "sim")
+
+
+# V10 tier 1: exact-match hit.
+@query("t02_tiered_exact")
+def t02_tiered_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tiered(spark, sf_dir, "Blue Bolt")
+
+
+oracle("t02_tiered_exact", _tiered_oracle("Blue Bolt"))
+
+
+# V10 tier 2: prefix tier (acceptance gate on best trigram sim).
+@query("t03_tiered_prefix")
+def t03_tiered_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tiered(spark, sf_dir, "small")
+
+
+oracle("t03_tiered_prefix", _tiered_oracle("small"))
+
+
+# V10 tier 3: fuzzy trigram tier (typo'd query).
+@query("t04_tiered_fuzzy")
+def t04_tiered_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tiered(spark, sf_dir, "blu bolt")
+
+
+oracle("t04_tiered_fuzzy", _tiered_oracle("blu bolt"))
+
+
+# ---------------------------------------------------------------------------
+# T5-T9/T14: string-transformation showcase (ingestion field extraction,
+# db/ingest_cards.py:13-109, as column expressions).
+# ---------------------------------------------------------------------------
+@query("t05_string_ops")
+def t05_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = tables(spark, sf_dir, "part")
+    faced = F.concat(F.col("p_name"), F.lit(" // "), F.col("p_type"))
+    return (
+        part.filter(F.col("p_partkey") < 100)
+        .select(
+            "p_partkey",
+            T.strip_braces(
+                F.concat(F.lit("{"), F.col("p_brand"), F.lit("}"))
+            ).alias("brand_clean"),
+            T.back_face_name(faced).alias("back_face"),
+            T.coalesce_name(
+                F.nullif(F.col("p_type"), F.lit("")), F.col("p_name")
+            ).alias("display_name"),
+            T.power_toughness(
+                F.col("p_size").cast("string"),
+                F.floor(F.col("p_retailprice")).cast("long").cast("string"),
+            ).alias("pt"),
+            T.truncate_ellipsis(F.col("p_type"), 8).alias("type_short"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+oracle(
+    "t05_string_ops",
+    """
+    SELECT p_partkey,
+           regexp_replace('{' || p_brand || '}', '[{}]', '', 'g') AS brand_clean,
+           trim(string_split_regex(p_name || ' // ' || p_type, '//')[2]) AS back_face,
+           coalesce(nullif(p_type, ''), p_name) AS display_name,
+           CAST(p_size AS VARCHAR) || '/' || CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR) AS pt,
+           CASE WHEN length(p_type) > 8 THEN substring(p_type, 1, 8) || '...'
+                ELSE p_type END AS type_short
+    FROM part WHERE p_partkey < 100 ORDER BY p_partkey
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# K5: natural sort of rule-number-shaped strings ("100.2" before "100.10").
+# ---------------------------------------------------------------------------
+@query("t06_natural_sort")
+def t06_natural_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    rn = F.concat(
+        (F.col("o_orderkey") % 120).cast("string"),
+        F.lit("."),
+        (F.col("o_custkey") % 15).cast("string"),
+    )
+    major, minor, _ = T.rule_sort_key(F.col("rule_number"))
+    return (
+        orders.filter(F.col("o_orderkey") < 500)
+        .select(rn.alias("rule_number"))
+        .distinct()
+        .select("rule_number", major.alias("major"), minor.alias("minor"))
+        .orderBy("major", "minor", "rule_number")
+        .limit(60)
+    )
+
+
+oracle(
+    "t06_natural_sort",
+    """
+    SELECT rule_number,
+           CAST(regexp_extract(rule_number, '^(\\d+)', 1) AS INT) AS major,
+           CAST(regexp_extract(rule_number, '^\\d+\\.(\\d+)', 1) AS INT) AS minor
+    FROM (
+      SELECT DISTINCT CAST(o_orderkey % 120 AS VARCHAR) || '.' ||
+                      CAST(o_custkey % 15 AS VARCHAR) AS rule_number
+      FROM orders WHERE o_orderkey < 500
+    )
+    ORDER BY major, minor, rule_number LIMIT 60
+    """,
+)
+
+
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)"
+_TOKS_L = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> len(t) > 0)"
+
+
+# ---------------------------------------------------------------------------
+# Token statistics per language (corpus-pipeline op; exact-integer
+# aggregation so results are partition-order invariant).
+# ---------------------------------------------------------------------------
+@query("t07_token_stats")
+def t07_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).alias(
+            "n_token_chars"
+        ),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1)), R
+            ).alias("avg_tokens_per_doc"),
+            F.round(
+                F.sum("n_token_chars").cast("double") / F.sum("n_tokens"), R
+            ).alias("avg_token_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+oracle(
+    "t07_token_stats",
+    f"""
+    WITH per_doc AS (
+      SELECT lang, len({_TOKS}) AS n_tokens,
+             list_sum(list_transform({_TOKS}, t -> len(t))) AS n_token_chars
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE) / count(*), {R}) AS avg_tokens_per_doc,
+           round(CAST(sum(n_token_chars) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE), {R}) AS avg_token_len
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-document quality scoring (corpus-pipeline op).
+# ---------------------------------------------------------------------------
+@query("t08_quality_scores")
+def t08_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            TS.token_count(F.col("text")).alias("n_tokens"),
+            F.round(TS.stopword_ratio(F.col("text")), R).alias("stopword_ratio"),
+            F.round(TS.non_alnum_ratio(F.col("text")), R).alias("noise_ratio"),
+            TS.quality_score(F.col("text")).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SW = "['" + "','".join(TS.EN_STOPWORDS) + "']"
+_SW_RATIO = (
+    f"len(list_filter({_TOKS_L}, t -> list_contains({_SW}, t))) * 1.0 / len({_TOKS_L})"
+)
+_NOISE = "length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0 / length(text)"
+_NTOK = f"len({_TOKS})"
+oracle(
+    "t08_quality_scores",
+    f"""
+    SELECT doc_id, {_NTOK} AS n_tokens,
+           round({_SW_RATIO}, {R}) AS stopword_ratio,
+           round({_NOISE}, {R}) AS noise_ratio,
+           round(least(1.0, 0.3 + 0.4 * least(1.0, ({_SW_RATIO}) * 4)
+                 + 0.3 * least(1.0, ({_NTOK}) / 100.0)
+                 - 0.5 * ({_NOISE})), {R}) AS quality
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Language identification vs the labeled lang column (confusion counts).
+# ---------------------------------------------------------------------------
+@query("t09_lang_id_confusion")
+def t09_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TS.lang_id(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def _duck_lang_case() -> str:
+    scores = {
+        lang: f"len(list_filter({_TOKS_L}, t -> list_contains(['"
+        + "','".join(markers)
+        + "'], t)))"
+        for lang, markers in TS.LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN {scores[lang]} > 0 AND {scores[lang]} = {best} THEN '{lang}'"
+        for lang in TS.LANG_MARKERS
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+oracle(
+    "t09_lang_id_confusion",
+    f"""
+    SELECT lang, {_duck_lang_case()} AS predicted, count(*) AS n
+    FROM documents GROUP BY 1, 2 ORDER BY lang, predicted
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (md5 over normalized text — exact-dedup key).
+# ---------------------------------------------------------------------------
+@query("t10_fingerprints")
+def t10_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") < 50)
+        .select("doc_id", TS.fingerprint(F.col("text")).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+oracle(
+    "t10_fingerprints",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents WHERE doc_id < 50 ORDER BY doc_id
+    """,
+)

@@ -1,0 +1,74 @@
+"""Input readers (SURVEY.md §2.1 S1-S5).
+
+Spark-native forms of the reference's ingestion readers:
+
+* S1/S3 — MTGJSON "AtomicCards": a JSON object mapping card name → array of
+  card objects (/root/reference/db/ingest_cards.py:147-159). As a dict its
+  keys are *columns* to spark.read.json, so we explode the map form.
+* S2 — JSON array of rule objects (db/ingest_rules.py:71-79).
+* S4 — blank-line-delimited glossary text (glossary_parser.py:17-39).
+* S5 — line reader skipping blanks and index-header lines
+  (parse_rules_both_versions.py:24-49) — the header skip is a broadcast
+  anti-join, not a Python set lookup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def read_json_array(spark: SparkSession, path: str) -> DataFrame:
+    """S2: JSON array file → one row per element."""
+    return spark.read.option("multiLine", True).json(path)
+
+
+def read_name_keyed_json(
+    spark: SparkSession, path: str, name_col: str = "name"
+) -> DataFrame:
+    """S1+S3: ``{name: [obj, …], …}`` → rows (name, obj-struct).
+
+    Read as a single-row wide record, melt columns to a map, explode both
+    the map and each name's array. Schema of the obj structs is unified by
+    Spark's JSON inference across all cards.
+    """
+    raw = spark.read.option("multiLine", True).json(path)
+    cols = raw.columns
+    pairs = F.create_map(
+        *[p for c in cols for p in (F.lit(c), F.col(f"`{c}`"))]
+    )
+    melted = raw.select(F.explode(pairs).alias(name_col, "cards"))
+    return melted.select(name_col, F.explode("cards").alias("card"))
+
+
+def read_blank_line_blocks(
+    spark: SparkSession, path: str, block_col: str = "block"
+) -> DataFrame:
+    """S4: whole-file read split on blank lines → one row per block
+    (glossary_parser.py:17-22's ``content.split('\\n\\n')``)."""
+    whole = spark.read.text(path, wholetext=True)
+    return (
+        whole.select(
+            F.explode(F.split(F.col("value"), r"\n\s*\n")).alias(block_col)
+        )
+        .select(F.trim(F.col(block_col)).alias(block_col))
+        .filter(F.length(block_col) > 0)
+    )
+
+
+def read_lines_excluding(
+    spark: SparkSession, path: str, header_lines: DataFrame | None = None
+) -> DataFrame:
+    """S5: line source, blanks dropped, minus a header-line set via
+    broadcast anti-join (parse_rules_both_versions.py:46-48)."""
+    lines = (
+        spark.read.text(path)
+        .select(F.trim(F.col("value")).alias("line"))
+        .filter(F.length("line") > 0)
+    )
+    if header_lines is not None:
+        lines = lines.join(
+            F.broadcast(header_lines.select(F.col(header_lines.columns[0]).alias("line"))),
+            "line",
+            "left_anti",
+        )
+    return lines

@@ -1,0 +1,255 @@
+"""Sources, sinks, ingestion pipeline, embedding stub, multimodal plumbing."""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pytest
+
+CARDS_JSON = {
+    "Lightning Bolt": [
+        {
+            "asciiName": None,
+            "faceName": None,
+            "manaCost": "{R}",
+            "manaValue": 1,
+            "power": None,
+            "toughness": None,
+            "text": "Deal 3 damage to any target.",
+            "type": "Instant",
+        }
+    ],
+    "Delver of Secrets // Insectile Aberration": [
+        {
+            "asciiName": None,
+            "faceName": "Delver of Secrets",
+            "manaCost": "{U}",
+            "manaValue": 1,
+            "power": "1",
+            "toughness": "1",
+            "text": "At the beginning of your upkeep, look at the top card.",
+            "type": "Creature — Human Wizard",
+        }
+    ],
+    # duplicate business key on purpose (same faceName twice)
+    "Delver of Secrets // Other": [
+        {
+            "asciiName": None,
+            "faceName": "Delver of Secrets",
+            "manaCost": "{U}",
+            "manaValue": 1,
+            "power": "1",
+            "toughness": "1",
+            "text": "dup",
+            "type": "Creature",
+        }
+    ],
+    "Empty Card": [
+        {
+            "asciiName": None,
+            "faceName": None,
+            "manaCost": None,
+            "manaValue": 0,
+            "power": None,
+            "toughness": None,
+            "text": None,
+            "type": "Sorcery",
+        }
+    ],
+}
+
+GLOSSARY_TXT = """Flying
+A creature with flying can't be blocked. See rule 702.9.
+
+First Strike
+Deals combat damage first. See rule 702.7 and section 5.
+
+
+Haste
+Can attack immediately.
+"""
+
+
+@pytest.fixture()
+def cards_path(tmp_path):
+    p = tmp_path / "cards.json"
+    p.write_text(json.dumps(CARDS_JSON))
+    return str(p)
+
+
+def test_read_name_keyed_json(spark, cards_path):
+    from mtg_vector_db_spark.sources.readers import read_name_keyed_json
+
+    df = read_name_keyed_json(spark, cards_path)
+    rows = df.collect()
+    assert len(rows) == 4
+    assert {r["name"] for r in rows} == set(CARDS_JSON)
+    assert rows[0]["card"]["type"] is not None
+
+
+def test_read_blank_line_blocks(spark, tmp_path):
+    from mtg_vector_db_spark.sources.readers import read_blank_line_blocks
+
+    p = tmp_path / "glossary.txt"
+    p.write_text(GLOSSARY_TXT)
+    blocks = read_blank_line_blocks(spark, str(p)).collect()
+    assert len(blocks) == 3
+    assert blocks[0]["block"].startswith("Flying")
+
+
+def test_rule_ref_extraction(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.functions.text import extract_rule_refs
+    from mtg_vector_db_spark.sources.readers import read_blank_line_blocks
+
+    p = tmp_path / "glossary.txt"
+    p.write_text(GLOSSARY_TXT)
+    refs = (
+        read_blank_line_blocks(spark, str(p))
+        .select(extract_rule_refs(F.col("block")).alias("refs"))
+        .collect()
+    )
+    assert refs[0]["refs"] == ["702.9"]
+    assert refs[1]["refs"] == ["702.7"]
+
+
+def test_ingest_cards_pipeline(spark, cards_path, tmp_path):
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.operators.ingest import ingest_cards
+    from mtg_vector_db_spark.sources.readers import read_name_keyed_json
+    from mtg_vector_db_spark.sources.sinks import overwrite, quarantine
+
+    raw = read_name_keyed_json(spark, cards_path)
+    docs, embs, rejected = ingest_cards(raw)
+
+    d = {r["card_name"]: r for r in docs.collect()}
+    # faceName wins over full name (T8); dup of that key rejected (D1)
+    assert "Delver of Secrets" in d
+    assert len(d) == 3
+    assert rejected.count() == 1
+    # embeddings only for docs with text (P10): Empty Card filtered
+    e = {r["card_name"]: r for r in embs.collect()}
+    assert set(e) == {"Lightning Bolt", "Delver of Secrets"}
+    vec = e["Lightning Bolt"]["embedding"]
+    assert len(vec) == 64
+    assert abs(sum(x * x for x in vec) - 1.0) < 1e-5
+
+    # sinks round-trip + cascade delete
+    from mtg_vector_db_spark.sources.sinks import cascade_delete
+
+    overwrite(docs.withColumn("doc_id", F.monotonically_increasing_id()),
+              str(tmp_path / "docs"))
+    quarantine(rejected, str(tmp_path / "rejects"), "duplicate")
+    assert spark.read.parquet(str(tmp_path / "rejects")).count() == 1
+
+
+def test_embedding_determinism(spark):
+    import pandas as pd
+
+    from mtg_vector_db_spark.functions.embedding import hash_embed_np
+
+    a = hash_embed_np(["hello", "world"])
+    b = hash_embed_np(["hello", "world"])
+    assert (a == b).all()
+    assert abs(float((a[0] ** 2).sum()) - 1.0) < 1e-5
+    assert not (a[0] == a[1]).all()
+
+
+def test_multimodal_decode_plumbing(spark):
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.operators.multimodal import (
+        decode_features,
+        frame_sample_plan,
+        real_decode,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", b"fake-image-bytes", 32, 32, 0),
+            (2, "video", b"fake-video-bytes", 64, 48, 3500),
+        ],
+        "doc_id long, media_type string, payload binary, width int, height int, duration_ms int",
+    )
+    feats = {r["doc_id"]: r for r in decode_features(media).collect()}
+    assert feats[1]["n_bytes"] == len(b"fake-image-bytes")
+    assert len(feats[1]["feature_hex"]) == 16
+    # deterministic across runs
+    again = {r["doc_id"]: r for r in decode_features(media).collect()}
+    assert feats[1]["feature_hex"] == again[1]["feature_hex"]
+
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+    with pytest.raises(NotImplementedError):
+        real_decode(b"x", "image")
+
+
+def test_streaming_ingest_and_windows(spark, tmp_path):
+    """End-to-end streaming: file source → foreachBatch dedup upsert; and
+    the watermarked hourly window vs its batch equivalent."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.streaming.pipelines import (
+        hourly_event_counts,
+        streaming_ingest,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (src / "batch1.json").write_text(
+        '\n'.join(
+            json.dumps(x)
+            for x in [
+                {"card_name": "A", "text_content": "a"},
+                {"card_name": "B", "text_content": "b"},
+                {"card_name": "A", "text_content": "dup-in-batch"},
+            ]
+        )
+    )
+    q = streaming_ingest(
+        spark,
+        str(src),
+        str(tmp_path / "docs"),
+        str(tmp_path / "rej"),
+        "card_name string, text_content string",
+        str(tmp_path / "ckpt"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    docs = spark.read.parquet(str(tmp_path / "docs"))
+    assert docs.count() == 2
+    # second batch: one new, one duplicate of existing
+    (src / "batch2.json").write_text(
+        '\n'.join(
+            json.dumps(x)
+            for x in [
+                {"card_name": "C", "text_content": "c"},
+                {"card_name": "B", "text_content": "dup-vs-existing"},
+            ]
+        )
+    )
+    q2 = streaming_ingest(
+        spark,
+        str(src),
+        str(tmp_path / "docs"),
+        str(tmp_path / "rej"),
+        "card_name string, text_content string",
+        str(tmp_path / "ckpt"),
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    docs = spark.read.parquet(str(tmp_path / "docs"))
+    assert sorted(r["card_name"] for r in docs.collect()) == ["A", "B", "C"]
+    assert spark.read.parquet(str(tmp_path / "rej")).count() >= 2
+
+    # windowed agg: streaming plan == batch plan on the same data
+    from mtg_vector_db_spark.plans.registry import events_df
+
+    ev = events_df(spark, "/root/testdata/sf0.001")
+    batch = {
+        (r["hour"], r["event_type"]): r["n"]
+        for r in hourly_event_counts(ev).collect()
+    }
+    assert batch and all(n > 0 for n in batch.values())

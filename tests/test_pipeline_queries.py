@@ -1,0 +1,126 @@
+"""Pipeline queries: oracle parity + rerank invariants + ANN recall."""
+
+from __future__ import annotations
+
+import pytest
+
+from mtg_vector_db_spark.operators.rerank import parse_ranking, parse_score
+from mtg_vector_db_spark.plans import registry
+from tests.oracle_utils import assert_matches_oracle
+
+registry.load_all()
+
+PIPE_QUERIES = [n for n in registry.QUERIES if n.startswith("p")]
+
+
+@pytest.mark.parametrize("name", PIPE_QUERIES)
+def test_oracle_parity(spark, sf001, name):
+    if name not in registry.ORACLES:
+        pytest.skip("rows-only query")
+    df = registry.QUERIES[name](spark, sf001)
+    assert_matches_oracle(df, registry.ORACLES[name], sf001)
+
+
+# --- reference parsing invariants (db_utils.py:384-397, 487-495) ---------
+@pytest.mark.parametrize(
+    "text,n",
+    [
+        ("3, 1, 2", 3),
+        ("ranking: 2 > 1 > 5 > 4 > 3", 5),
+        ("garbage", 4),
+        ("1,1,1,2", 3),
+        ("9, 2, 1", 3),  # out-of-range dropped
+        ("", 5),
+    ],
+)
+def test_parse_ranking_is_permutation(text, n):
+    perm = parse_ranking(text, n)
+    assert sorted(perm) == list(range(n))
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("85%", 0.85),
+        ("7/10", 0.7),
+        ("95/100", 0.95),
+        ("0.42", 0.42),
+        ("150%", 1.0),
+        ("no digits here", 0.5),
+    ],
+)
+def test_parse_score(text, expected):
+    assert abs(parse_score(text) - expected) < 1e-9
+
+
+def test_rerank_with_applyinpandas(spark, sf001):
+    """The Arrow-batched real-ranker hook: reverse-order ranker."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.operators.rerank import rerank_with
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    cands = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(
+            F.lit(0).cast("long").alias("query_id"),
+            "doc_id",
+            "text",
+            (F.col("doc_id") * 1.0).alias("sim"),
+        )
+    )
+    out = rerank_with(cands, lambda texts: list(range(len(texts) - 1, -1, -1)),
+                      final_k=5).collect()
+    assert len(out) == 5
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    # reverse of sim-desc order = sim-asc order
+    ids = [r["doc_id"] for r in out]
+    assert ids == sorted(ids)
+
+
+def test_ivf_probe_invariants(spark, sf001):
+    """IVF = exact KNN over the probed cells: results stay inside the probed
+    labels and are exactly the brute-force top-k of that subset. (Labels in
+    the synthetic data are NOT real clusters, so recall vs global exact KNN
+    is data-dependent; the oracle-parity test pins the semantics.)"""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.operators.ann import (
+        centroid_vectors,
+        centroids_by,
+        ivf_probe_labels,
+    )
+    from mtg_vector_db_spark.operators.knn import knn
+    from mtg_vector_db_spark.plans.vector_queries import query_vector
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    qv = query_vector(spark, sf001)
+    cents = centroid_vectors(centroids_by(emb))
+    labels = ivf_probe_labels(cents, qv, nprobe=2)
+    assert len(labels) == 2
+
+    approx = registry.QUERIES["p04_ivf_search"](spark, sf001).collect()
+    assert len(approx) == 10
+    sims = [r["sim"] for r in approx]
+    assert sims == sorted(sims, reverse=True)
+
+    exact_subset = {
+        r["vec_id"]
+        for r in knn(
+            emb.filter(F.col("label").isin(labels)), qv, 10, round_digits=6
+        ).collect()
+    }
+    assert {r["doc_id"] for r in approx} == exact_subset
+
+
+def test_lsh_index_query(spark, sf001):
+    """MLlib LSH path: approxNearestNeighbors returns k rows including self."""
+    from mtg_vector_db_spark.operators.ann import lsh_index, lsh_query
+    from mtg_vector_db_spark.plans.vector_queries import query_vector
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    model, indexed = lsh_index(emb)
+    qv = query_vector(spark, sf001)
+    rows = lsh_query(model, indexed, qv, 5).collect()
+    assert len(rows) == 5
+    assert rows[0]["vec_id"] == 0

@@ -1,0 +1,61 @@
+"""Text-query correctness + pg_trgm golden values + tier gating."""
+
+from __future__ import annotations
+
+import pytest
+
+from mtg_vector_db_spark.plans import registry
+from tests.oracle_utils import assert_matches_oracle
+
+registry.load_all()
+
+TEXT_QUERIES = [n for n in registry.QUERIES if n.startswith("t")]
+
+
+@pytest.mark.parametrize("name", TEXT_QUERIES)
+def test_oracle_parity(spark, sf001, name):
+    if name not in registry.ORACLES:
+        pytest.skip("rows-only query")
+    df = registry.QUERIES[name](spark, sf001)
+    assert_matches_oracle(df, registry.ORACLES[name], sf001)
+
+
+# pg_trgm golden values, hand-computed per the documented algorithm and
+# cross-checked against PostgreSQL's pg_trgm behavior for these inputs.
+@pytest.mark.parametrize(
+    "a,b,expected",
+    [
+        ("word", "word", 1.0),
+        # trigrams('word') = {'  w',' wo','wor','ord','rd '} (5)
+        # trigrams('words') = {'  w',' wo','wor','ord','rds','ds '} (6)
+        # shared: '  w',' wo','wor','ord' = 4; union = 7 → 4/7
+        ("word", "words", 4 / 7),
+        ("", "word", 0.0),
+        ("word", "", 0.0),
+        # case-insensitive
+        ("WORD", "word", 1.0),
+        # multi-word: same word set → identical trigram set
+        ("blue bolt", "bolt blue", 1.0),
+    ],
+)
+def test_trigram_goldens(spark, a, b, expected):
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.functions.trigram import trigram_similarity
+
+    got = (
+        spark.range(1)
+        .select(trigram_similarity(F.lit(a), F.lit(b)).alias("s"))
+        .first()["s"]
+    )
+    assert abs(got - expected) < 1e-12, (a, b, got, expected)
+
+
+def test_tier_selection(spark, sf001):
+    exact = registry.QUERIES["t02_tiered_exact"](spark, sf001).collect()
+    assert exact and all(r["match_type"] == "exact" for r in exact)
+    prefix = registry.QUERIES["t03_tiered_prefix"](spark, sf001).collect()
+    assert prefix and all(r["match_type"] == "prefix" for r in prefix)
+    fuzzy = registry.QUERIES["t04_tiered_fuzzy"](spark, sf001).collect()
+    assert fuzzy and all(r["match_type"] == "fuzzy" for r in fuzzy)
+    assert fuzzy[0]["p_name"] == "blue bolt"
