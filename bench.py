@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs a representative subset of the registered query inventory (one per
+family: relational agg/join, windowed events, KNN, trigram, MinHash-LSH
+dedup, retrieve-rerank pipeline, IVF search) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall-clock over the headline set. Each query is fully
+materialized via a count-collecting action so the timing covers scan →
+shuffle → result, not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mtg_vector_db_spark.plans import registry  # noqa: E402
+from mtg_vector_db_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "r01_pricing_summary",      # full-table agg (TPC-H Q1 shape)
+    "r02_revenue_by_nation",    # multi-join + agg (broadcast dims)
+    "r07_top_orders_per_customer",  # window top-k per group
+    "r08_events_hourly",        # event-time tumbling window
+    "v01_knn_topk",             # brute-force cosine KNN (TakeOrdered)
+    "v03_knn_batch",            # batch-of-queries KNN join
+    "t01_trigram_topk",         # pg_trgm fuzzy name search
+    "t08_quality_scores",       # text quality scoring over documents
+    "d03_minhash_lsh_pairs",    # MinHash+LSH near-dup pairs
+    "d05_simhash_neardup",      # SimHash near-dup
+    "p01_retrieve_rerank",      # two-stage retrieve-then-rerank
+    "p04_ivf_search",           # IVF-bucketed ANN search
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    registry.load_all()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM / parquet footers outside the timed region.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(json.dumps({
+        "metric": "headline_total_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
