@@ -71,14 +71,19 @@ oracle(
 # ---------------------------------------------------------------------------
 @query("d02_jaccard_pairs_exact")
 def d02_jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact all-pairs is O(n²) by construction — it exists only as the
+    # recall baseline for d03's LSH, so it runs on an id-bounded block
+    # (covers the whole sf0.01 corpus; stays bounded at larger sf).
     (docs,) = tables(spark, sf_dir, "documents")
-    return D.exact_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+    bounded = docs.filter(F.col("doc_id") < 1000)
+    return D.exact_jaccard_pairs(bounded, threshold=0.5).orderBy("id_a", "id_b")
 
 
 oracle(
     "d02_jaccard_pairs_exact",
     f"""
-    WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents)
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+                WHERE doc_id < 1000)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACC} AS jaccard
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE {_JACC} >= 0.5
