@@ -98,6 +98,7 @@ def knn_numpy(
     k: int,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Arrow fast-path batch KNN: per partition, one numpy GEMM of the
     partition's vectors against all queries, keeping a per-partition top-k;
@@ -116,15 +117,27 @@ def knn_numpy(
             m = np.array(list(pdf[emb_col]), dtype=np.float64)
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             sims = m @ qn.T  # (rows, nq)
+            if round_digits is not None:
+                # Round BEFORE selection so the per-partition prune, the
+                # global rank, and a SQL oracle all order the same values.
+                sims = np.round(sims, round_digits)
             kk = min(k, sims.shape[0])
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
             ids = pdf[id_col].to_numpy()
-            out = {
-                "query_id": np.repeat(np.arange(nq), kk),
-                id_col: ids[top.T.ravel()],
-                "sim": np.take_along_axis(sims, top, axis=0).T.ravel(),
-            }
-            yield pd.DataFrame(out)
+            frames = []
+            for j in range(nq):
+                # lexsort keeps the (sim DESC, id ASC) tie-break exact, so
+                # partition pruning can never drop the true k-th row.
+                top = np.lexsort((ids, -sims[:, j]))[:kk]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": j,
+                            id_col: ids[top],
+                            "sim": sims[top, j],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
 
     partial = emb.select(id_col, emb_col).mapInPandas(
         part, schema=f"query_id long, {id_col} long, sim double"

@@ -187,3 +187,25 @@ oracle(
     ORDER BY sim DESC, e.vec_id ASC LIMIT 10
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# §4.3 north star: MLlib BucketedRandomProjectionLSH index build + query
+# (the "batch vector index build" analog of the reference's HNSW,
+# db/init.sql:50-53). Approximate by construction — no SQL oracle exists,
+# so this is a rows-only entry; recall vs the exact KNN baseline is
+# asserted in tests/test_pipeline_queries.py.
+# ---------------------------------------------------------------------------
+@query("p06_lsh_ann_topk")
+def p06_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.ann import lsh_index, lsh_query
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    model, indexed = lsh_index(emb)
+    qv = query_vector(spark, sf_dir)
+    out = lsh_query(model, indexed, qv, k=10)
+    return out.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(F.lit(1.0) - F.col("distCol") * F.col("distCol") / F.lit(2.0), R)
+        .alias("sim"),  # Euclidean d on unit sphere ⇒ cos = 1 - d²/2
+    ).orderBy(F.desc("sim"), F.asc("doc_id"))

@@ -458,3 +458,86 @@ oracle(
            (SELECT count(*) FROM lineitem) AS n_lineitems
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Extensions beyond the reference's surface (SURVEY.md §2.4 note): rollup /
+# cube / grouping sets and distinct-count aggregates — the OLAP shapes a
+# 100 TB analytics engine is expected to serve. Spark plans one Expand +
+# one hash aggregation for all grouping sets (no per-set rescan).
+# ---------------------------------------------------------------------------
+@query("r14_rollup_revenue")
+def r14_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum2(F.col("o_totalprice")).alias("revenue"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+oracle(
+    "r14_rollup_revenue",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
+)
+
+
+@query("r15_cube_lineitem")
+def r15_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum2(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+oracle(
+    "r15_cube_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """,
+)
+
+
+@query("r16_distinct_counts")
+def r16_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+oracle(
+    "r16_distinct_counts",
+    """
+    SELECT count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem
+    """,
+)

@@ -134,6 +134,53 @@ oracle(
 
 
 # ---------------------------------------------------------------------------
+# Batch KNN via the Arrow/numpy GEMM kernel (operators/ann.py:knn_numpy) —
+# identical semantics to v03's expression path minus the self-exclusion,
+# different physical strategy (mapInPandas partition GEMM + global reduce).
+# Registering both proves the kernels agree with the declarative plan.
+# ---------------------------------------------------------------------------
+@query("v05_knn_numpy_batch")
+def v05_knn_numpy_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from mtg_vector_db_spark.operators.ann import knn_numpy
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 5).orderBy("vec_id").select("embedding").collect()
+    )
+    qm = np.array([[float(x) for x in r[0]] for r in qrows])
+    # query vec_ids are 0..4, so positional query_id == vec_id here.
+    out = knn_numpy(emb, qm, k=5, round_digits=R)
+    return out.select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        "sim",
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+oracle(
+    "v05_knn_numpy_batch",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS doc_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), {R}) AS sim
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, doc_id, sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # V2 as a standalone scored projection: similarity + distance columns for a
 # band of ids (the SELECT list of init.sql:171-174).
 # ---------------------------------------------------------------------------

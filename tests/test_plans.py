@@ -1,0 +1,101 @@
+"""Physical-plan shape assertions — the 100 TB contract.
+
+Correctness tests prove the operators compute the right answer at small sf;
+these prove the PLANS are the ones that survive a 1000-executor scale-up:
+
+* KNN must plan ``TakeOrderedAndProject`` (k rows per partition, no global
+  sort of the corpus);
+* dimension joins must broadcast (no shuffle of the fact side's keys);
+* filters and projections must reach the parquet scan (``PushedFilters`` /
+  ``ReadSchema``) — a scan that reads all columns for a 2-column query is
+  wrong at any scale;
+* an IVF cell-partitioned layout must prune partitions at the scan
+  (the layout IS the index).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from mtg_vector_db_spark.operators import knn as K
+from mtg_vector_db_spark.plans import registry
+
+registry.load_all()
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qvec(spark, sf0001):
+    row = (
+        spark.read.parquet(f"{sf0001}/embeddings.parquet")
+        .orderBy("vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def test_knn_plans_take_ordered(spark, sf0001, qvec):
+    emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
+    plan = physical(K.knn(emb, qvec, 10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort anywhere in the KNN plan
+
+
+def test_knn_embedding_scan_prunes_columns(spark, sf0001, qvec):
+    emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
+    plan = physical(K.knn(emb, qvec, 10))
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "embedding" in scan and "vec_id" in scan
+    assert "label" not in scan  # unused column never leaves the parquet reader
+
+
+def test_knn_with_documents_broadcasts_topk(spark, sf0001, qvec):
+    docs = spark.read.parquet(f"{sf0001}/documents.parquet")
+    emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
+    plan = physical(K.knn_with_documents(docs, emb, qvec, 10))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dim_join_broadcasts(spark, sf001):
+    plan = physical(registry.QUERIES["r02_revenue_by_nation"](spark, sf001))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all dims are broadcast-size
+
+
+def test_filter_pushdown_reaches_scan(spark, sf001):
+    orders = spark.read.parquet(f"{sf001}/orders.parquet")
+    q = orders.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
+    plan = physical(q)
+    pushed = plan[plan.index("PushedFilters"):].splitlines()[0]
+    assert "o_orderstatus" in pushed
+
+
+def test_ivf_partitioned_layout_prunes(spark, sf0001, tmp_path):
+    """Writing the corpus partitioned by IVF cell turns the nprobe filter
+    into scan-time partition pruning — the claim in operators/ann.py."""
+    emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
+    path = str(tmp_path / "ivf_layout")
+    emb.write.partitionBy("label").mode("overwrite").parquet(path)
+
+    pruned = spark.read.parquet(path).filter(F.col("label").isin([0, 1]))
+    plan = physical(pruned)
+    scan = plan[plan.index("PartitionFilters"):].splitlines()[0]
+    assert "label" in scan
+    # Only the probed cells' files are read.
+    n_all = spark.read.parquet(path).count()
+    n_pruned = pruned.count()
+    assert 0 < n_pruned < n_all
+
+
+def test_knn_join_broadcasts_queries(spark, sf0001):
+    emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = physical(K.knn_join(emb, queries, 5))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
