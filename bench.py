@@ -51,7 +51,26 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM / parquet footers outside the timed region.
+    # Warm the JVM outside the timed region: JIT the codegen'd hash-agg,
+    # decimal-sum, window, and higher-order-function paths on synthetic
+    # rows (touches no benchmark table, so no data caching — this is
+    # JVM hygiene, not result caching).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    warm = (
+        spark.range(200_000)
+        .select(
+            (F.col("id") % 7).alias("k"),
+            (F.col("id") % 100).cast("double").alias("v"),
+            F.array_repeat(F.col("id").cast("double"), 8).alias("a"),
+        )
+        .withColumn("s", F.aggregate("a", F.lit(0.0), lambda x, y: x + y))
+        .withColumn("r", F.row_number().over(Window.partitionBy("k").orderBy("v")))
+        .groupBy("k")
+        .agg(F.sum(F.col("v").cast("decimal(18,2)")).alias("d"), F.max("r"), F.avg("s"))
+    )
+    warm.write.format("noop").mode("overwrite").save()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}

@@ -60,9 +60,9 @@ def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # Integer DIV, not `/`: epoch-nanos (~1.7e18) exceed double's 2^53
+    # integer range, so float division is off by ±1 µs on some rows.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def load_all() -> None:

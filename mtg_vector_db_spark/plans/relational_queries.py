@@ -541,3 +541,86 @@ oracle(
     FROM lineitem
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Session windows (gap-based, per user) — streaming/pipelines.sessionize
+# run in batch mode; the oracle replays it as a gaps-and-islands SQL
+# (lag + cumulative sum). Extension beyond the reference (SURVEY.md §2.10).
+# ---------------------------------------------------------------------------
+@query("r17_user_sessions")
+def r17_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.streaming.pipelines import sessionize
+
+    (events,) = tables(spark, sf_dir, "events")
+    return sessionize(events, gap="30 minutes").orderBy(
+        "user_id", "session_start_us"
+    )
+
+
+oracle(
+    "r17_user_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each click picks up the latest preceding error of the same
+# user (operators/asof.py — union + last(ignorenulls), ONE shuffle). The
+# oracle is DuckDB's native ASOF LEFT JOIN. Extension beyond the reference.
+# ---------------------------------------------------------------------------
+@query("r18_click_asof_error")
+def r18_click_asof_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.asof import asof_join
+
+    (events,) = tables(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, errors, keys=["user_id"], ts_col="ts",
+        payload_cols=("value", "ts"), tie_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.col("asof_value").alias("last_error_value"),
+        F.unix_micros("asof_ts").alias("error_ts_us"),
+    ).orderBy("event_id")
+
+
+oracle(
+    "r18_click_asof_error",
+    """
+    SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_ts_us,
+           e.value AS last_error_value, epoch_us(e.ts) AS error_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    ORDER BY c.event_id
+    """,
+)

@@ -44,6 +44,39 @@ def hourly_event_counts(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows per key (``session_window`` — dynamic
+    windows that close after ``gap`` of inactivity). Batch and streaming
+    share the plan; streaming adds the watermark so state for closed
+    sessions is dropped. Session bounds come back as epoch-micros longs
+    (exact integers — stable for cross-engine comparison)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            key_col,
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def streaming_ingest(
     spark: SparkSession,
     source_dir: str,

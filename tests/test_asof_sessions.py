@@ -1,0 +1,63 @@
+"""as-of join + sessionization semantics on hand-built frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from mtg_vector_db_spark.operators.asof import asof_join
+from mtg_vector_db_spark.streaming.pipelines import sessionize
+
+
+def ts(m, s=0):
+    return dt.datetime(2024, 1, 1, 0, m, s)
+
+
+def test_asof_matches_latest_preceding_and_equal(spark):
+    left = spark.createDataFrame(
+        [(1, 10, ts(5)), (2, 10, ts(10)), (3, 10, ts(2)), (4, 20, ts(5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, ts(3), 1.0), (101, 10, ts(5), 2.0), (102, 10, ts(7), 3.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(
+            left, right, keys=["user_id"], payload_cols=("value",),
+            tie_col="event_id",
+        ).collect()
+    }
+    assert out[1] == 2.0  # equal-ts right row matches (>= semantics)
+    assert out[2] == 3.0  # latest preceding
+    assert out[3] is None  # nothing precedes ts=2
+    assert out[4] is None  # no right rows for user 20
+
+
+def test_asof_equal_ts_ties_resolve_to_largest_tie_col(spark):
+    left = spark.createDataFrame(
+        [(1, 10, ts(5))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, 10, ts(4), 1.0), (101, 10, ts(4), 2.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    (row,) = asof_join(
+        left, right, keys=["user_id"], payload_cols=("value",), tie_col="event_id"
+    ).collect()
+    assert row["asof_value"] == 2.0
+
+
+def test_sessionize_gap_splits(spark):
+    events = spark.createDataFrame(
+        [(10, ts(0), 1.0), (10, ts(10), 1.0), (10, ts(50), 1.0), (20, ts(0), 5.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = sorted(
+        sessionize(events, gap="30 minutes").collect(),
+        key=lambda r: (r["user_id"], r["session_start_us"]),
+    )
+    assert [(r["user_id"], r["n_events"]) for r in rows] == [(10, 2), (10, 1), (20, 1)]
+    first = rows[0]
+    # session end = last event + gap
+    assert first["session_end_us"] - first["session_start_us"] == (10 + 30) * 60_000_000
