@@ -179,3 +179,43 @@ def lsh_query(model, indexed: DataFrame, query_vec: Sequence[float], k: int):
     q = np.asarray(list(query_vec), dtype=np.float64)
     q = q / np.linalg.norm(q)
     return model.approxNearestNeighbors(indexed, Vectors.dense(q), k)
+
+
+def kmeans_ivf_build(
+    emb: DataFrame,
+    n_cells: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_iter: int = 20,
+):
+    """Train the IVF coarse quantizer with MLlib KMeans and assign every
+    vector to its cell — the full "batch vector index build" (BASELINE.json
+    north star): fit on a sample-sized corpus, transform the whole table,
+    then :func:`mtg_vector_db_spark.operators.partitioning.partition_by_cell`
+    writes the assigned corpus as the on-disk index.
+
+    Returns (centroids DataFrame (cell, centroid array<double>),
+    assigned DataFrame (input cols + cell)).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from mtg_vector_db_spark.functions.vector import l2_normalize
+
+    feats = emb.withColumn(
+        "features", array_to_vector(l2_normalize(F.col(emb_col)))
+    )
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features")
+    model = km.fit(feats)
+    assigned = (
+        model.transform(feats)
+        .withColumnRenamed("prediction", "cell")
+        .drop("features")
+    )
+    spark = emb.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    return centroids, assigned

@@ -209,3 +209,23 @@ def p06_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) - F.col("distCol") * F.col("distCol") / F.lit(2.0), R)
         .alias("sim"),  # Euclidean d on unit sphere ⇒ cos = 1 - d²/2
     ).orderBy(F.desc("sim"), F.asc("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Full IVF index build: MLlib KMeans coarse quantizer + cell assignment
+# (operators/ann.py:kmeans_ivf_build). Iterative/ML — not SQL-expressible,
+# so rows-only: the output is the per-cell occupancy profile, whose
+# invariants (all vectors assigned, n_cells cells max) are asserted in
+# tests/test_pipeline_queries.py.
+# ---------------------------------------------------------------------------
+@query("p07_kmeans_ivf_build")
+def p07_kmeans_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.ann import kmeans_ivf_build
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    _, assigned = kmeans_ivf_build(emb, n_cells=8)
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cell")
+    )

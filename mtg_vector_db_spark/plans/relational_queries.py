@@ -624,3 +624,55 @@ oracle(
     ORDER BY c.event_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# The SQL API surface: the engine's plans are equally expressible as ANSI
+# SQL over registered views (spark.sql ⇒ same Catalyst plan as the
+# DataFrame API). TPC-H Q3 shape: segment-filtered 3-way join, revenue
+# top-10. Demonstrates that a reference user who writes SQL (everything in
+# /root/reference/db is SQL strings) can keep writing SQL here.
+# ---------------------------------------------------------------------------
+@query("r19_sql_shipping_priority")
+def r19_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li = tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cust.createOrReplaceTempView("v_customer")
+    orders.createOrReplaceTempView("v_orders")
+    li.createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(22,4))) AS DOUBLE), 4) AS revenue,
+               CAST(o.o_orderdate AS STRING) AS o_orderdate,
+               o.o_orderpriority
+        FROM v_customer c
+        JOIN v_orders o ON c.c_custkey = o.o_custkey
+        JOIN v_lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND l.l_shipdate > o.o_orderdate
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey ASC
+        LIMIT 10
+        """
+    )
+
+
+oracle(
+    "r19_sql_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(22,4))) AS DOUBLE), 4) AS revenue,
+           CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND l.l_shipdate > o.o_orderdate
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)

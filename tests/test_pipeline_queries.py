@@ -124,3 +124,16 @@ def test_lsh_index_query(spark, sf001):
     rows = lsh_query(model, indexed, qv, 5).collect()
     assert len(rows) == 5
     assert rows[0]["vec_id"] == 0
+
+
+def test_kmeans_ivf_build_invariants(spark, sf001):
+    from mtg_vector_db_spark.operators.ann import kmeans_ivf_build
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    centroids, assigned = kmeans_ivf_build(emb, n_cells=8)
+    assert centroids.count() == 8
+    assert assigned.count() == emb.count()  # every vector lands in a cell
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cells <= set(range(8))
+    dim = len(emb.select("embedding").first()[0])
+    assert all(len(r["centroid"]) == dim for r in centroids.collect())
