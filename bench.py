@@ -31,8 +31,13 @@ HEADLINE = [
     "r02_revenue_by_nation",    # multi-join + agg (broadcast dims)
     "r07_top_orders_per_customer",  # window top-k per group
     "r08_events_hourly",        # event-time tumbling window
+    "r14_rollup_revenue",       # grouping-sets (Expand) aggregation
+    "r17_user_sessions",        # gap-based session windows
+    "r18_click_asof_error",     # as-of join (union+window, one shuffle)
+    "r19_sql_shipping_priority",  # SQL surface, 3-way join top-k
     "v01_knn_topk",             # brute-force cosine KNN (TakeOrdered)
     "v03_knn_batch",            # batch-of-queries KNN join
+    "v05_knn_numpy_batch",      # Arrow GEMM batch KNN (mapInPandas)
     "t01_trigram_topk",         # pg_trgm fuzzy name search
     "t08_quality_scores",       # text quality scoring over documents
     "d03_minhash_lsh_pairs",    # MinHash+LSH near-dup pairs

@@ -1,0 +1,111 @@
+"""Property tests: pure-function invariants (hypothesis) and batched
+Spark-vs-Python-model parity on randomized corpora.
+
+The Python models here are written independently from the Spark
+expressions (straight from the pg_trgm / simhash definitions), so
+agreement on a randomized corpus is evidence the expression trees encode
+the intended semantics, not just the golden examples.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mtg_vector_db_spark.operators.rerank import parse_ranking, parse_score
+
+
+# --- pure-function invariants (reference db_utils.py:384-397,487-495) -----
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=80), st.integers(min_value=1, max_value=30))
+def test_parse_ranking_always_permutation(text, n):
+    perm = parse_ranking(text, n)
+    assert sorted(perm) == list(range(n))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=40))
+def test_parse_score_always_clamped(text):
+    assert 0.0 <= parse_score(text) <= 1.0
+
+
+# --- Python models -------------------------------------------------------
+def pg_trgm_set(s: str) -> set[str]:
+    out: set[str] = set()
+    for w in re.split(r"[^a-z0-9]+", s.lower()):
+        if not w:
+            continue
+        p = f"  {w} "
+        out.update(p[i : i + 3] for i in range(len(p) - 2))
+    return out
+
+
+def pg_trgm_sim(a: str, b: str) -> float:
+    ta, tb = pg_trgm_set(a), pg_trgm_set(b)
+    union = len(ta | tb)
+    return len(ta & tb) / union if union else 0.0
+
+
+def py_simhash(text: str) -> str:
+    votes = [0] * 64
+    for tok in re.split(r"\s+", text.lower().strip()):
+        if not tok:
+            continue
+        h = hashlib.md5(tok.encode()).hexdigest()[:16]
+        for i, ch in enumerate(h):
+            v = int(ch, 16)
+            for k in range(4):
+                votes[i * 4 + k] += 1 if (v >> k) & 1 else -1
+    return "".join("1" if sm >= 0 else "0" for sm in votes)
+
+
+def _random_texts(n: int, seed: int) -> list[str]:
+    rng = random.Random(seed)
+    words = ["dragon", "bolt", "blue", "fl", "a" * 7, "x1y2", "Ozzy"]
+    texts = []
+    for _ in range(n):
+        k = rng.randint(0, 8)
+        parts = [rng.choice(words) for _ in range(k)]
+        if rng.random() < 0.3:
+            parts.append("".join(rng.choices(string.printable[:70], k=rng.randint(1, 9))))
+        texts.append(rng.choice([" ", "  ", " - ", ","]).join(parts))
+    texts += ["", " ", "---", "a", "ab", "abc abc abc", "  padded  "]
+    return texts
+
+
+def test_trigram_matches_python_model_on_random_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from mtg_vector_db_spark.functions.trigram import trigram_similarity
+
+    texts = _random_texts(150, seed=7)
+    pairs = [(i, a, b) for i, (a, b) in enumerate(zip(texts, texts[1:] + texts[:1]))]
+    df = spark.createDataFrame(pairs, "i long, a string, b string")
+    got = {
+        r["i"]: r["sim"]
+        for r in df.select(
+            "i", trigram_similarity(F.col("a"), F.col("b")).alias("sim")
+        ).collect()
+    }
+    for i, a, b in pairs:
+        assert abs(got[i] - pg_trgm_sim(a, b)) < 1e-12, (a, b)
+
+
+def test_simhash_matches_python_model_on_random_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from mtg_vector_db_spark.operators.dedup import simhash_expr
+
+    texts = [t for t in _random_texts(100, seed=11)]
+    df = spark.createDataFrame(list(enumerate(texts)), "i long, t string")
+    got = {
+        r["i"]: r["fp"]
+        for r in df.select("i", simhash_expr(F.col("t")).alias("fp")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_simhash(t), repr(t)
