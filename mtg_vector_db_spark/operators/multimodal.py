@@ -96,3 +96,67 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ts_ms"),
     )
+
+
+def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for an image resize kernel: a (w*h)-shaped
+    pseudo-bitmap derived from the payload digest. Replace with PIL/opencv
+    via the ``resize_backend`` hook."""
+    seed = hashlib.md5((payload or b"") + f"{w}x{h}".encode()).digest()
+    reps = (w * h * 3) // len(seed) + 1
+    return (seed * reps)[: w * h * 3]
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resize_backend: Callable[[bytes, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """Image resize pass: binary in, binary out, Arrow-batched; output rows
+    keep (doc_id, media_type) and gain the resized payload + dims. The
+    payload column never leaves the executors."""
+
+    out_schema = "doc_id long, media_type string, payload binary, width int, height int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": [
+                        resize_backend(p, width, height) for p in pdf["payload"]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        run, schema=out_schema
+    )
+
+
+def audio_chunk_plan(media: DataFrame, chunk_ms: int = 5000) -> DataFrame:
+    """Audio chunking plan: one row per (doc, chunk_start) — the explode is
+    what spreads per-chunk decode/feature work across executors, same shape
+    as :func:`frame_sample_plan`."""
+    chunks = media.filter(F.col("media_type") == "audio").select(
+        "doc_id",
+        "duration_ms",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                F.lit(chunk_ms),
+            )
+        ).alias("chunk_start_ms"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_start_ms",
+        F.least(
+            F.col("duration_ms") - F.col("chunk_start_ms"), F.lit(chunk_ms)
+        ).alias("chunk_len_ms"),
+    )

@@ -229,3 +229,36 @@ def p07_kmeans_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Video frame-sample plan (operators/multimodal.py:frame_sample_plan): the
+# sequence+explode that spreads per-frame decode work across executors.
+# Media rows are synthesized from documents (duration = 10 ms per byte of
+# text) so the oracle can replay the plan with generate_series.
+# ---------------------------------------------------------------------------
+@query("p08_frame_sample_plan")
+def p08_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.multimodal import frame_sample_plan
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    media = docs.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.lit("video").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.octet_length(F.col("text")) * 10).cast("int").alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=1000).orderBy("doc_id", "frame_ts_ms")
+
+
+oracle(
+    "p08_frame_sample_plan",
+    """
+    SELECT doc_id, unnest(generate_series(0,
+             greatest(octet_length(encode(text)) * 10 - 1, 0), 1000)) AS frame_ts_ms
+    FROM documents WHERE doc_id < 50
+    ORDER BY doc_id, frame_ts_ms
+    """,
+)

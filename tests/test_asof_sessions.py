@@ -61,3 +61,44 @@ def test_sessionize_gap_splits(spark):
     first = rows[0]
     # session end = last event + gap
     assert first["session_end_us"] - first["session_start_us"] == (10 + 30) * 60_000_000
+
+
+def test_sessionize_streaming_matches_batch_for_closed_sessions(spark, tmp_path):
+    """sessionize shares one plan across runners: the streaming run (append
+    mode, watermark-driven eviction) emits exactly the batch result for
+    every session the watermark has closed."""
+    rows = [
+        (10, ts(0), 1.0),
+        (10, ts(10), 2.0),
+        (10, dt.datetime(2024, 1, 1, 2, 0), 3.0),
+        # sentinel far in the future: pushes the final watermark past every
+        # user-10 session end so they all emit; its own session stays open.
+        (99, dt.datetime(2024, 1, 1, 10, 0), 0.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    src = str(tmp_path / "events_src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(src)
+    out = sessionize(stream, gap="30 minutes", watermark="1 second")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = sorted(
+        tuple(r) for r in spark.table("sessions_stream").collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in sessionize(df, gap="30 minutes")
+        .filter("user_id = 10")
+        .collect()
+    )
+    assert streamed == batch
+    assert len(streamed) == 2  # [00:00,00:40) and [02:00,02:30)

@@ -253,3 +253,32 @@ def test_streaming_ingest_and_windows(spark, tmp_path):
         for r in hourly_event_counts(ev).collect()
     }
     assert batch and all(n > 0 for n in batch.values())
+
+
+def test_multimodal_resize_and_audio_chunks(spark):
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.operators.multimodal import (
+        audio_chunk_plan,
+        fake_resize,
+        resize_images,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", b"imagebytes", 0, 0, 0),
+            (2, "audio", b"audiobytes", 0, 0, 12_500),
+            (3, "video", b"videobytes", 0, 0, 3_000),
+        ],
+        "doc_id long, media_type string, payload binary, "
+        "width int, height int, duration_ms int",
+    )
+    resized = resize_images(media, 8, 8).collect()
+    assert [r["doc_id"] for r in resized] == [1]
+    assert len(resized[0]["payload"]) == 8 * 8 * 3
+    assert bytes(resized[0]["payload"]) == fake_resize(b"imagebytes", 8, 8)
+
+    chunks = audio_chunk_plan(media, chunk_ms=5000).orderBy("chunk_start_ms").collect()
+    assert [(r["chunk_start_ms"], r["chunk_len_ms"]) for r in chunks] == [
+        (0, 5000), (5000, 5000), (10000, 2500),
+    ]
