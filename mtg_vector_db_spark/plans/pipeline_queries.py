@@ -262,3 +262,82 @@ oracle(
     ORDER BY doc_id, frame_ts_ms
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# The cards-ingestion dataflow (operators/ingest.py — the reference's
+# ingest_cards.py:112-361 as ONE DAG) made driver-checkable: a literal
+# MTGJSON-shaped batch goes through extract (T5-T9) → validate → dedup
+# (D1), and the oracle replays the identical transformation over a VALUES
+# table in SQL. File-format readers (S1/S4/S5) are exercised in
+# tests/test_ingest_sources.py, which feeds this same pipeline.
+# ---------------------------------------------------------------------------
+_CARD_ROWS = [
+    # (name, asciiName, faceName, manaCost, type, power, toughness, text, manaValue)
+    ("Abyss Dragon", None, None, "{4}{B}{B}", "Creature — Dragon", "6", "6",
+     "Flying, deathtouch", 6.0),
+    ("Abyss Dragon", None, None, "{4}{B}{B}", "Creature — Dragon", "6", "6",
+     "duplicate row", 6.0),
+    ("Fire // Ice", None, "Fire", "{1}{R}", "Instant", None, None,
+     "Fire deals 2 damage.", 2.0),
+    ("Ætherize", "AEtherize", None, "{3}{U}", "Instant", None, None,
+     "Return all attacking creatures.", 4.0),
+    ("Blank Card", None, None, None, "Artifact", None, None, None, 1.0),
+]
+
+
+@query("p09_ingest_cards_dataflow")
+def p09_ingest_cards_dataflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.ingest import ingest_cards
+
+    raw = spark.createDataFrame(
+        [(r[0], r) for r in _CARD_ROWS],
+        "name string, card struct<name string, asciiName string, "
+        "faceName string, manaCost string, type string, power string, "
+        "toughness string, text string, manaValue double>",
+    ).select("name", F.col("card").dropFields("name").alias("card"))
+    docs, embs, rejected = ingest_cards(raw)
+    emb_flags = embs.select("card_name", F.lit(1).alias("has_embedding"))
+    return (
+        docs.join(emb_flags, "card_name", "left")
+        .select(
+            "card_name",
+            "card_type",
+            "mana_value",
+            "related_faces",
+            F.coalesce("has_embedding", F.lit(0)).alias("has_embedding"),
+        )
+        .orderBy("card_name")
+    )
+
+
+_VALUES = ", ".join(
+    "(" + ", ".join("NULL" if v is None else (repr(v) if isinstance(v, str) else str(v))
+                    for v in r) + ")"
+    for r in _CARD_ROWS
+)
+oracle(
+    "p09_ingest_cards_dataflow",
+    f"""
+    WITH raw(name, asciiName, faceName, manaCost, type, power, toughness,
+             text, manaValue) AS (VALUES {_VALUES}),
+    extracted AS (
+      SELECT coalesce(asciiName, faceName, name) AS card_name,
+             type AS card_type,
+             manaValue AS mana_value,
+             text AS text_content,
+             CASE WHEN contains(name, '//')
+                  THEN trim(string_split(name, '//')[2]) END AS related_faces,
+             row_number() OVER (PARTITION BY coalesce(asciiName, faceName, name)
+                                ORDER BY (SELECT NULL)) AS rn
+      FROM raw
+      WHERE coalesce(asciiName, faceName, name) IS NOT NULL
+        AND len(coalesce(asciiName, faceName, name)) > 0
+    )
+    SELECT card_name, card_type, mana_value, related_faces,
+           CASE WHEN text_content IS NOT NULL AND len(text_content) > 0
+                THEN 1 ELSE 0 END AS has_embedding
+    FROM extracted WHERE rn = 1
+    ORDER BY card_name
+    """,
+)
