@@ -137,13 +137,37 @@ def test_ingest_cards_pipeline(spark, cards_path, tmp_path):
     assert len(vec) == 64
     assert abs(sum(x * x for x in vec) - 1.0) < 1e-5
 
-    # sinks round-trip + cascade delete
-    from mtg_vector_db_spark.sources.sinks import cascade_delete
+    # sinks round-trip: stable ids, overwrite, idempotent write, quarantine,
+    # cascade delete, json sink
+    from mtg_vector_db_spark.sources.sinks import (
+        cascade_delete,
+        stable_id,
+        write_if_empty,
+        write_json,
+    )
 
-    overwrite(docs.withColumn("doc_id", F.monotonically_increasing_id()),
-              str(tmp_path / "docs"))
+    docs_id = stable_id(docs, ["card_name"], id_col="doc_id")
+    ids = {r["card_name"]: r["doc_id"] for r in docs_id.collect()}
+    assert sorted(ids.values()) == [1, 2, 3]  # dense, deterministic by key
+
+    overwrite(docs_id, str(tmp_path / "docs"))
+    assert not write_if_empty(spark, docs_id, str(tmp_path / "docs"))  # S9 skip
+    assert write_if_empty(spark, docs_id, str(tmp_path / "docs2"))  # fresh target
+
     quarantine(rejected, str(tmp_path / "rejects"), "duplicate")
     assert spark.read.parquet(str(tmp_path / "rejects")).count() == 1
+
+    emb_id = embs.join(
+        docs_id.select("card_name", F.col("doc_id").alias("vec_id")), "card_name"
+    )
+    delete = spark.createDataFrame([(ids["Lightning Bolt"],)], "id long")
+    docs2, embs2 = cascade_delete(docs_id, emb_id, delete)
+    assert docs2.count() == 2 and "Lightning Bolt" not in {
+        r["card_name"] for r in embs2.collect()
+    }
+
+    write_json(docs_id.drop("created_at"), str(tmp_path / "docs_json"))
+    assert spark.read.json(str(tmp_path / "docs_json")).count() == 3
 
 
 def test_embedding_determinism(spark):
