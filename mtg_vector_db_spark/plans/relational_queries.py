@@ -676,3 +676,83 @@ oracle(
     LIMIT 10
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Range join (operators/range_join.py): events counted into synthetic
+# 90-minute maintenance windows every 6 hours, via the bucketed equi-join
+# rewrite (a BETWEEN join would plan nested-loop). Extension operator.
+# ---------------------------------------------------------------------------
+@query("r20_range_join_windows")
+def r20_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.range_join import range_join
+
+    (events,) = tables(spark, sf_dir, "events")
+    win = spark.range(16).select(
+        F.col("id").alias("window_id"),
+        F.timestamp_micros(
+            F.lit(1704067200_000000) + F.col("id") * F.lit(21600_000000)
+        ).alias("start_ts"),
+        F.timestamp_micros(
+            F.lit(1704067200_000000)
+            + F.col("id") * F.lit(21600_000000)
+            + F.lit(5400_000000)
+        ).alias("end_ts"),
+    )
+    return (
+        range_join(events, win, bucket_seconds=3600)
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum2(F.col("value")).alias("total_value"),
+        )
+        .orderBy("window_id")
+    )
+
+
+oracle(
+    "r20_range_join_windows",
+    """
+    WITH win AS (
+      SELECT i AS window_id,
+             to_timestamp(1704067200 + i * 21600) AS start_ts,
+             to_timestamp(1704067200 + i * 21600 + 5400) AS end_ts
+      FROM range(0, 16) t(i)
+    )
+    SELECT w.window_id, count(*) AS n_events,
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events e JOIN win w
+      ON e.ts >= w.start_ts AND e.ts < w.end_ts
+    GROUP BY w.window_id ORDER BY w.window_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (quality-threshold shape: "what score cuts the worst
+# 5% of documents"): Spark percentile() vs DuckDB quantile_cont — both
+# exact linear-interpolation definitions.
+# ---------------------------------------------------------------------------
+@query("r21_price_percentiles")
+def r21_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = tables(spark, sf_dir, "lineitem")
+    pct = F.percentile(F.col("l_extendedprice"), F.array(*[F.lit(x) for x in (0.05, 0.5, 0.95, 0.99)]))
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.get(pct, i), 4).alias(name)
+            for i, name in enumerate(["p05", "p50", "p95", "p99"])
+        ]
+    ).orderBy("l_returnflag")
+
+
+oracle(
+    "r21_price_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.05), 4) AS p05,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)

@@ -102,3 +102,48 @@ def test_sessionize_streaming_matches_batch_for_closed_sessions(spark, tmp_path)
     )
     assert streamed == batch
     assert len(streamed) == 2  # [00:00,00:40) and [02:00,02:30)
+
+
+def test_range_join_equals_naive_between(spark, sf001):
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.operators.range_join import range_join
+    from mtg_vector_db_spark.plans.registry import events_df
+
+    events = events_df(spark, sf001).limit(2000)
+    win = spark.range(8).select(
+        F.col("id").alias("window_id"),
+        F.timestamp_micros(F.lit(1704067200_000000) + F.col("id") * F.lit(7200_000000)).alias("start_ts"),
+        F.timestamp_micros(F.lit(1704067200_000000) + F.col("id") * F.lit(7200_000000) + F.lit(5400_000000)).alias("end_ts"),
+    )
+    fast = range_join(events, win, bucket_seconds=3600).select("event_id", "window_id")
+    naive = events.join(
+        win,
+        (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")),
+    ).select("event_id", "window_id")
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_range_join_boundary_semantics(spark):
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.operators.range_join import range_join
+
+    # interval [01:00, 02:30) — point at start in, at end out, spans buckets
+    win = spark.createDataFrame(
+        [(0, dt.datetime(2024, 1, 1, 1, 0), dt.datetime(2024, 1, 1, 2, 30))],
+        "window_id long, start_ts timestamp, end_ts timestamp",
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 1, 0)),       # == start: included
+            (2, dt.datetime(2024, 1, 1, 2, 29, 59)),  # just inside
+            (3, dt.datetime(2024, 1, 1, 2, 30)),      # == end: excluded
+            (4, dt.datetime(2024, 1, 1, 0, 59, 59)),  # before
+        ],
+        "event_id long, ts timestamp",
+    )
+    got = sorted(
+        r["event_id"] for r in range_join(pts, win, bucket_seconds=3600).collect()
+    )
+    assert got == [1, 2]
