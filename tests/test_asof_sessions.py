@@ -147,3 +147,36 @@ def test_range_join_boundary_semantics(spark):
         r["event_id"] for r in range_join(pts, win, bucket_seconds=3600).collect()
     )
     assert got == [1, 2]
+
+
+def test_running_user_totals_stateful_stream_matches_batch(spark, tmp_path):
+    from mtg_vector_db_spark.streaming.pipelines import running_user_totals
+
+    rows = [
+        (10, ts(0), 1.5), (10, ts(10), 2.5), (20, ts(5), 4.0), (10, ts(20), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    src = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(src)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per user == the batch aggregate
+    latest = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.table("running_totals").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in running_user_totals(df).collect()
+    }
+    assert latest == batch == {10: (3, 5.0), 20: (1, 4.0)}
