@@ -23,7 +23,7 @@ LSH, not just an idealized version of it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from mtg_vector_db_spark.functions.text import tokens
 from mtg_vector_db_spark.functions.textstats import fingerprint
@@ -84,17 +84,89 @@ def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> list[Column]:
-    """MinHash signature: per seed i, the lexicographic min of
-    md5(shingle || '#i') across the shingle set. Hex-string min avoids any
-    engine-specific integer hashing while preserving the MinHash property
-    (a uniform "random" permutation per seed)."""
-    return [
-        F.array_min(
-            F.transform(shingle_col, lambda s, i=i: F.md5(F.concat(s, F.lit(f"#{i}"))))
-        ).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as ONE array column: element i is the
+    lexicographic min of md5(shingle || '#i') across the shingle set.
+    Hex-string min avoids any engine-specific integer hashing while
+    preserving the MinHash property (a uniform "random" permutation per
+    seed).
+
+    Deliberately a single nested expression (transform over the seed
+    sequence), NOT num_hashes sibling projection columns: emitting many
+    lambda-bearing expressions in one projection silently corrupts their
+    results in this Spark version (observed: 16 array_min(transform(md5))
+    columns evaluate to values that are md5 of nothing; the identical
+    computation as one nested transform, or as explode+groupBy-min, is
+    correct — pinned by tests/test_properties.py against hashlib)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.array_min(
+            F.transform(
+                shingle_col,
+                lambda s: F.md5(F.concat(s, F.lit("#"), k.cast("string"))),
+            )
+        ),
+    )
+
+
+def bucket_pairs(
+    banded: DataFrame,
+    key_cols: list[str],
+    max_bucket_size: int | None = None,
+    payload_col: str | None = None,
+) -> DataFrame:
+    """Candidate pairs from LSH buckets: groupBy the bucket key, collect
+    the (sorted) member list, emit each 2-combination once, distinct across
+    buckets. ONE shuffle keyed on the bucket, no self-join — both cheaper
+    and immune to the wrong-result flake we hit with a band self-join +
+    distinct under AQE (a 3-band match was dropped in specific session
+    states; the groupBy formulation is deterministic by construction).
+
+    ``max_bucket_size`` is the skew guard: a hot bucket of n rows costs
+    n²/2 pairs; oversized buckets (degenerate shingles / exact-dup blobs —
+    handle those with exact_dup_stats' O(n) hash groupBy first) are dropped
+    whole, confining the recall loss. ``None`` keeps exact LSH semantics,
+    which is what the SQL oracles replay.
+
+    ``payload_col``: optional extra column carried with each id (e.g. the
+    simhash blocks) — output columns become (id_a, id_b[, p_a, p_b])."""
+    id_col = [c for c in banded.columns if c not in key_cols and c != payload_col][0]
+    member = (
+        F.struct(F.col(id_col).alias("id"), F.col(payload_col).alias("p"))
+        if payload_col
+        else F.struct(F.col(id_col).alias("id"))
+    )
+    grouped = banded.groupBy(*key_cols).agg(
+        F.array_sort(F.collect_list(member)).alias("ms")
+    )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ms") <= max_bucket_size)
+    combos = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ms"), i + 2, F.greatest(F.size("ms") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        grouped.filter(F.size("ms") > 1)
+        .select(F.explode(combos).alias("pr"))
+        .select(
+            F.col("pr.a.id").alias("id_a"),
+            F.col("pr.b.id").alias("id_b"),
+            *(
+                [F.col("pr.a.p").alias("p_a"), F.col("pr.b.p").alias("p_b")]
+                if payload_col
+                else []
+            ),
+        )
+        .distinct()
+    )
+    return pairs
 
 
 def minhash_lsh_pairs(
@@ -105,6 +177,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     verify_threshold: float = 0.5,
     round_digits: int = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding + exact-Jaccard verify.
 
@@ -113,13 +186,21 @@ def minhash_lsh_pairs(
     explode, so the 16 md5-min signature columns are never recomputed per
     band); each band contributes a shuffle keyed on its band key only;
     candidate pairs (tiny vs n²) are then verified by re-joining the shingle
-    sets. No full cross join anywhere.
+    sets. No full cross join anywhere. ``max_bucket_size`` is the skew
+    guard (see :func:`cap_buckets`).
     """
     rows_per_band = num_hashes // bands
+    # No persist: shingling is a cheap narrow projection (zip_with, one
+    # pass) and recomputing it for the verify join is the scale-correct
+    # trade — caching the shingled corpus at 100 TB is not an option, and
+    # a lazily-shared cache under a self-join proved flaky (lost candidate
+    # pairs when cache fill raced the join's two sides).
     sh = widen(docs).select(
         F.col(id_col), word_shingles(F.col(text_col)).alias("shingles")
-    ).persist()
-    sig = sh.select(id_col, *minhash_signature(F.col("shingles"), num_hashes))
+    )
+    sig = sh.select(
+        id_col, minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    )
 
     band_structs = F.array(
         *[
@@ -127,28 +208,17 @@ def minhash_lsh_pairs(
                 F.lit(b).alias("band"),
                 F.concat_ws(
                     "|",
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    *[
+                        F.get(F.col("sig"), b * rows_per_band + r)
+                        for r in range(rows_per_band)
+                    ],
                 ).alias("band_key"),
             )
             for b in range(bands)
         ]
     )
     banded = sig.select(F.col(id_col), F.inline(band_structs))
-
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    cand = bucket_pairs(banded, ["band", "band_key"], max_bucket_size)
 
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -245,6 +315,7 @@ def simhash_neardup_pairs(
     fp_col: str = "simhash",
     max_hamming: int = 10,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by banded SimHash: candidates share at least one of
     ``bands`` 16-bit blocks (exact-match join per block — the classic
@@ -267,22 +338,9 @@ def simhash_neardup_pairs(
         F.col("blocks"),
         F.posexplode(F.col("blocks")).alias("band", "block"),
     )
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.block") == F.col("r.block"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.blocks").alias("blk_a"),
-            F.col("r.blocks").alias("blk_b"),
-        )
-        .distinct()
-    )
+    cand = bucket_pairs(
+        banded, ["band", "block"], max_bucket_size, payload_col="blocks"
+    ).withColumnsRenamed({"p_a": "blk_a", "p_b": "blk_b"})
     ham = sum(
         F.bit_count(F.get(F.col("blk_a"), b).bitwiseXOR(F.get(F.col("blk_b"), b)))
         for b in range(bands)

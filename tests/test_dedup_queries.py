@@ -40,3 +40,32 @@ def test_simhash_separates_neardups(spark, sf001):
     rows = registry.QUERIES["d05_simhash_neardup"](spark, sf001).collect()
     assert rows, "expected simhash near-dup pairs on planted duplicates"
     assert all(r["hamming"] <= 10 for r in rows)
+
+
+def test_bucket_cap_guards_skew_but_keeps_planted_pairs(spark, sf001):
+    """With a generous cap the planted near-dups still surface; candidates
+    from degenerate hot buckets are dropped (subset of the uncapped run)."""
+    from mtg_vector_db_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_fingerprints,
+        simhash_neardup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    uncapped = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, max_bucket_size=50).collect()
+    }
+    assert capped <= uncapped
+    assert capped  # the planted duplicate pairs survive a 50-row cap
+
+    fps = simhash_fingerprints(docs)
+    un = {(r["id_a"], r["id_b"]) for r in simhash_neardup_pairs(fps).collect()}
+    cp = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_neardup_pairs(fps, max_bucket_size=50).collect()
+    }
+    assert cp <= un and cp

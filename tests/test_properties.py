@@ -109,3 +109,73 @@ def test_simhash_matches_python_model_on_random_corpus(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == py_simhash(t), repr(t)
+
+
+def py_minhash_sig(text: str, num_hashes: int = 16) -> tuple:
+    toks = [t for t in re.split(r"\s+", text.lower().strip()) if t]
+    sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)} if len(toks) >= 3 else set()
+    if not sh:
+        return None
+    return tuple(
+        min(hashlib.md5((s + f"#{k}").encode()).hexdigest() for s in sh)
+        for k in range(num_hashes)
+    )
+
+
+def test_minhash_signature_matches_hashlib_corpus(spark, sf001):
+    """Every document's full 16-seed signature equals the hashlib model —
+    this is the regression pin for the sibling-HOF-columns corruption (16
+    lambda-bearing projection columns silently evaluated to garbage)."""
+    from pyspark.sql import functions as F
+
+    from mtg_vector_db_spark.operators.dedup import minhash_signature, word_shingles
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    sh = docs.select("doc_id", "text", word_shingles(F.col("text")).alias("shingles"))
+    rows = sh.select(
+        "doc_id", "text", minhash_signature(F.col("shingles")).alias("sig")
+    ).collect()
+    assert len(rows) == 500
+    checked = 0
+    for r in rows:
+        expected = py_minhash_sig(r["text"])
+        if expected is None:
+            continue
+        assert tuple(r["sig"]) == expected, r["doc_id"]
+        checked += 1
+    assert checked > 400
+
+
+def test_minhash_band_keys_match_hashlib(spark, sf001):
+    """The banded form (sig consumed via inline/get in a later projection)
+    must ALSO survive optimization — guards against projection collapse
+    re-introducing the duplicated-lambda corruption downstream."""
+    from pyspark.sql import functions as F
+
+    from mtg_vector_db_spark.operators.dedup import minhash_signature, word_shingles
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet").filter(
+        F.col("doc_id") < 50
+    )
+    sh = docs.select("doc_id", "text", word_shingles(F.col("text")).alias("shingles"))
+    sig = sh.select(
+        "doc_id", "text", minhash_signature(F.col("shingles")).alias("sig")
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.get(F.col("sig"), b * 4 + r) for r in range(4)]
+                ).alias("band_key"),
+            )
+            for b in range(4)
+        ]
+    )
+    rows = sig.select("doc_id", "text", F.inline(band_structs)).collect()
+    for r in rows:
+        expected = py_minhash_sig(r["text"])
+        if expected is None:
+            continue
+        b = r["band"]
+        assert r["band_key"] == "|".join(expected[b * 4 : b * 4 + 4]), (r["doc_id"], b)
