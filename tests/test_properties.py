@@ -179,3 +179,52 @@ def test_minhash_band_keys_match_hashlib(spark, sf001):
             continue
         b = r["band"]
         assert r["band_key"] == "|".join(expected[b * 4 : b * 4 + 4]), (r["doc_id"], b)
+
+
+def test_textstats_match_python_models_on_corpus(spark, sf001):
+    """Sibling lambda-bearing stat columns in one projection vs plain
+    Python models — same regression class as the MinHash corruption."""
+    from pyspark.sql import functions as F
+
+    from mtg_vector_db_spark.functions import textstats as TS
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    rows = docs.select(
+        "doc_id",
+        "text",
+        TS.token_count(F.col("text")).alias("n_tok"),
+        TS.avg_token_len(F.col("text")).alias("avg_len"),
+        TS.stopword_ratio(F.col("text")).alias("sw"),
+        TS.non_alnum_ratio(F.col("text")).alias("noise"),
+        TS.lang_id(F.col("text")).alias("lang"),
+        TS.fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    assert len(rows) == 500
+    sw_set = set(TS.EN_STOPWORDS)
+    for r in rows:
+        t = r["text"]
+        toks = [x for x in re.split(r"\s+", t.strip()) if x]
+        assert r["n_tok"] == len(toks), r["doc_id"]
+        if toks:
+            assert abs(r["avg_len"] - sum(map(len, toks)) / len(toks)) < 1e-9
+            low = [x for x in re.split(r"\s+", t.lower().strip()) if x]
+            assert abs(r["sw"] - sum(x in sw_set for x in low) / len(low)) < 1e-9
+        stripped = re.sub(r"[a-zA-Z0-9 ]", "", t)
+        if t:
+            assert abs(r["noise"] - len(stripped) / len(t)) < 1e-9
+        # lang_id python model: argmax with precedence
+        low = [x for x in re.split(r"\s+", t.lower().strip()) if x]
+        scores = {
+            lang: sum(x in set(m) for x in low)
+            for lang, m in TS.LANG_MARKERS.items()
+        }
+        best = max(scores.values()) if scores else 0
+        expect = "und"
+        for lang in TS.LANG_MARKERS:
+            if scores[lang] > 0 and scores[lang] == best:
+                expect = lang
+                break
+        assert r["lang"] == expect, (r["doc_id"], r["lang"], expect)
+        assert r["fp"] == hashlib.md5(
+            re.sub(r"\s+", " ", t.lower()).strip().encode()
+        ).hexdigest()
