@@ -139,7 +139,9 @@ def knn_numpy(
                 )
             yield pd.concat(frames, ignore_index=True)
 
-    partial = emb.select(id_col, emb_col).mapInPandas(
+    from mtg_vector_db_spark.session import widen
+
+    partial = widen(emb.select(id_col, emb_col)).mapInPandas(
         part, schema=f"query_id long, {id_col} long, sim double"
     )
     from pyspark.sql import Window

@@ -26,20 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from mtg_vector_db_spark.functions.text import tokens
+from mtg_vector_db_spark.session import widen  # noqa: F401  (re-export; used by callers)
 from mtg_vector_db_spark.functions.textstats import fingerprint
-
-
-def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition up to cluster parallelism IF the input is under-split.
-
-    The shingle/signature/fingerprint maps below are CPU-bound per row; a
-    small parquet file arrives as one split and would serialize the whole
-    corpus onto one core. At 100 TB the scan itself yields thousands of
-    splits and this is a no-op — the guard keeps the shuffle out of the
-    plan exactly when it would hurt.
-    """
-    p = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
 
 
 def word_shingles(c: Column, n: int = 3) -> Column:
@@ -187,7 +175,7 @@ def minhash_lsh_pairs(
     band); each band contributes a shuffle keyed on its band key only;
     candidate pairs (tiny vs n²) are then verified by re-joining the shingle
     sets. No full cross join anywhere. ``max_bucket_size`` is the skew
-    guard (see :func:`cap_buckets`).
+    guard (see :func:`bucket_pairs`).
     """
     rows_per_band = num_hashes // bands
     # No persist: shingling is a cheap narrow projection (zip_with, one
@@ -256,7 +244,9 @@ def exact_jaccard_pairs(
 def _nibble_vote_map() -> Column:
     """Literal map hex-char -> 4-long array of ±1 bit votes (LSB-first:
     vote[k] for bitpos = nibble_index*4 + k, matching the oracle's
-    ``(floor(v / 2^k) % 2) * 2 - 1``)."""
+    ``(floor(v / 2^k) % 2) * 2 - 1``). A byte-pair table (256 entries)
+    evaluates slightly faster warm but its 512-literal map costs more to
+    compile than it ever saves — queries run cold once per plan."""
     entries: list[Column] = []
     for v, ch in enumerate("0123456789abcdef"):
         votes = F.array(*[F.lit(((v >> k) & 1) * 2 - 1) for k in range(4)])

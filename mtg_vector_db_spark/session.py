@@ -58,3 +58,16 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     filter pushdown apply per-query.
     """
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition up to cluster parallelism IF the input is under-split.
+
+    The shingle/signature/fingerprint maps below are CPU-bound per row; a
+    small parquet file arrives as one split and would serialize the whole
+    corpus onto one core. At 100 TB the scan itself yields thousands of
+    splits and this is a no-op — the guard keeps the shuffle out of the
+    plan exactly when it would hurt.
+    """
+    p = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
