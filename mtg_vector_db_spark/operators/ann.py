@@ -221,3 +221,41 @@ def kmeans_ivf_build(
         "cell int, centroid array<double>",
     )
     return centroids, assigned
+
+
+def recall_report(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Measured recall@k of each approximate strategy against the exact
+    brute-force baseline, as a small DataFrame (method, k, hits, recall).
+    The number the reference never publishes for its HNSW indexes — here
+    it's a first-class artifact of the index build.
+    """
+    from mtg_vector_db_spark.operators.knn import knn
+
+    spark = emb.sparkSession
+    exact_ids = {r["vec_id"] for r in knn(emb, query_vec, k).collect()}
+
+    rows = []
+    # IVF over KMeans cells (a real geometric quantizer — partitioning by
+    # an arbitrary metadata column would measure nothing).
+    centroids, assigned = kmeans_ivf_build(emb, n_cells=8)
+    ivf_ids = {
+        r["vec_id"]
+        for r in ivf_search(
+            assigned, centroids, query_vec, k, nprobe, cluster_col="cell"
+        ).collect()
+    }
+    rows.append(("ivf-kmeans", len(ivf_ids & exact_ids)))
+
+    model, indexed = lsh_index(emb)
+    lsh_ids = {r["vec_id"] for r in lsh_query(model, indexed, query_vec, k).collect()}
+    rows.append(("lsh", len(lsh_ids & exact_ids)))
+
+    return spark.createDataFrame(
+        [(m, k, h, h / k) for m, h in rows],
+        "method string, k int, hits int, recall double",
+    )

@@ -137,3 +137,38 @@ def test_kmeans_ivf_build_invariants(spark, sf001):
     assert cells <= set(range(8))
     dim = len(emb.select("embedding").first()[0])
     assert all(len(r["centroid"]) == dim for r in centroids.collect())
+
+
+def test_recall_report(spark, sf001):
+    from mtg_vector_db_spark.operators.ann import recall_report
+    from mtg_vector_db_spark.plans.vector_queries import query_vector
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    qv = query_vector(spark, sf001)
+    rows = {r["method"]: r for r in recall_report(emb, qv, k=10).collect()}
+    assert set(rows) == {"ivf-kmeans", "lsh"}
+    for r in rows.values():
+        assert 0.0 <= r["recall"] <= 1.0 and r["hits"] == r["recall"] * 10
+    # both candidate generators should find most of the true neighborhood
+    assert rows["lsh"]["recall"] >= 0.8
+    assert rows["ivf-kmeans"]["recall"] >= 0.5
+
+
+def test_embedding_throughput_beats_reference(spark, sf001):
+    """The reference embeds ~8-11 docs/s (30k cards in 45-75 min through
+    serial HTTP, BASELINE.md). The Arrow-batched embedding stage must beat
+    that by orders of magnitude even with the deterministic stub standing
+    in for the model call."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.functions.embedding import embed_text
+    from mtg_vector_db_spark.session import widen
+
+    docs = widen(spark.read.parquet(f"{sf001}/documents.parquet"))
+    t0 = time.perf_counter()
+    n = docs.select("doc_id", embed_text(F.col("text")).alias("e")).count()
+    rate = n / (time.perf_counter() - t0)
+    assert n == 500
+    assert rate > 100, f"embedding rate {rate:.0f} docs/s"
