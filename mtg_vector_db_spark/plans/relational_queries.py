@@ -756,3 +756,46 @@ oracle(
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Supplier-side star join (completes scan coverage of all 10 driver
+# tables): revenue per supplier nation restricted to one part brand —
+# two broadcast dims (supplier, part) against the lineitem fact.
+# ---------------------------------------------------------------------------
+@query("r22_brand_revenue_by_supp_nation")
+def r22_brand_revenue_by_supp_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp, part, nation, li = tables(
+        spark, sf_dir, "supplier", "part", "nation", "lineitem"
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(DEC4)
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_brand") == "Brand#1")),
+                li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+oracle(
+    "r22_brand_revenue_by_supp_nation",
+    """
+    SELECT n.n_name, count(*) AS n_lines,
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(22,4))) AS DOUBLE), 4) AS revenue,
+           count(DISTINCT s.s_suppkey) AS n_suppliers
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_brand = 'Brand#1'
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
