@@ -39,7 +39,14 @@ def oracle(name: str, sql: str) -> None:
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    """Load parquet tables (lazy scans; pruning/pushdown per query)."""
+    """Load parquet tables (lazy scans; pruning/pushdown per query).
+
+    Pins the session timezone to UTC (runtime conf — works on any session
+    the driver hands us): parquet timestamps are naive, DuckDB renders
+    them naively, and Spark renders them in the SESSION zone — a non-UTC
+    session would shift every formatted/CAST-to-string timestamp.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return [
         events_df(spark, sf_dir) if n == "events" else
         spark.read.parquet(f"{sf_dir}/{n}.parquet")
