@@ -153,3 +153,121 @@ def running_user_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def streaming_neardup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    schema: str = "doc_id long, text string",
+    verify_threshold: float = 0.5,
+) -> "DataStreamWriter":
+    """Incremental near-duplicate detection: maintain the MinHash band
+    index across micro-batches.
+
+    Per batch: (1) compute band keys for the new documents only;
+    (2) join them against the PERSISTED band index (equi-join on the band
+    key — new docs only meet old docs that share a bucket, never the whole
+    history); (3) verify candidates with exact Jaccard and append the
+    surviving (new_id, old_id, jaccard) pairs; (4) append the new band
+    keys to the index. The index grows by O(new docs) per batch and the
+    batch cost is O(new docs + colliding candidates) — the incremental
+    form of the batch minhash_lsh_pairs, for 100 TB corpora that arrive
+    continuously.
+    """
+    from pyspark.sql import functions as F
+
+    from mtg_vector_db_spark.operators.dedup import (
+        jaccard,
+        minhash_signature,
+        word_shingles,
+    )
+
+    stream = spark.readStream.schema(schema).json(source_dir)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        sh = batch_df.select(
+            "doc_id", word_shingles(F.col("text")).alias("shingles")
+        )
+        sig = sh.select(
+            "doc_id",
+            "shingles",
+            minhash_signature(F.col("shingles"), 16).alias("sig"),
+        )
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "|", *[F.get(F.col("sig"), b * 4 + r) for r in range(4)]
+                    ).alias("band_key"),
+                )
+                for b in range(4)
+            ]
+        )
+        new_banded = sig.select(
+            F.col("doc_id"), F.col("shingles"), F.inline(band_structs)
+        ).localCheckpoint(eager=True)
+
+        try:
+            index = s.read.parquet(index_path)
+        except Exception:
+            index = None
+
+        if index is not None:
+            cand = (
+                new_banded.alias("n")
+                .join(
+                    index.alias("o"),
+                    (F.col("n.band") == F.col("o.band"))
+                    & (F.col("n.band_key") == F.col("o.band_key"))
+                    & (F.col("n.doc_id") != F.col("o.doc_id")),
+                )
+                .select(
+                    F.col("n.doc_id").alias("id_new"),
+                    F.col("o.doc_id").alias("id_old"),
+                    F.col("n.shingles").alias("sh_new"),
+                    F.col("o.shingles").alias("sh_old"),
+                )
+                .distinct()
+            )
+            j = jaccard(F.col("sh_new"), F.col("sh_old"))
+            pairs = (
+                cand.select(
+                    "id_new", "id_old", F.round(j, 6).alias("jaccard")
+                )
+                .filter(F.col("jaccard") >= verify_threshold)
+            )
+            pairs.write.mode("append").parquet(pairs_path)
+
+        # In-batch pairs: same bucket expansion as the batch operator.
+        from mtg_vector_db_spark.operators.dedup import bucket_pairs
+
+        inb = bucket_pairs(
+            new_banded.select("doc_id", "band", "band_key", "shingles"),
+            ["band", "band_key"],
+            payload_col="shingles",
+        )
+        jb = jaccard(F.col("p_a"), F.col("p_b"))
+        (
+            inb.select(
+                F.col("id_b").alias("id_new"),
+                F.col("id_a").alias("id_old"),
+                F.round(jb, 6).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= verify_threshold)
+            .write.mode("append")
+            .parquet(pairs_path)
+        )
+
+        new_banded.select("doc_id", "shingles", "band", "band_key").write.mode(
+            "append"
+        ).parquet(index_path)
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -180,3 +180,46 @@ def test_running_user_totals_stateful_stream_matches_batch(spark, tmp_path):
         for r in running_user_totals(df).collect()
     }
     assert latest == batch == {10: (3, 5.0), 20: (1, 4.0)}
+
+
+def test_streaming_neardup_ingest(spark, tmp_path):
+    """Incremental MinHash dedup: batch 2 finds its near-dup against the
+    batch-1 index (cross-batch), and in-batch dups are caught too."""
+    import json
+
+    from mtg_vector_db_spark.streaming.pipelines import streaming_neardup_ingest
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    other = "completely different text about shipping priority and revenue numbers"
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": t})
+                  for i, t in [(1, base), (2, other)])
+    )
+
+    def run():
+        q = streaming_neardup_ingest(
+            spark, str(src), str(tmp_path / "index"), str(tmp_path / "pairs"),
+            str(tmp_path / "ckpt"),
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(str(tmp_path / "index")).count() == 2 * 4  # 4 bands/doc
+
+    # batch 2: near-dup of doc 1 (cross-batch) + two in-batch dups
+    (src / "b2.json").write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": t})
+                  for i, t in [(3, near), (4, base + " extra"), (5, base + " extra")])
+    )
+    run()
+    pairs = {
+        (r["id_new"], r["id_old"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    assert (3, 1) in pairs          # cross-batch near-dup
+    assert (5, 4) in pairs          # in-batch dup
+    assert all(a != b for a, b in pairs)
