@@ -115,3 +115,61 @@ def partition_by_cell(df: DataFrame, path: str, cell_col: str = "label") -> None
     """IVF layout write: hive-partition the corpus by coarse cell so an
     nprobe search is a partition-pruned scan (operators/ann.py)."""
     df.write.partitionBy(cell_col).mode("overwrite").parquet(path)
+
+
+def z_value(a: Column, b: Column, bits: int = 12) -> Column:
+    """Morton (Z-order) interleave of two non-negative int columns'
+    low ``bits`` bits — plain bit arithmetic, fully codegen'd."""
+    z = F.lit(0).cast("long")
+    for k in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a.cast("long"), k).bitwiseAND(F.lit(1)), 2 * k)
+            + F.shiftleft(
+                F.shiftright(b.cast("long"), k).bitwiseAND(F.lit(1)), 2 * k + 1
+            )
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    bits: int = 12,
+    num_files: int = 8,
+) -> None:
+    """Z-order layout write: range-partition + sort by the Morton value of
+    two filter columns so parquet row-group min/max stats become tight in
+    BOTH dimensions — point/range filters on either column then prune
+    row groups at scan time. (Single-column pruning: plain sortBy; this
+    is for the two-dimensional filter workload.) Columns must be
+    non-negative ints that fit ``bits`` bits (pre-bucket/scale upstream)."""
+    z = z_value(F.col(cols[0]), F.col(cols[1]), bits).alias("_z")
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def compact(spark, path: str, target_files: int) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_files`` files (streaming appends accumulate tiny files; scan
+    cost and driver memory scale with file COUNT, not bytes). Writes to a
+    sibling temp dir then swaps, so a crash never leaves the data half
+    gone. Returns the resulting file count."""
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df = spark.read.parquet(path)
+    df.repartition(target_files).write.mode("overwrite").parquet(tmp)
+    swap = path.rstrip("/") + "._compact_old"
+    os.rename(path, swap)
+    os.rename(tmp, path)
+    shutil.rmtree(swap)
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])

@@ -90,3 +90,62 @@ def test_bucketed_join_has_no_exchange(spark, sf001, tmp_path):
     )
     assert joined.count() == n_plain
     spark.sql("DROP DATABASE buckdb CASCADE")
+
+
+def test_zorder_tightens_rowgroup_stats(spark, sf001, tmp_path):
+    """Z-ordered layout: per-row-group (partkey, suppkey) bounding boxes
+    are far tighter than natural order ⇒ two-dimensional scan pruning."""
+    import pyarrow.parquet as pq
+
+    li = spark.read.parquet(f"{sf001}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    natural = str(tmp_path / "natural")
+    li.repartition(8).write.parquet(natural)
+    zpath = str(tmp_path / "zorder")
+    P.write_zordered(li, zpath, ("l_partkey", "l_suppkey"))
+
+    def avg_box_area(path):
+        import os
+
+        areas, total = [], 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            for rg in range(md.num_row_groups):
+                cols = {
+                    md.row_group(rg).column(i).path_in_schema:
+                    md.row_group(rg).column(i).statistics
+                    for i in range(md.row_group(rg).num_columns)
+                }
+                a = cols["l_partkey"]
+                b = cols["l_suppkey"]
+                areas.append(
+                    (a.max - a.min + 1) * (b.max - b.min + 1)
+                )
+                total += 1
+        return sum(areas) / total
+
+    ratio = avg_box_area(zpath) / avg_box_area(natural)
+    assert ratio < 0.5, f"z-order box-area ratio {ratio:.2f}"
+
+    # data unchanged
+    assert (
+        spark.read.parquet(zpath).count()
+        == spark.read.parquet(natural).count()
+    )
+
+
+def test_compact_reduces_file_count(spark, sf001, tmp_path):
+    import os
+
+    path = str(tmp_path / "frag")
+    orders = spark.read.parquet(f"{sf001}/orders.parquet")
+    orders.repartition(40).write.parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    total = orders.count()
+
+    n_after = P.compact(spark, path, target_files=2)
+    assert n_before == 40 and n_after == 2
+    assert spark.read.parquet(path).count() == total
