@@ -119,3 +119,24 @@ def search_all_sources(
     qv = (embed or _embed_query)(spark, query)
     ks = dict(zip(source_values, (cards_k, rules_k, glossary_k)))
     return fanout_search(docs, emb, qv, source_ks=ks)
+
+
+def search_ambiguous(
+    spark,
+    docs: DataFrame,
+    emb: DataFrame,
+    query: str,
+    top_k: int = 10,
+    embed: Callable[..., list[float]] | None = None,
+) -> DataFrame:
+    """search_strategies.py:217-255: pure vector KNN for ambiguous queries
+    (no threshold, no rerank), with ``distance`` and the
+    ``match_type='vector_ambiguous'`` tag."""
+    qv = (embed or _embed_query)(spark, query)
+    out = knn_with_documents(docs, emb, qv, k=top_k)
+    return out.select(
+        "doc_id",
+        "text",
+        (F.lit(1.0) - F.col("sim")).alias("distance"),
+        F.lit("vector_ambiguous").alias("match_type"),
+    ).orderBy(F.asc("distance"), F.asc("doc_id"))

@@ -54,3 +54,13 @@ def test_search_all_sources_per_source_k(spark, sf001):
     }
     assert counts[sources[0]] <= 10 and counts[sources[2]] <= 5
     assert len(counts) == 3
+
+
+def test_search_ambiguous_shape(spark, sf001):
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    rows = api.search_ambiguous(spark, docs, emb, "some vague thing").collect()
+    assert len(rows) == 10
+    assert all(r["match_type"] == "vector_ambiguous" for r in rows)
+    ds = [r["distance"] for r in rows]
+    assert ds == sorted(ds)  # nearest first
