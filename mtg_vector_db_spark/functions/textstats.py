@@ -102,3 +102,21 @@ def fingerprint(c: Column) -> Column:
     the exact-dedup key (reference dedups on unique card_name,
     db/ingest_cards.py:240-258; content hashing is its corpus-scale form)."""
     return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+# GPT-2-style pretokenizer pattern, restricted to syntax that Java regex
+# (Spark) and RE2 (DuckDB) evaluate identically: contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs. (The original
+# also has a lookahead whitespace rule — RE2 has no lookahead, and
+# whitespace pseudo-tokens are not wanted for counting anyway.)
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens(c: Column) -> Column:
+    """BPE-ish pretokenization (the unit LLM token budgets are measured
+    in, ~1 merge step above real BPE): all matches of BPE_PATTERN."""
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(c: Column) -> Column:
+    return F.size(bpe_tokens(c))

@@ -351,3 +351,46 @@ oracle(
     FROM documents WHERE doc_id < 50 ORDER BY doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token accounting (the LLM-budget counterpart of t07's whitespace
+# tokens): per language, total pretokens and their ratio to whitespace
+# tokens — the corpus-level "tokens per word" fertility metric.
+# ---------------------------------------------------------------------------
+@query("t11_bpe_token_stats")
+def t11_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        TS.bpe_token_count(F.col("text")).alias("n_bpe"),
+        F.size(T.tokens(F.col("text"))).alias("n_ws"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.sum("n_ws"), R
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
+oracle(
+    "t11_bpe_token_stats",
+    rf"""
+    WITH per_doc AS (
+      SELECT lang,
+             len(regexp_extract_all(lower(text),
+                 '''(?:s|t|re|ve|m|ll|d)| ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+')) AS n_bpe,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 t -> len(t) > 0)) AS n_ws
+      FROM documents
+    )
+    SELECT lang, CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           round(sum(n_bpe) * 1.0 / sum(n_ws), 6) AS tokens_per_word
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)

@@ -228,3 +228,29 @@ def test_textstats_match_python_models_on_corpus(spark, sf001):
         assert r["fp"] == hashlib.md5(
             re.sub(r"\s+", " ", t.lower()).strip().encode()
         ).hexdigest()
+
+
+def test_bpe_tokens_match_python_model(spark):
+    """GPT-2-style pretokenizer on messy input (contractions, digits,
+    punctuation runs, unicode letters) — Spark regexp_extract_all vs a
+    Python model of the same pattern."""
+    from pyspark.sql import functions as F
+
+    from mtg_vector_db_spark.functions.textstats import bpe_tokens
+
+    texts = [
+        "It's the 2nd time we've won!!! 100% -- really?",
+        "don't stop, can't won't shan't",
+        "a1b2c3   spaced    out\ttabs",
+        "Ünïcödé wörds + ascii mix 42",
+        "",
+        "'s alone and trailing '",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "i long, t string")
+    got = {r["i"]: list(r["toks"]) for r in df.select(
+        "i", bpe_tokens(F.col("t")).alias("toks")).collect()}
+    pat = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|_+", re.UNICODE)
+    # python model: \p{L} ~ [^\W\d_], \p{N} ~ \d, punct ~ [^\s\w]|_
+    for i, t in enumerate(texts):
+        expect = pat.findall(t.lower())
+        assert got[i] == expect, (t, got[i], expect)
