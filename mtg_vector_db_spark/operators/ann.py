@@ -201,7 +201,7 @@ def kmeans_ivf_build(
     assigned DataFrame (input cols + cell)).
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     from mtg_vector_db_spark.functions.vector import l2_normalize
 

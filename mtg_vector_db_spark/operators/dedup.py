@@ -23,7 +23,7 @@ LSH, not just an idealized version of it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from mtg_vector_db_spark.functions.text import tokens
 from mtg_vector_db_spark.session import widen  # noqa: F401  (re-export; used by callers)
