@@ -223,3 +223,46 @@ def test_streaming_neardup_ingest(spark, tmp_path):
     assert (3, 1) in pairs          # cross-batch near-dup
     assert (5, 4) in pairs          # in-batch dup
     assert all(a != b for a, b in pairs)
+
+
+def test_asof_join_matches_pandas_merge_asof_random(spark):
+    """Randomized equivalence vs pandas merge_asof (backward,
+    allow_exact_matches) — an independent model of as-of semantics.
+    (user, ts) pairs are de-duplicated on the right side so both engines'
+    tie rules coincide."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(42)
+    left_rows, right_rows, seen = [], [], set()
+    for i in range(400):
+        left_rows.append((i, rng.randint(1, 8), ts(rng.randint(0, 59), rng.randint(0, 59))))
+    for i in range(200):
+        u, t = rng.randint(1, 8), ts(rng.randint(0, 59), rng.randint(0, 59))
+        if (u, t) in seen:
+            continue
+        seen.add((u, t))
+        right_rows.append((1000 + i, u, t, round(rng.uniform(0, 100), 2)))
+
+    left = spark.createDataFrame(left_rows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        right_rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(
+            left, right, keys=["user_id"], payload_cols=("value",), tie_col="event_id"
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["event_id", "user_id", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(
+        right_rows, columns=["r_event_id", "user_id", "ts", "value"]
+    ).sort_values("ts")
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="user_id", direction="backward", allow_exact_matches=True
+    )
+    for _, row in merged.iterrows():
+        expect = None if pd.isna(row["value"]) else row["value"]
+        assert got[row["event_id"]] == expect, row["event_id"]
