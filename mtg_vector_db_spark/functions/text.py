@@ -66,3 +66,35 @@ def tokens(c: Column) -> Column:
     """Whitespace tokenization (the reference's ``' '.join``/split world,
     plus the token-counting surface a data pipeline needs)."""
     return F.filter(F.split(F.trim(c), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def hash_fraction(c: Column) -> Column:
+    """Deterministic uniform [0,1) value from a key column: first 8 hex
+    chars of md5 over 2^32. Engine-portable (md5 everywhere) — the basis
+    for reproducible train/eval splits and down-sampling that never
+    reshuffles when the corpus grows (unlike rand() or sample())."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+
+
+def clean_text(c: Column) -> Column:
+    """Corpus-cleaning normalization: strip HTML tags, URLs, and control
+    characters, collapse whitespace runs, trim. Order matters (tags before
+    whitespace collapse)."""
+    out = F.regexp_replace(c, r"<[^>]{0,500}>", " ")
+    out = F.regexp_replace(out, r"https?://\S+|www\.\S+", " ")
+    out = F.regexp_replace(out, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def mask_pii(c: Column) -> Column:
+    """PII scrubbing pass: emails and international-ish phone numbers
+    replaced with typed placeholder tokens (the form dedup/fingerprints
+    can still hash stably)."""
+    out = F.regexp_replace(
+        c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    return F.regexp_replace(
+        out, r"\+?\d[\d ()-]{7,}\d", "<PHONE>"
+    )

@@ -799,3 +799,43 @@ oracle(
     GROUP BY n.n_name ORDER BY n.n_name
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/eval split (functions/text.py:hash_fraction): an
+# md5-keyed uniform draw, stable under corpus growth — rand()/sample()
+# reshuffle rows between splits every run and on every append; a key hash
+# never does. Oracle replays the identical arithmetic.
+# ---------------------------------------------------------------------------
+@query("r23_train_eval_split")
+def r23_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.text import hash_fraction
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    frac = hash_fraction(F.col("doc_id"))
+    split = F.when(frac < 0.8, "train").when(frac < 0.9, "eval").otherwise("test")
+    return (
+        docs.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split")
+    )
+
+
+oracle(
+    "r23_train_eval_split",
+    """
+    WITH f AS (
+      SELECT list_sum(list_transform(range(1, 9),
+               i -> (strpos('0123456789abcdef',
+                            substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                    * power(16, 8 - i)))
+             / 4294967296.0 AS frac
+      FROM documents
+    )
+    SELECT CASE WHEN frac < 0.8 THEN 'train'
+                WHEN frac < 0.9 THEN 'eval' ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM f GROUP BY 1 ORDER BY split
+    """,
+)

@@ -394,3 +394,60 @@ oracle(
     FROM per_doc GROUP BY lang ORDER BY lang
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus cleaning + PII scrub (functions/text.py clean_text / mask_pii):
+# HTML/URL/control stripping, whitespace collapse, email/phone masking.
+# Noise is synthesized around the real text so every rule fires; the
+# oracle replays the identical regex chain (DuckDB needs the 'g' flag —
+# its regexp_replace is first-match by default, Spark's is global).
+# ---------------------------------------------------------------------------
+@query("t12_clean_and_mask")
+def t12_clean_and_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.text import clean_text, mask_pii
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.lit('<div class="doc"> '),
+        F.col("text"),
+        F.lit(
+            " </div> see https://ex.com/a?b=1 or www.t.org "
+            "mail bob.smith+1@ex.co.uk call +1 (555) 123-4567 done"
+        ),
+    )
+    return (
+        docs.filter(F.col("doc_id") < 100)
+        .select("doc_id", mask_pii(clean_text(noisy)).alias("cleaned"))
+        .orderBy("doc_id")
+    )
+
+
+oracle(
+    "t12_clean_and_mask",
+    r"""
+    WITH noisy AS (
+      SELECT doc_id,
+             '<div class="doc"> ' || text ||
+             ' </div> see https://ex.com/a?b=1 or www.t.org mail bob.smith+1@ex.co.uk call +1 (555) 123-4567 done' AS t
+      FROM documents WHERE doc_id < 100
+    ), cleaned AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t, '<[^>]{0,500}>', ' ', 'g'),
+                   'https?://\S+|www\.\S+', ' ', 'g'),
+                 '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+               '\s+', ' ', 'g')) AS t
+      FROM noisy
+    ), masked AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?\d[\d ()-]{7,}\d', '<PHONE>', 'g') AS cleaned
+      FROM cleaned
+    )
+    SELECT doc_id, cleaned FROM masked ORDER BY doc_id
+    """,
+)
