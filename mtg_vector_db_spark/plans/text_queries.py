@@ -451,3 +451,41 @@ oracle(
     SELECT doc_id, cleaned FROM masked ORDER BY doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary: document frequency + total frequency of the most
+# common tokens (explode → one hash aggregation — the classic inverted
+# vocabulary build).
+# ---------------------------------------------------------------------------
+@query("t13_vocab_topk")
+def t13_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(20)
+    )
+
+
+_TOKS_SQL = (
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> len(t) > 0)"
+)
+oracle(
+    "t13_vocab_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+    )
+    SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM tok GROUP BY token
+    ORDER BY tf DESC, token ASC LIMIT 20
+    """,
+)

@@ -209,3 +209,47 @@ oracle(
     FROM embeddings e WHERE e.vec_id < 50 ORDER BY doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Embedding hygiene stats: L2-norm distribution per cluster label — the
+# sanity check every vector pipeline runs before indexing (zero vectors,
+# un-normalized batches, dimension drift all show up here).
+# ---------------------------------------------------------------------------
+@query("v06_embedding_norm_stats")
+def v06_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        emb.select("label", norm.alias("l2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l2"), R).alias("avg_norm"),
+            F.round(F.min("l2"), R).alias("min_norm"),
+            F.round(F.max("l2"), R).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+oracle(
+    "v06_embedding_norm_stats",
+    f"""
+    WITH n AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))) AS l2
+      FROM embeddings
+    )
+    SELECT label, count(*) AS n, round(avg(l2), {R}) AS avg_norm,
+           round(min(l2), {R}) AS min_norm, round(max(l2), {R}) AS max_norm
+    FROM n GROUP BY label ORDER BY label
+    """,
+)
