@@ -1,0 +1,191 @@
+"""Corpus-pipeline operators past pairwise dedup: duplicate-CLUSTER
+resolution, sequence packing, train/eval contamination, stratified
+sampling.
+
+The reference stops at per-row duplicate detection
+(/root/reference/db/ingest_cards.py:240-258); a training-data pipeline
+needs the downstream steps too — resolve near-dup PAIRS into clusters and
+keep one canonical doc, pack documents into fixed token-budget training
+sequences, check eval/train n-gram contamination, and down-sample strata
+reproducibly. All four are pure DataFrame ops with deterministic
+(md5-based) randomness so a SQL oracle can replay them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from mtg_vector_db_spark.functions.text import hash_fraction
+from mtg_vector_db_spark.functions.textstats import token_count
+from mtg_vector_db_spark.operators.dedup import word_shingles
+from mtg_vector_db_spark.session import widen
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iters: int = 3,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → ``(doc_id,
+    cluster_id)`` where ``cluster_id`` is the minimum doc id reachable in
+    ``iters`` propagation rounds.
+
+    Fixed-iteration min-label propagation: each round is one hash
+    aggregation over the symmetric edge list joined to current labels —
+    two shuffles, both keyed on node ids, no driver-side iteration over
+    rows. Near-dup graphs are unions of small-diameter blobs (docs that
+    are all variants of one original), so a small fixed ``iters``
+    converges; for adversarial long-chain graphs swap in large-star/
+    small-star (Kiveris et al.) — same join shapes, data-dependent round
+    count. Fixed rounds keep the operator oracle-replayable (the SQL
+    nests exactly ``iters`` propagation CTEs).
+    """
+    fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    rev = pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+    sym = fwd.unionByName(rev)
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    # Self-edges make min-over-neighbors monotone non-increasing (a node
+    # never loses its own best-known label between rounds).
+    edges = sym.unionByName(
+        nodes.select(F.col("node").alias("u"), F.col("node").alias("v"))
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        labels = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("u").alias("node"), "label")
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    block_rows: int = 256,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard LM pretraining
+    layout): documents are concatenated in ``id_col`` order and cut into
+    fixed ``budget``-token sequences; a document whose token interval
+    crosses a cut is split across two sequences.
+
+    Packing is done independently per ``block`` of ``block_rows``
+    consecutive ids — deliberately NOT one global ordering: a global
+    running sum is a single-partition window at 100 TB, while per-block
+    prefix sums keep every partition independent (each block emits its own
+    sequence stream; global sequence ids are ``(block, seq)`` pairs).
+
+    Returns per-block packing stats: ``block, n_docs, n_tokens,
+    n_sequences, n_split_docs, fill_rate`` (fill_rate < 1 only from each
+    block's final partially-filled sequence).
+    """
+    d = widen(docs).select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    d = d.withColumn(
+        "block", F.floor(F.col("doc_id") / F.lit(block_rows)).cast("bigint")
+    )
+    w = Window.partitionBy("block").orderBy("doc_id")
+    d = d.withColumn("cum", F.sum("n_tokens").over(w))
+    first_seq = F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(budget))
+    last_seq = F.floor((F.col("cum") - 1) / F.lit(budget))
+    d = d.withColumn("split", (last_seq > first_seq).cast("int"))
+    return (
+        d.groupBy("block")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            (F.floor((F.max("cum") - 1) / F.lit(budget)) + 1).alias("n_sequences"),
+            F.sum("split").alias("n_split_docs"),
+        )
+        .withColumn(
+            "fill_rate",
+            F.round(
+                F.col("n_tokens") / (F.col("n_sequences") * F.lit(budget)), 6
+            ),
+        )
+        .orderBy("block")
+    )
+
+
+def _split(frac: Column) -> Column:
+    """The r23 train/eval/test assignment, shared here so contamination
+    checks use the identical split."""
+    return (
+        F.when(frac < 0.8, "train").when(frac < 0.9, "eval").otherwise("test")
+    )
+
+
+def split_contamination(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Train→eval contamination check: fraction of eval-split documents
+    sharing at least one word ``shingle_n``-gram with any train-split
+    document (the decontamination test run before trusting a benchmark
+    score).
+
+    Shape at scale: shingles explode to (shingle, doc) rows, the train
+    side is reduced to a distinct-shingle set, and the eval side
+    semi-joins it — all shuffles keyed on the shingle. Boilerplate
+    shingles concentrate mass; a max-document-frequency cap on the train
+    set (one extra groupBy-count) slots in ahead of the join when needed.
+    Docs shorter than ``shingle_n`` tokens have no shingles and count as
+    clean.
+
+    Returns one row: ``n_eval, n_contaminated, contamination_rate``.
+    """
+    sh = widen(docs).select(
+        F.col(id_col).alias("doc_id"),
+        _split(hash_fraction(F.col(id_col))).alias("split"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    )
+    train_sh = (
+        sh.filter(F.col("split") == "train")
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    ev = sh.filter(F.col("split") == "eval").select("doc_id", "shingles")
+    ev_sh = ev.select("doc_id", F.explode("shingles").alias("shingle"))
+    contaminated = ev_sh.join(train_sh, "shingle").select("doc_id").distinct()
+    flagged = ev.select("doc_id").join(
+        contaminated.withColumn("c", F.lit(1)), "doc_id", "left"
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.count("c").alias("n_contaminated"),
+        F.round(F.count("c") / F.count(F.lit(1)), 6).alias("contamination_rate"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+    salt: str = ":strat",
+) -> DataFrame:
+    """Deterministic per-stratum down-sampling: keep a row iff
+    ``md5(key || salt)``-derived uniform < its stratum's rate.
+
+    Pure map-side filter — no shuffle, no rand(): membership depends only
+    on (key, salt), so re-running over a grown corpus never reshuffles
+    previously-kept rows, and a different ``salt`` draws an independent
+    sample. This is how domain-mixing ratios are applied to a 100 TB
+    corpus without materializing per-stratum row numbers.
+    """
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, float(v)).otherwise(rate)
+    u = hash_fraction(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    return df.filter(u < rate)

@@ -1,0 +1,181 @@
+"""Corpus-pipeline queries (C-group): the steps DOWNSTREAM of dedup that a
+training-data pipeline runs before tokens hit a trainer — duplicate-cluster
+resolution, sequence packing, train/eval contamination, stratified
+down-sampling.
+
+The reference stops at per-row duplicate detection
+(/root/reference/db/ingest_cards.py:240-258); these queries cover what a
+100 TB corpus needs next. All four are pure-DataFrame plans with
+deterministic md5-keyed randomness, so every one is replayed exactly by a
+DuckDB oracle (no rows-only checks in this family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mtg_vector_db_spark.operators import corpus as C, dedup as D
+from mtg_vector_db_spark.plans.dedup_queries import _JACC, _SHINGLES
+from mtg_vector_db_spark.plans.registry import oracle, query, tables
+
+# Whitespace tokens of the RAW text (token counts are case-preserving;
+# shingles lowercase — same split as functions/text.py:tokens).
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)"
+
+
+def _hash_frac(expr: str) -> str:
+    """DuckDB replay of functions/text.py:hash_fraction over ``expr``."""
+    return (
+        "list_sum(list_transform(range(1, 9), i -> "
+        f"(strpos('0123456789abcdef', substring(md5({expr}), i, 1)) - 1)"
+        " * power(16, 8 - i))) / 4294967296.0"
+    )
+
+
+# ---------------------------------------------------------------------------
+# C1: near-dup pairs → duplicate clusters (connected components by fixed-
+# round min-label propagation; operators/corpus.py:dup_clusters). The pair
+# graph is d02's exact-Jaccard output on the id-bounded block, so cluster
+# membership is itself oracle-exact. 3 rounds resolve the small-diameter
+# blobs near-dup graphs are made of; the oracle nests exactly 3 CTEs.
+# ---------------------------------------------------------------------------
+@query("c01_dup_clusters")
+def c01_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    bounded = docs.filter(F.col("doc_id") < 1000)
+    pairs = D.exact_jaccard_pairs(bounded, threshold=0.5)
+    return C.dup_clusters(pairs, iters=3).orderBy("doc_id")
+
+
+_PROP = (
+    "SELECT e.u AS node, min(l.label) AS label "
+    "FROM edges e JOIN {prev} l ON e.v = l.node GROUP BY e.u"
+)
+
+oracle(
+    "c01_dup_clusters",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+                WHERE doc_id < 1000),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE {_JACC} >= 0.5
+    ),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    edges AS (SELECT u, v FROM sym UNION ALL SELECT node, node FROM nodes),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    l1 AS ({_PROP.format(prev="l0")}),
+    l2 AS ({_PROP.format(prev="l1")}),
+    l3 AS ({_PROP.format(prev="l2")})
+    SELECT node AS doc_id, label AS cluster_id FROM l3 ORDER BY doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# C2: concat-and-chunk sequence packing stats (operators/corpus.py:
+# pack_sequences) — per-block prefix sums, never a global window.
+# ---------------------------------------------------------------------------
+@query("c02_pack_sequences")
+def c02_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return C.pack_sequences(docs, budget=512, block_rows=256)
+
+
+oracle(
+    "c02_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKS}) AS n_tokens,
+             CAST(floor(doc_id / 256.0) AS BIGINT) AS block
+      FROM documents WHERE len({_TOKS}) > 0
+    ),
+    c AS (SELECT block, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY block ORDER BY doc_id) AS cum
+          FROM t),
+    s AS (SELECT block, n_tokens, cum,
+                 CASE WHEN floor((cum - 1) / 512.0)
+                      > floor((cum - n_tokens) / 512.0)
+                      THEN 1 ELSE 0 END AS split
+          FROM c)
+    SELECT block, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(floor((max(cum) - 1) / 512.0) + 1 AS BIGINT) AS n_sequences,
+           CAST(sum(split) AS BIGINT) AS n_split_docs,
+           round(CAST(sum(n_tokens) AS DOUBLE)
+                 / ((floor((max(cum) - 1) / 512.0) + 1) * 512), 6) AS fill_rate
+    FROM s GROUP BY block ORDER BY block
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# C3: train→eval contamination via shared word 3-grams (operators/
+# corpus.py:split_contamination), over the SAME md5 split as r23.
+# ---------------------------------------------------------------------------
+@query("c03_split_contamination")
+def c03_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return C.split_contamination(docs)
+
+
+oracle(
+    "c03_split_contamination",
+    f"""
+    WITH f AS (SELECT doc_id, {_hash_frac("CAST(doc_id AS VARCHAR)")} AS frac,
+                      {_SHINGLES} AS shingles
+               FROM documents),
+    sp AS (SELECT doc_id,
+                  CASE WHEN frac < 0.8 THEN 'train'
+                       WHEN frac < 0.9 THEN 'eval' ELSE 'test' END AS split,
+                  shingles
+           FROM f),
+    train_sh AS (SELECT DISTINCT unnest(shingles) AS shingle
+                 FROM sp WHERE split = 'train'),
+    ev AS (SELECT doc_id, shingles FROM sp WHERE split = 'eval'),
+    ev_sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM ev),
+    cont AS (SELECT DISTINCT e.doc_id
+             FROM ev_sh e JOIN train_sh t USING (shingle))
+    SELECT (SELECT count(*) FROM ev) AS n_eval,
+           (SELECT count(*) FROM cont) AS n_contaminated,
+           round((SELECT count(*) FROM cont) * 1.0
+                 / (SELECT count(*) FROM ev), 6) AS contamination_rate
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# C4: deterministic per-stratum down-sampling (operators/corpus.py:
+# stratified_sample) — domain-mixing rates applied as a shuffle-free
+# map-side filter; summarized per stratum so the result is compact.
+# ---------------------------------------------------------------------------
+@query("c04_stratified_sample")
+def c04_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    kept = C.stratified_sample(
+        docs, "lang", "doc_id", rates={"en": 0.5, "zh": 1.0}, default_rate=0.25
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+oracle(
+    "c04_stratified_sample",
+    f"""
+    WITH f AS (
+      SELECT lang,
+             {_hash_frac("CAST(doc_id AS VARCHAR) || ':strat'")} AS u
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_kept
+    FROM f
+    WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0 ELSE 0.25 END
+    GROUP BY lang ORDER BY lang
+    """,
+)

@@ -75,6 +75,7 @@ def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def load_all() -> None:
     """Import every query module (idempotent) so registration runs."""
     from mtg_vector_db_spark.plans import (  # noqa: F401
+        corpus_queries,
         dedup_queries,
         pipeline_queries,
         relational_queries,

@@ -1,0 +1,83 @@
+"""Corpus-pipeline suite: oracle parity + semantic invariants the oracle
+replay alone can't pin (cluster transitivity, packing arithmetic,
+sample determinism/stability)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from mtg_vector_db_spark.operators import corpus as C
+from mtg_vector_db_spark.plans import registry
+from tests.oracle_utils import assert_matches_oracle
+
+registry.load_all()
+
+CORPUS_QUERIES = [n for n in registry.QUERIES if n.startswith("c0")]
+
+
+def test_family_registered():
+    assert len(CORPUS_QUERIES) == 4
+    assert all(n in registry.ORACLES for n in CORPUS_QUERIES)
+
+
+@pytest.mark.parametrize("name", CORPUS_QUERIES)
+def test_oracle_parity(spark, sf001, name):
+    df = registry.QUERIES[name](spark, sf001)
+    assert_matches_oracle(df, registry.ORACLES[name], sf001)
+
+
+def test_dup_clusters_resolves_transitive_chain(spark):
+    # a-b, b-c, and a separate d-e: two clusters, min-id labels.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in C.dup_clusters(pairs, iters=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_covers_planted_neardups(spark, sf001):
+    rows = registry.QUERIES["c01_dup_clusters"](spark, sf001).collect()
+    assert rows, "expected planted near-dup clusters in the test corpus"
+    by_cluster: dict[int, int] = {}
+    for r in rows:
+        by_cluster[r["cluster_id"]] = by_cluster.get(r["cluster_id"], 0) + 1
+        assert r["cluster_id"] <= r["doc_id"]  # min-label invariant
+    assert max(by_cluster.values()) >= 2  # at least one real cluster
+
+
+def test_pack_sequences_arithmetic(spark, sf001):
+    rows = registry.QUERIES["c02_pack_sequences"](spark, sf001).collect()
+    assert rows
+    for r in rows:
+        assert r["n_sequences"] == math.ceil(r["n_tokens"] / 512)
+        assert 0 < r["fill_rate"] <= 1.0
+        assert r["n_split_docs"] <= r["n_docs"]
+
+
+def test_stratified_sample_is_deterministic_and_stable(spark, sf001):
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    kw = dict(
+        strata_col="lang",
+        key_col="doc_id",
+        rates={"en": 0.5},
+        default_rate=0.25,
+    )
+    first = {r["doc_id"] for r in C.stratified_sample(docs, **kw).collect()}
+    again = {r["doc_id"] for r in C.stratified_sample(docs, **kw).collect()}
+    assert first == again
+    # Stability under corpus growth: sampling a PREFIX of the corpus keeps
+    # exactly the kept-set restricted to that prefix (no reshuffling).
+    half = docs.filter("doc_id < 250")
+    sub = {r["doc_id"] for r in C.stratified_sample(half, **kw).collect()}
+    assert sub == {i for i in first if i < 250}
+    # Different salt draws an independent sample.
+    other = {
+        r["doc_id"]
+        for r in C.stratified_sample(docs, salt=":other", **kw).collect()
+    }
+    assert other != first
