@@ -341,3 +341,57 @@ oracle(
     ORDER BY card_name
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search: BM25 keyword arm + cosine-KNN vector arm fused by
+# reciprocal ranks (operators/text_search.py:rrf_fuse). The combination the
+# reference's separate trigram tier + vector search never makes; ranks are
+# assigned after each arm's top-30 so no global window exists in the plan.
+# ---------------------------------------------------------------------------
+@query("p10_hybrid_rrf")
+def p10_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.knn import knn
+    from mtg_vector_db_spark.operators.text_search import (
+        bm25_topk,
+        ranked,
+        rrf_fuse,
+    )
+    from mtg_vector_db_spark.plans.text_queries import BM25_TERMS
+    from mtg_vector_db_spark.plans.vector_queries import query_vector
+
+    docs, emb = tables(spark, sf_dir, "documents", "embeddings")
+    qv = query_vector(spark, sf_dir)
+    b_arm = ranked(bm25_topk(docs, BM25_TERMS, k=30, round_digits=R), "bm25")
+    v_arm = ranked(
+        knn(emb, qv, 30, round_digits=R), "sim", id_col="vec_id"
+    ).withColumnRenamed("vec_id", "doc_id")
+    return (
+        rrf_fuse([b_arm, v_arm], k=60, round_digits=R)
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _p10_oracle() -> str:
+    from mtg_vector_db_spark.plans.text_queries import bm25_sql_ctes
+
+    return f"""
+    WITH {bm25_sql_ctes()},
+    bt AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 30),
+    br AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+           FROM bt),
+    vt AS (SELECT e.vec_id AS doc_id, {_SIM} AS sim FROM embeddings e
+           ORDER BY sim DESC, e.vec_id LIMIT 30),
+    vr AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+           FROM vt),
+    u AS (SELECT doc_id, 1.0e0 / (60 + rank) AS contrib FROM br
+          UNION ALL SELECT doc_id, 1.0e0 / (60 + rank) FROM vr)
+    SELECT doc_id, round(sum(contrib), {R}) AS rrf
+    FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+
+
+oracle("p10_hybrid_rrf", _p10_oracle())

@@ -489,3 +489,53 @@ oracle(
     ORDER BY tf DESC, token ASC LIMIT 20
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword scoring (operators/text_search.py) — the lexical arm the
+# reference's trigram tier (db/search_strategies.py:97-106) approximates;
+# term explode is filtered to query terms before any shuffle.
+# ---------------------------------------------------------------------------
+BM25_TERMS = ("vector", "join", "spark")
+
+
+def bm25_sql_ctes(terms: tuple[str, ...] = BM25_TERMS) -> str:
+    """DuckDB CTE block replaying operators/text_search.py:bm25_scores
+    (ends with ``bm(doc_id, bm25)``); shared with the hybrid-fusion oracle."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    st AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM tok),
+    tf AS (SELECT doc_id, doclen, term, count(*) AS tf
+           FROM (SELECT doc_id, len(toks) AS doclen, unnest(toks) AS term
+                 FROM tok)
+           WHERE term IN ({in_list})
+           GROUP BY doc_id, doclen, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    bm AS (SELECT t.doc_id,
+                  round(sum(ln((s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0) + 1)
+                        * t.tf * 2.2e0
+                        / (t.tf + 1.2e0 * (0.25e0
+                           + 0.75e0 * t.doclen / s.avgdl))), {R}) AS bm25
+           FROM tf t JOIN dfq d USING (term) CROSS JOIN st s
+           GROUP BY t.doc_id)
+    """
+
+
+@query("t14_bm25_topk")
+def t14_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.text_search import bm25_topk
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_TERMS, k=10, round_digits=R).orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+
+
+oracle(
+    "t14_bm25_topk",
+    f"""
+    WITH {bm25_sql_ctes()}
+    SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
