@@ -395,3 +395,40 @@ def _p10_oracle() -> str:
 
 
 oracle("p10_hybrid_rrf", _p10_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Binary-quantized two-stage search (operators/quantize.py): Hamming
+# candidates over packed sign-bit signatures, exact-cosine rescore — the
+# pgvector-style quantized scale path for the reference's HNSW role
+# (db/init.sql:50-53). The oracle replays Hamming straight off the float
+# signs (proven equal to the packed popcount path in tests).
+# ---------------------------------------------------------------------------
+@query("p11_bq_rerank_search")
+def p11_bq_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.quantize import bq_search
+    from mtg_vector_db_spark.plans.vector_queries import query_vector
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir)
+    return bq_search(emb, qv, k=10, oversample=4, round_digits=R)
+
+
+oracle(
+    "p11_bq_rerank_search",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    h AS (
+      SELECT e.vec_id AS doc_id, e.embedding,
+             CAST(list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN (e.embedding[i] > 0) <> (q.qe[i] > 0)
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+      FROM embeddings e CROSS JOIN q
+    ),
+    cand AS (SELECT * FROM h ORDER BY hamming ASC, doc_id ASC LIMIT 40)
+    SELECT doc_id, hamming,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                 {_Q_SUB}), {R}) AS sim
+    FROM cand ORDER BY sim DESC, doc_id ASC LIMIT 10
+    """,
+)

@@ -1,0 +1,68 @@
+"""Binary quantization: packed/unpacked Hamming equivalence, Python-model
+parity for the packing itself, and recall of the two-stage search against
+exact KNN (oracle parity for p11 runs via the p-family suite)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from mtg_vector_db_spark.operators.knn import knn
+from mtg_vector_db_spark.operators.quantize import (
+    binary_signature,
+    bq_search,
+    hamming_packed,
+    hamming_unpacked,
+    signature_of,
+)
+from mtg_vector_db_spark.plans.vector_queries import query_vector
+
+
+def _random_vecs(n, dim, seed):
+    rng = random.Random(seed)
+    return [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+    ]
+
+
+def test_signature_matches_python_model(spark):
+    rows = _random_vecs(50, 64, seed=7)
+    df = spark.createDataFrame(rows, ["vid", "vec"])
+    got = df.select(
+        "vid", binary_signature(F.col("vec"), 64).alias("sig")
+    ).collect()
+    for r in got:
+        expect = signature_of(dict(rows)[r["vid"]])
+        assert list(r["sig"]) == expect
+
+
+def test_packed_hamming_equals_unpacked(spark):
+    rows = _random_vecs(40, 64, seed=11)
+    df = spark.createDataFrame(rows, ["vid", "vec"])
+    a = df.select(F.col("vid").alias("ida"), F.col("vec").alias("va"))
+    b = df.select(F.col("vid").alias("idb"), F.col("vec").alias("vb"))
+    pairs = a.join(b, F.col("ida") < F.col("idb"))
+    mism = pairs.select(
+        (
+            hamming_packed(
+                binary_signature(F.col("va"), 64),
+                binary_signature(F.col("vb"), 64),
+            )
+            != hamming_unpacked(F.col("va"), F.col("vb"))
+        ).alias("diff")
+    ).filter("diff")
+    assert mism.count() == 0
+
+
+def test_bq_search_recall_vs_exact(spark, sf001):
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    qv = query_vector(spark, sf001)
+    exact = {r["vec_id"] for r in knn(emb, qv, 10, round_digits=6).collect()}
+    bq = {
+        r["doc_id"]
+        for r in bq_search(emb, qv, k=10, oversample=4).collect()
+    }
+    # Sign-bit Hamming is a coarse filter; with 4x oversample on 64 dims
+    # it must still recover most of the exact top-10.
+    assert len(exact & bq) / len(exact) >= 0.5
