@@ -44,6 +44,10 @@ HEADLINE = [
     "d05_simhash_neardup",      # SimHash near-dup
     "p01_retrieve_rerank",      # two-stage retrieve-then-rerank
     "p04_ivf_search",           # IVF-bucketed ANN search
+    "t14_bm25_topk",            # BM25 keyword arm
+    "p10_hybrid_rrf",           # hybrid BM25+vector RRF fusion
+    "p11_bq_rerank_search",     # binary-quantized search + exact rescore
+    "c03_split_contamination",  # corpus-pipeline contamination check
 ]
 
 
