@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from mtg_vector_db_spark.functions.text import hash_fraction
+from mtg_vector_db_spark.functions.text import hash_fraction, tokens
 from mtg_vector_db_spark.functions.textstats import token_count
 from mtg_vector_db_spark.operators.dedup import word_shingles
 from mtg_vector_db_spark.session import widen
@@ -112,6 +112,51 @@ def pack_sequences(
             ),
         )
         .orderBy("block")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """Sliding-window token chunking → ``(doc_id, chunk_id, chunk_text,
+    n_tokens)`` — the step between raw documents and the embedder when
+    texts exceed the model's context (the reference embeds whole cards,
+    db/ingest_cards.py:300-311; a corpus of long documents can't).
+
+    Chunk k covers tokens ``[k*stride, k*stride+size)``; the last chunk may
+    be short; a doc with ≤ ``size`` tokens yields exactly one chunk. Pure
+    map stage: one nested transform-over-sequence builds all chunks per
+    row, then a single explode — no shuffle, no per-chunk joins, and the
+    chunk count per row is data-derived (no driver-side iteration).
+    """
+    d = widen(docs).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") > 0)
+    n_chunks = (
+        F.when(F.size("toks") <= size, F.lit(1))
+        .otherwise(
+            F.ceil((F.size("toks") - F.lit(size)) / F.lit(float(stride))) + 1
+        )
+        .cast("long")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda k: F.struct(
+            k.cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice("toks", (k * stride + 1).cast("int"), size), " "
+            ).alias("chunk_text"),
+            F.size(F.slice("toks", (k * stride + 1).cast("int"), size))
+            .cast("long")
+            .alias("n_tokens"),
+        ),
+    )
+    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.*"
     )
 
 

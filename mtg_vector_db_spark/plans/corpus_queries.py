@@ -179,3 +179,44 @@ oracle(
     GROUP BY lang ORDER BY lang
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# C5: sliding-window chunking (operators/corpus.py:chunk_documents) — the
+# pre-embedding step for long documents; one nested transform + explode,
+# no shuffle.
+# ---------------------------------------------------------------------------
+@query("c05_chunk_documents")
+def c05_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    bounded = docs.filter(F.col("doc_id") < 500)
+    return C.chunk_documents(bounded, size=8, stride=4).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+oracle(
+    "c05_chunk_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 500
+    ),
+    n AS (SELECT doc_id, toks,
+                 CAST(CASE WHEN len(toks) <= 8 THEN 1
+                      ELSE ceil((len(toks) - 8) / 4.0) + 1 END AS BIGINT)
+                 AS n_chunks
+          FROM tok WHERE len(toks) > 0),
+    ex AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, n_chunks), k -> {{
+               'chunk_id': k,
+               'chunk_text': array_to_string(
+                  list_slice(toks, k*4 + 1, k*4 + 8), ' '),
+               'n_tokens': len(list_slice(toks, k*4 + 1, k*4 + 8))
+             }}), recursive := true)
+      FROM n
+    )
+    SELECT doc_id, chunk_id, chunk_text, n_tokens
+    FROM ex ORDER BY doc_id, chunk_id
+    """,
+)

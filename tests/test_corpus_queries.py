@@ -18,7 +18,7 @@ CORPUS_QUERIES = [n for n in registry.QUERIES if n.startswith("c0")]
 
 
 def test_family_registered():
-    assert len(CORPUS_QUERIES) == 4
+    assert len(CORPUS_QUERIES) == 5
     assert all(n in registry.ORACLES for n in CORPUS_QUERIES)
 
 
@@ -81,3 +81,30 @@ def test_stratified_sample_is_deterministic_and_stable(spark, sf001):
         for r in C.stratified_sample(docs, salt=":other", **kw).collect()
     }
     assert other != first
+
+
+def test_chunking_reconstructs_documents(spark, sf001):
+    """Every token position is covered; consecutive chunks overlap by
+    size-stride tokens; only the final chunk may be short."""
+    docs = spark.read.parquet(f"{sf001}/documents.parquet").filter(
+        "doc_id < 50"
+    )
+    chunks = C.chunk_documents(docs, size=8, stride=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    texts = {
+        r["doc_id"]: r["text"].split() for r in docs.collect() if r["text"]
+    }
+    assert set(by_doc) == {d for d, t in texts.items() if t}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        toks = texts[doc_id]
+        for r in rows[:-1]:
+            assert r["n_tokens"] == 8
+        for r in rows:
+            start = r["chunk_id"] * 4
+            assert r["chunk_text"].split() == toks[start : start + 8]
+        # full coverage: last chunk reaches the end of the document
+        last = rows[-1]
+        assert last["chunk_id"] * 4 + last["n_tokens"] == len(toks)
