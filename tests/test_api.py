@@ -64,3 +64,24 @@ def test_search_ambiguous_shape(spark, sf001):
     assert all(r["match_type"] == "vector_ambiguous" for r in rows)
     ds = [r["distance"] for r in rows]
     assert ds == sorted(ds)  # nearest first
+
+
+def test_cli_dispatch_all_types(spark, sf001, capsys):
+    """The §3.1 CLI runs every search type end-to-end on a shared session
+    and prints reference-style output."""
+    from mtg_vector_db_spark import cli
+
+    name = (
+        spark.read.parquet(f"{sf001}/part.parquet").first()["p_name"]
+    )
+    for argv in (
+        ["name", name, "--sf-dir", sf001],
+        ["desc", "flying creature", "--sf-dir", sf001, "--final-k", "5"],
+        ["similar", "deathtouch", "--sf-dir", sf001, "--threshold", "0.0"],
+        ["all", "deathtouch", "--sf-dir", sf001],
+        ["ambiguous", "counter target spell", "--sf-dir", sf001],
+    ):
+        assert cli.main(argv, spark=spark) == 0
+        out = capsys.readouterr().out
+        assert out.strip() and out.strip() != "(no results)"
+        assert " 1." in out
