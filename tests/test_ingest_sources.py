@@ -306,3 +306,27 @@ def test_multimodal_resize_and_audio_chunks(spark):
     assert [(r["chunk_start_ms"], r["chunk_len_ms"]) for r in chunks] == [
         (0, 5000), (5000, 5000), (10000, 2500),
     ]
+
+
+def test_ingest_cli_end_to_end_and_idempotent(spark, cards_path, tmp_path, capsys):
+    """§3.3 entry point: first run writes docs/embeddings/quarantine; a
+    re-run against the written documents ingests nothing new."""
+    from mtg_vector_db_spark import ingest_cli
+
+    out = str(tmp_path / "out")
+    assert ingest_cli.main([str(cards_path), out], spark=spark) == 0
+    first = capsys.readouterr().out
+    assert "documents=3" in first  # 4 cards, 1 in-batch dup by faceName
+    assert "rejected=1" in first
+
+    out2 = str(tmp_path / "out2")
+    assert (
+        ingest_cli.main(
+            [str(cards_path), out2, "--existing", f"{out}/documents.parquet"],
+            spark=spark,
+        )
+        == 0
+    )
+    second = capsys.readouterr().out
+    assert "documents=0" in second
+    assert "rejected=4" in second
