@@ -432,3 +432,93 @@ oracle(
     FROM cand ORDER BY sim DESC, doc_id ASC LIMIT 10
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Passage retrieval with max-passage aggregation: chunk long documents
+# (operators/corpus.py:chunk_documents), BM25-score each chunk as its own
+# "passage" (operators/text_search.py), keep each document's best passage
+# (the MaxP rule), return top documents. The composition a corpus of
+# context-length-exceeding documents needs — retrieval happens at passage
+# granularity, ranking at document granularity. Chunk explosion is a
+# map-side transform; per-chunk postings are filtered to query terms before
+# any shuffle; the per-doc max is one hash aggregation.
+# ---------------------------------------------------------------------------
+@query("p12_passage_maxp")
+def p12_passage_maxp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.corpus import chunk_documents
+    from mtg_vector_db_spark.operators.text_search import bm25_scores
+    from mtg_vector_db_spark.plans.text_queries import BM25_TERMS
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, size=8, stride=4).select(
+        F.concat_ws("#", F.col("doc_id"), F.col("chunk_id")).alias("pid"),
+        F.col("doc_id").alias("parent"),
+        F.col("chunk_text"),
+    )
+    scored = bm25_scores(
+        chunks, BM25_TERMS, id_col="pid", text_col="chunk_text", round_digits=R
+    )
+    best = (
+        scored.join(
+            chunks.select("pid", "parent"), scored["doc_id"] == chunks["pid"]
+        )
+        .groupBy("parent")
+        .agg(F.max("bm25").alias("best_bm25"))
+        .select(F.col("parent").alias("doc_id"), "best_bm25")
+    )
+    return best.orderBy(F.desc("best_bm25"), F.asc("doc_id")).limit(10)
+
+
+def _p12_oracle() -> str:
+    # Chunk replay (c05 semantics) + BM25 replay over the chunk table with
+    # chunk stats (N = n_chunks, avgdl over chunk token counts).
+    toks = "list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)"
+    ctoks = (
+        "list_filter(string_split_regex(trim(chunk_text), '\\s+'), "
+        "t -> len(t) > 0)"
+    )
+    from mtg_vector_db_spark.plans.text_queries import BM25_TERMS
+
+    in_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+    WITH tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+    n AS (SELECT doc_id, toks,
+                 CAST(CASE WHEN len(toks) <= 8 THEN 1
+                      ELSE ceil((len(toks) - 8) / 4.0) + 1 END AS BIGINT)
+                 AS n_chunks
+          FROM tk WHERE len(toks) > 0),
+    ch AS (
+      SELECT doc_id AS parent,
+             unnest(list_transform(range(0, n_chunks), k -> {{
+               'pid': CAST(doc_id AS VARCHAR) || '#' || CAST(k AS VARCHAR),
+               'chunk_text': array_to_string(
+                  list_slice(toks, k*4 + 1, k*4 + 8), ' ')
+             }}), recursive := true)
+      FROM n
+    ),
+    tok AS (SELECT pid, parent, lower(chunk_text) AS chunk_text FROM ch),
+    lt AS (SELECT pid, parent, {ctoks} AS toks FROM tok),
+    st AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM lt),
+    tf AS (SELECT pid, doclen, term, count(*) AS tf
+           FROM (SELECT pid, len(toks) AS doclen, unnest(toks) AS term
+                 FROM lt)
+           WHERE term IN ({in_list})
+           GROUP BY pid, doclen, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    bm AS (SELECT t.pid,
+                  round(sum(ln((s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0) + 1)
+                        * t.tf * 2.2e0
+                        / (t.tf + 1.2e0 * (0.25e0
+                           + 0.75e0 * t.doclen / s.avgdl))), {R}) AS bm25
+           FROM tf t JOIN dfq d USING (term) CROSS JOIN st s
+           GROUP BY t.pid),
+    best AS (SELECT l.parent AS doc_id, max(b.bm25) AS best_bm25
+             FROM bm b JOIN lt l ON b.pid = l.pid
+             GROUP BY l.parent)
+    SELECT doc_id, best_bm25 FROM best
+    ORDER BY best_bm25 DESC, doc_id ASC LIMIT 10
+    """
+
+
+oracle("p12_passage_maxp", _p12_oracle())
