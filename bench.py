@@ -47,6 +47,7 @@ HEADLINE = [
     "t14_bm25_topk",            # BM25 keyword arm
     "p10_hybrid_rrf",           # hybrid BM25+vector RRF fusion
     "p11_bq_rerank_search",     # binary-quantized search + exact rescore
+    "p12_passage_maxp",         # chunk + BM25 + MaxP passage retrieval
     "c03_split_contamination",  # corpus-pipeline contamination check
 ]
 
