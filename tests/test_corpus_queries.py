@@ -108,3 +108,48 @@ def test_chunking_reconstructs_documents(spark, sf001):
         # full coverage: last chunk reaches the end of the document
         last = rows[-1]
         assert last["chunk_id"] * 4 + last["n_tokens"] == len(toks)
+
+
+def test_pack_sequences_matches_python_model_random(spark):
+    """Randomized parity: per-block packing stats equal a direct Python
+    simulation of concat-and-chunk over the same token counts."""
+    import math as m
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (i, " ".join("tok" for _ in range(rng.randint(0, 40))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["block"]: r
+        for r in C.pack_sequences(
+            df, budget=32, block_rows=64
+        ).collect()
+    }
+
+    blocks: dict[int, list[tuple[int, int]]] = {}
+    for i, t in rows:
+        n = len(t.split())
+        if n > 0:
+            blocks.setdefault(i // 64, []).append((i, n))
+    assert set(got) == set(blocks)
+    for b, docs in blocks.items():
+        docs.sort()
+        total = sum(n for _, n in docs)
+        n_seqs = m.ceil(total / 32)
+        cum = 0
+        n_split = 0
+        for _, n in docs:
+            first = (cum) // 32
+            cum += n
+            last = (cum - 1) // 32
+            if last > first:
+                n_split += 1
+        r = got[b]
+        assert r["n_docs"] == len(docs)
+        assert r["n_tokens"] == total
+        assert r["n_sequences"] == n_seqs
+        assert r["n_split_docs"] == n_split
+        assert r["fill_rate"] == round(total / (n_seqs * 32), 6)
