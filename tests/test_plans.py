@@ -99,3 +99,17 @@ def test_knn_join_broadcasts_queries(spark, sf0001):
     )
     plan = physical(K.knn_join(emb, queries, 5))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_explain_tool_lists_and_prints(spark, sf0001, capsys):
+    from mtg_vector_db_spark import explain
+
+    assert explain.main(["--list"], spark=spark) == 0
+    listing = capsys.readouterr().out
+    assert "v01_knn_topk  [oracle]" in listing
+    assert (
+        explain.main(["v01_knn_topk", "--sf-dir", sf0001], spark=spark) == 0
+    )
+    plan = capsys.readouterr().out
+    assert "TakeOrderedAndProject" in plan and "#x" in plan
+    assert explain.main(["nope", "--sf-dir", sf0001], spark=spark) == 2
