@@ -111,3 +111,79 @@ def bq_search(
         .orderBy(F.desc("sim"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8) quantization — pgvector's halfvec/int8 storage analog: 4x
+# smaller vectors at a measurable reconstruction error, trained from
+# per-dimension ranges.
+# ---------------------------------------------------------------------------
+def sq_train(
+    emb: DataFrame, emb_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (lo, hi) ranges — the SQ "codebook". One
+    posexplode + 64-group aggregation; the 2×dim result is collected to
+    the driver and re-broadcast as literals (same pattern as IVF
+    centroids: train-then-apply, stats are tiny)."""
+    mm = (
+        emb.select(F.posexplode(emb_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("i")
+        .collect()
+    )
+    return [float(r["lo"]) for r in mm], [float(r["hi"]) for r in mm]
+
+
+def sq_quantize(c: Column, lo: Sequence[float], hi: Sequence[float]) -> Column:
+    """array<float> → array<int> of 0..255 codes:
+    ``floor((x-lo)/(hi-lo)*255 + 0.5)`` (explicit half-up — identical
+    SQL semantics everywhere, unlike engine-specific round())."""
+    lo_a = F.array(*[F.lit(v) for v in lo])
+    hi_a = F.array(*[F.lit(v) for v in hi])
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(len(lo))),
+        lambda i: F.when(
+            F.element_at(hi_a, i) == F.element_at(lo_a, i), F.lit(0)
+        )
+        .otherwise(
+            F.floor(
+                (F.element_at(c, i).cast("double") - F.element_at(lo_a, i))
+                / (F.element_at(hi_a, i) - F.element_at(lo_a, i))
+                * 255
+                + 0.5
+            )
+        )
+        .cast("int"),
+    )
+
+
+def sq_dequantize(
+    q: Column, lo: Sequence[float], hi: Sequence[float]
+) -> Column:
+    """Codes → reconstructed doubles: ``lo + q/255*(hi-lo)``."""
+    lo_a = F.array(*[F.lit(v) for v in lo])
+    hi_a = F.array(*[F.lit(v) for v in hi])
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(len(lo))),
+        lambda i: F.element_at(lo_a, i)
+        + F.element_at(q, i) / 255.0
+        * (F.element_at(hi_a, i) - F.element_at(lo_a, i)),
+    )
+
+
+def sq_reconstruction_error(
+    emb: DataFrame,
+    lo: Sequence[float],
+    hi: Sequence[float],
+    emb_col: str = "embedding",
+) -> Column:
+    """Squared L2 reconstruction error per row (fold over dims — fixed
+    evaluation order, so an SQL engine replays it exactly)."""
+    deq = sq_dequantize(sq_quantize(F.col(emb_col), lo, hi), lo, hi)
+    dbl = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    return F.aggregate(
+        F.zip_with(dbl, deq, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )

@@ -253,3 +253,62 @@ oracle(
     FROM n GROUP BY label ORDER BY label
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8) quantization error audit (operators/quantize.py:sq_*) — the
+# decide-before-you-switch measurement for quantized storage (pgvector's
+# halfvec/int8 analog). Train = one posexplode + 64-group agg; apply = one
+# nested transform per row; the oracle replays codebook, codes, and
+# reconstruction bit-for-bit (explicit floor(x+0.5) half-up, shared
+# fixed-order fold).
+# ---------------------------------------------------------------------------
+@query("v07_sq_reconstruction_error")
+def v07_sq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.quantize import (
+        sq_reconstruction_error,
+        sq_train,
+    )
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    lo, hi = sq_train(emb)
+    err2 = sq_reconstruction_error(emb, lo, hi)
+    return (
+        emb.select("label", err2.alias("err2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("err2"), 6).alias("mse"),
+            F.round(F.max("err2"), 6).alias("max_err2"),
+        )
+        .orderBy("label")
+    )
+
+
+_SQ_XHAT = (
+    "a.los[i] + (CASE WHEN a.his[i] = a.los[i] THEN 0 "
+    "ELSE floor((v[i] - a.los[i]) / (a.his[i] - a.los[i]) * 255 + 0.5) END) "
+    "/ 255.0 * (a.his[i] - a.los[i])"
+)
+
+oracle(
+    "v07_sq_reconstruction_error",
+    f"""
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    mm AS (SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+           FROM e, range(1, 65) t(i) GROUP BY i),
+    arrs AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his
+             FROM mm),
+    r AS (
+      SELECT e.label,
+             list_sum(list_transform(
+               list_transform(range(1, 65), i -> v[i] - ({_SQ_XHAT})),
+               d -> d * d)) AS err2
+      FROM e CROSS JOIN arrs a
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(avg(err2), 6) AS mse, round(max(err2), 6) AS max_err2
+    FROM r GROUP BY label ORDER BY label
+    """,
+)

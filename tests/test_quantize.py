@@ -66,3 +66,59 @@ def test_bq_search_recall_vs_exact(spark, sf001):
     # Sign-bit Hamming is a coarse filter; with 4x oversample on 64 dims
     # it must still recover most of the exact top-10.
     assert len(exact & bq) / len(exact) >= 0.5
+
+
+def test_sq_codes_bounded_and_error_within_step(spark, sf001):
+    from mtg_vector_db_spark.operators.quantize import (
+        sq_quantize,
+        sq_reconstruction_error,
+        sq_train,
+    )
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    lo, hi = sq_train(emb)
+    assert len(lo) == len(hi) == 64
+    assert all(l <= h for l, h in zip(lo, hi))
+
+    codes = emb.select(
+        sq_quantize(F.col("embedding"), lo, hi).alias("q")
+    ).select(
+        F.array_min("q").alias("mn"), F.array_max("q").alias("mx")
+    ).agg(F.min("mn"), F.max("mx")).collect()[0]
+    assert codes[0] >= 0 and codes[1] <= 255
+
+    # Per-dim error ≤ half a step; squared-L2 over all dims bounded by
+    # sum of (step_i/2)^2.
+    bound = sum(((h - l) / 255.0 / 2) ** 2 for l, h in zip(lo, hi))
+    worst = emb.select(
+        sq_reconstruction_error(emb, lo, hi).alias("e")
+    ).agg(F.max("e")).collect()[0][0]
+    assert worst <= bound * 1.0000001
+
+
+def test_sq_quantized_knn_recall(spark, sf001):
+    """KNN on dequantized vectors must largely agree with exact KNN —
+    the accept/reject measurement for switching storage to int8."""
+    from mtg_vector_db_spark.functions.vector import cosine_similarity
+    from mtg_vector_db_spark.operators.quantize import (
+        sq_dequantize,
+        sq_quantize,
+        sq_train,
+    )
+    from mtg_vector_db_spark.plans.vector_queries import query_vector
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    qv = query_vector(spark, sf001)
+    lo, hi = sq_train(emb)
+    deq = sq_dequantize(sq_quantize(F.col("embedding"), lo, hi), lo, hi)
+    approx = (
+        emb.select(
+            "vec_id", cosine_similarity(deq, qv).alias("sim")
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    )
+    exact = knn(emb, qv, 10, round_digits=6).collect()
+    overlap = {r["vec_id"] for r in approx} & {r["vec_id"] for r in exact}
+    assert len(overlap) >= 8
