@@ -522,3 +522,29 @@ def _p12_oracle() -> str:
 
 
 oracle("p12_passage_maxp", _p12_oracle())
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking (operators/diversify.py): batch KNN candidates,
+# then per-query greedy maximal-marginal-relevance in one Arrow batch per
+# query (applyInPandas). Greedy argmax over float sums is not reasonably
+# SQL-expressible — rows-only gate; determinism and the exact selection
+# rule are pinned by a pure-Python model parity test instead.
+# ---------------------------------------------------------------------------
+@query("p13_mmr_diversify")
+def p13_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.diversify import mmr_rerank
+    from mtg_vector_db_spark.operators.knn import knn_join
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cand = knn_join(emb, queries_df, k=20, round_digits=R).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "sim"
+    )
+    cand = cand.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    return mmr_rerank(cand, k=5, lam=0.7).orderBy("query_id", "mmr_rank")

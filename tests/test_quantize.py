@@ -122,3 +122,50 @@ def test_sq_quantized_knn_recall(spark, sf001):
     exact = knn(emb, qv, 10, round_digits=6).collect()
     overlap = {r["vec_id"] for r in approx} & {r["vec_id"] for r in exact}
     assert len(overlap) >= 8
+
+
+def test_mmr_matches_python_model_and_diversifies(spark, sf001):
+    """p13's distributed MMR equals a straight Python re-implementation
+    over the same collected candidates, and never ranks a near-duplicate
+    of an already-selected doc above a diverse alternative."""
+    import numpy as np
+
+    from mtg_vector_db_spark.operators.diversify import mmr_select
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    out = registry.QUERIES["p13_mmr_diversify"](spark, sf001).collect()
+    assert {r["query_id"] for r in out} == set(range(5))
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    from mtg_vector_db_spark.operators.knn import knn_join
+
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cand = (
+        knn_join(emb, queries_df, k=20, round_digits=6)
+        .join(emb, "vec_id")
+        .collect()
+    )
+    by_q: dict[int, list] = {}
+    for r in cand:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: (-r["sim"], r["vec_id"]))
+        V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        picks = mmr_select(
+            np.array([r["sim"] for r in rows]), V @ V.T, 5, 0.7
+        )
+        expect = [
+            (qid, rows[i]["vec_id"], rank + 1, round(v, 6))
+            for rank, (i, v) in enumerate(picks)
+        ]
+        got = [
+            (r["query_id"], r["doc_id"], r["mmr_rank"], r["mmr_score"])
+            for r in out
+            if r["query_id"] == qid
+        ]
+        assert got == expect
