@@ -312,3 +312,43 @@ oracle(
     FROM r GROUP BY label ORDER BY label
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Metadata-filtered KNN — the "WHERE lang = 'en' ORDER BY embedding <=> q"
+# shape (pgvector filtered search; the reference's P7 equality filters
+# composed with K1). The filter lands in the scan (PushedFilters) so the
+# top-k only scores matching rows — at 100 TB this is the difference
+# between scanning a partition and scanning the corpus.
+# ---------------------------------------------------------------------------
+@query("v08_filtered_knn")
+def v08_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.knn import knn
+
+    docs, emb = tables(spark, sf_dir, "documents", "embeddings")
+    qv = query_vector(spark, sf_dir)
+    en = docs.filter(F.col("lang") == "en").select("doc_id", "lang")
+    filtered = emb.join(
+        F.broadcast(en), emb["vec_id"] == en["doc_id"]
+    ).select("vec_id", "embedding", "lang")
+    return (
+        knn(filtered, qv, k=10, round_digits=R)
+        .join(F.broadcast(en), F.col("vec_id") == en["doc_id"])
+        .select(F.col("vec_id").alias("doc_id"), "lang", "sim")
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+    )
+
+
+oracle(
+    "v08_filtered_knn",
+    f"""
+    WITH top AS (
+      SELECT e.vec_id AS doc_id, d.lang, {_SIM} AS sim
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+      WHERE d.lang = 'en'
+      ORDER BY sim DESC, e.vec_id ASC
+      LIMIT 10
+    )
+    SELECT doc_id, lang, sim FROM top ORDER BY sim DESC, doc_id ASC
+    """,
+)
