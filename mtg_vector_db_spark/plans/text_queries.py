@@ -539,3 +539,50 @@ oracle(
     SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Trigram set-similarity JOIN (operators/fuzzy_join.py): the many-to-many
+# entity-resolution form of the fuzzy tier — exact pg_trgm similarity from
+# posting counts alone (sim = inter/(|A|+|B|-inter)), no cross join, no
+# per-pair array re-intersection. Disjoint partkey slices stand in for two
+# tables being resolved against each other; id bounds keep the demo
+# scale-stable.
+# ---------------------------------------------------------------------------
+@query("t15_fuzzy_name_join")
+def t15_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.fuzzy_join import trigram_join
+
+    (part,) = tables(spark, sf_dir, "part")
+    left = part.filter(F.col("p_partkey") < 500)
+    right = part.filter(
+        (F.col("p_partkey") >= 500) & (F.col("p_partkey") < 1000)
+    )
+    return trigram_join(
+        left, right, "p_partkey", "p_name", "p_partkey", "p_name",
+        threshold=0.6, round_digits=R,
+    ).orderBy(F.desc("sim"), F.asc("id_l"), F.asc("id_r"))
+
+
+def _t15_oracle() -> str:
+    from mtg_vector_db_spark.functions.trigram import duckdb_trigram_set_sql
+
+    tris = duckdb_trigram_set_sql("p_name")
+    return f"""
+    WITH l AS (SELECT p_partkey AS id_l, {tris} AS tris FROM part
+               WHERE p_partkey < 500),
+    lp AS (SELECT id_l, len(tris) AS n_l, unnest(tris) AS tri FROM l),
+    r AS (SELECT p_partkey AS id_r, {tris} AS tris FROM part
+          WHERE p_partkey >= 500 AND p_partkey < 1000),
+    rp AS (SELECT id_r, len(tris) AS n_r, unnest(tris) AS tri FROM r),
+    j AS (SELECT id_l, id_r, n_l, n_r, count(*) AS inter
+          FROM lp JOIN rp USING (tri) GROUP BY 1, 2, 3, 4)
+    SELECT id_l, id_r,
+           round(inter * 1.0 / (n_l + n_r - inter), {R}) AS sim
+    FROM j
+    WHERE round(inter * 1.0 / (n_l + n_r - inter), {R}) >= 0.6
+    ORDER BY sim DESC, id_l ASC, id_r ASC
+    """
+
+
+oracle("t15_fuzzy_name_join", _t15_oracle())

@@ -89,3 +89,54 @@ def test_hybrid_includes_both_arms(spark, sf001):
     # possible single-arm contribution iff some doc appears in both lists.
     both = [r for r in rows if r["rrf"] > round(1 / 61, 6)]
     assert both, "expected at least one doc retrieved by both arms"
+
+
+def test_trigram_join_counts_equal_pairwise_similarity(spark, sf001):
+    """The posting-count formula must equal computing pg_trgm similarity
+    directly on the joined name pairs."""
+    from mtg_vector_db_spark.functions.trigram import trigram_similarity
+    from mtg_vector_db_spark.operators.fuzzy_join import trigram_join
+
+    part = spark.read.parquet(f"{sf001}/part.parquet")
+    left = part.filter(F.col("p_partkey") < 200)
+    right = part.filter(
+        (F.col("p_partkey") >= 200) & (F.col("p_partkey") < 400)
+    )
+    joined = trigram_join(
+        left, right, "p_partkey", "p_name", "p_partkey", "p_name",
+        threshold=0.5,
+    )
+    ln = left.select(F.col("p_partkey").alias("id_l"), F.col("p_name").alias("name_l"))
+    rn = right.select(F.col("p_partkey").alias("id_r"), F.col("p_name").alias("name_r"))
+    direct = (
+        joined.join(ln, "id_l").join(rn, "id_r")
+        .withColumn(
+            "direct",
+            F.round(trigram_similarity(F.col("name_l"), F.col("name_r")), 6),
+        )
+    )
+    assert direct.count() > 0
+    assert direct.filter(F.col("sim") != F.col("direct")).count() == 0
+
+
+def test_trigram_join_df_cap_keeps_identical_names(spark, sf001):
+    """With a generous trigram-df cap, exact-duplicate names (sim 1.0)
+    must survive blocking."""
+    from mtg_vector_db_spark.operators.fuzzy_join import trigram_join
+
+    part = spark.read.parquet(f"{sf001}/part.parquet")
+    left = part.filter(F.col("p_partkey") < 500)
+    right = part.filter(
+        (F.col("p_partkey") >= 500) & (F.col("p_partkey") < 1000)
+    )
+    exact = trigram_join(
+        left, right, "p_partkey", "p_name", "p_partkey", "p_name",
+        threshold=0.999,
+    )
+    capped = trigram_join(
+        left, right, "p_partkey", "p_name", "p_partkey", "p_name",
+        threshold=0.999, max_tri_df=10_000,
+    )
+    e = {(r["id_l"], r["id_r"]) for r in exact.collect()}
+    c = {(r["id_l"], r["id_r"]) for r in capped.collect()}
+    assert e and e == c
