@@ -49,6 +49,7 @@ HEADLINE = [
     "p11_bq_rerank_search",     # binary-quantized search + exact rescore
     "p12_passage_maxp",         # chunk + BM25 + MaxP passage retrieval
     "c03_split_contamination",  # corpus-pipeline contamination check
+    "t15_fuzzy_name_join",      # trigram set-similarity entity-resolution join
 ]
 
 

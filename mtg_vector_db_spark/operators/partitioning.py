@@ -90,7 +90,7 @@ def hot_keys(df: DataFrame, key: str, top: int = 10) -> DataFrame:
         df.groupBy(key)
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("share", F.col("n") / F.lit(float(total)))
-        .orderBy(F.desc("n"))
+        .orderBy(F.desc("n"), F.asc(key))
         .limit(top)
     )
 

@@ -27,19 +27,24 @@ WORD_BITS = 32  # 32 bits per packed word: stays positive in a signed long
 
 def binary_signature(c: Column, dim: int) -> Column:
     """Sign-bit signature of an ``array<float>``: array of ceil(dim/32)
-    longs, bit b of word w set iff ``c[w*32+b] > 0``."""
+    longs, bit b of word w set iff ``c[w*32+b] > 0``.
+
+    MSB-first Horner fold (``acc*2 + indicator``) — pure long arithmetic.
+    An LSB-first ``acc + pow(2, b)`` formulation computes the same values
+    but its 32 POWER() calls per word cost ~0.7 s more codegen/JIT on the
+    first run of a plan (measured cold-process at sf0.1)."""
     n_words = math.ceil(dim / WORD_BITS)
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_words - 1)),
         lambda w: F.aggregate(
-            F.sequence(F.lit(0), F.lit(WORD_BITS - 1)),
-            F.lit(0.0),
-            lambda acc, b: acc
+            F.sequence(F.lit(WORD_BITS - 1), F.lit(0), F.lit(-1)),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc * 2
             + F.when(
                 F.element_at(c, (w * WORD_BITS + b + 1).cast("int")) > 0,
-                F.pow(F.lit(2.0), b.cast("double")),
-            ).otherwise(F.lit(0.0)),
-        ).cast("long"),
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
     )
 
 

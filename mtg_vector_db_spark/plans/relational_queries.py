@@ -839,3 +839,31 @@ oracle(
     FROM f GROUP BY 1 ORDER BY split
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Skew diagnosis surfaced as a query (operators/partitioning.py:hot_keys):
+# the measurement run before choosing between AQE skew-split, salting, or
+# broadcast for a hot join key. One hash aggregation + TakeOrdered.
+# ---------------------------------------------------------------------------
+@query("r24_hot_keys")
+def r24_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.partitioning import hot_keys
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    out = hot_keys(orders, "o_custkey", top=10)
+    return out.select(
+        "o_custkey", "n", F.round("share", 9).alias("share")
+    ).orderBy(F.desc("n"), F.asc("o_custkey"))
+
+
+oracle(
+    "r24_hot_keys",
+    """
+    WITH c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey),
+    t AS (SELECT count(*) AS total FROM orders)
+    SELECT o_custkey, n, round(n * 1.0 / total, 9) AS share
+    FROM c CROSS JOIN t
+    ORDER BY n DESC, o_custkey ASC LIMIT 10
+    """,
+)
