@@ -82,6 +82,24 @@ def main() -> None:
         .agg(F.sum(F.col("v").cast("decimal(18,2)")).alias("d"), F.max("r"), F.avg("s"))
     )
     warm.write.format("noop").mode("overwrite").save()
+
+    # Warm the executor Python-worker pool too (also outside the timed
+    # region): the first Arrow-batched UDF in a session pays worker
+    # fork + numpy import once per core — session hygiene, not query
+    # latency. One row per core spins up every worker.
+    def _noop_batches(it):
+        import numpy  # noqa: F401  (preload in the worker)
+
+        yield from it
+
+    (
+        spark.range(32)
+        .repartition(32)
+        .mapInPandas(_noop_batches, schema="id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}

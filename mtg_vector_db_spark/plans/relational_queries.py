@@ -867,3 +867,250 @@ oracle(
     ORDER BY n DESC, o_custkey ASC LIMIT 10
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: distribution of orders-per-customer INCLUDING the zero
+# bucket — a left outer join into a double aggregation. The outer join is
+# what makes it different from a plain groupBy: inner would silently drop
+# order-less customers. count(o_orderkey) counts non-null only, so the
+# no-order group lands in c_count = 0. Scale note: both aggregations key on
+# high-cardinality then low-cardinality columns — the second is nearly free;
+# the join itself shuffles on c_custkey/o_custkey unless AQE broadcasts.
+# ---------------------------------------------------------------------------
+@query("r25_order_count_distribution")
+def r25_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+oracle(
+    "r25_order_count_distribution",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders — aggregate lineitem per order,
+# HAVING-filter on the sum, then join back to orders and customer. The
+# having-filter runs BEFORE the joins, so only the tiny qualifying set is
+# joined (semi-join pushback the reference gets from Postgres for free).
+# ---------------------------------------------------------------------------
+@query("r26_large_volume_orders")
+def r26_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li = tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum2(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.round(F.col("o_totalprice").cast(DEC).cast("double"), 2).alias(
+                "o_totalprice"
+            ),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+oracle(
+    "r26_large_volume_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) > 150
+    )
+    SELECT c.c_name, c.c_custkey, b.l_orderkey AS o_orderkey,
+           CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+           round(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2)
+             AS o_totalprice,
+           b.total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: order-priority count over orders that HAVE at least one
+# late-shipped line (l_shipdate > o_orderdate + 30 days) — an EXISTS that
+# must be a LEFT SEMI join, not inner: inner would double-count orders with
+# several late lines. The semi join needs only l_orderkey + l_shipdate from
+# lineitem (column pruning keeps the probe narrow).
+# ---------------------------------------------------------------------------
+@query("r27_priority_late_orders")
+def r27_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    late = li.select("l_orderkey", "l_shipdate")
+    joined = orders.join(
+        late,
+        (orders.o_orderkey == late.l_orderkey)
+        & (late.l_shipdate > F.date_add(orders.o_orderdate, 30)),
+        "left_semi",
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+oracle(
+    "r27_priority_late_orders",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: cheapest-supplier-per-part — the correlated MIN subquery
+# re-expressed as a window min over the (part, supplier) unit-cost relation
+# (lineitem stands in for partsupp). min() OVER (PARTITION BY part) + filter
+# computes the correlated threshold in ONE shuffle on l_partkey instead of a
+# per-row subquery; ties broken by supplier key for determinism.
+# ---------------------------------------------------------------------------
+@query("r28_min_cost_supplier")
+def r28_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, supp, li = tables(spark, sf_dir, "part", "supplier", "lineitem")
+    # Unit cost at 6-dp decimal: exact, engine-invariant min/compare.
+    cost = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice").cast(DEC) / F.col("l_quantity").cast(DEC))
+            .cast("decimal(18,6)")
+            .alias("unit_cost"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_cost").alias("supply_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("min_cost", F.min("supply_cost").over(w)).filter(
+        F.col("supply_cost") == F.col("min_cost")
+    )
+    return (
+        best.join(part, best.l_partkey == part.p_partkey)
+        .filter(F.col("p_brand") == "Brand#13")
+        .join(supp, best.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round(F.col("supply_cost").cast("double"), 6).alias("supply_cost"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+oracle(
+    "r28_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                      / CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,6)))
+               AS supply_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name,
+           round(CAST(c.supply_cost AS DOUBLE), 6) AS supply_cost
+    FROM cost c
+    JOIN part p ON c.l_partkey = p.p_partkey
+    JOIN supplier s ON c.l_suppkey = s.s_suppkey
+    WHERE p.p_brand = 'Brand#13'
+      AND c.supply_cost = (
+        SELECT min(c2.supply_cost) FROM cost c2
+        WHERE c2.l_partkey = c.l_partkey
+      )
+    ORDER BY p.p_partkey, s.s_name
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: rich-but-idle customers — acctbal above the global mean
+# of positive balances AND no orders. The scalar aggregate is computed once
+# and folded into the filter (Spark: crossJoin of a 1-row aggregate, which
+# BroadcastNestedLoopJoin turns into a broadcast scalar); the NOT EXISTS is
+# a left anti join. Sum in decimal so the threshold is bit-identical across
+# engines — a float-boundary customer must fall on the same side in both.
+# ---------------------------------------------------------------------------
+@query("r29_idle_rich_customers")
+def r29_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, nation = tables(spark, sf_dir, "customer", "orders", "nation")
+    thresh = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast(DEC)) / F.count(F.lit(1)))
+        .cast("decimal(18,6)")
+        .alias("avg_bal")
+    )
+    idle = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        idle.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal").cast("decimal(18,6)") > F.col("avg_bal"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum2(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+oracle(
+    "r29_idle_rich_customers",
+    """
+    WITH t AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) / count(*)
+                  AS DECIMAL(18,6)) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name, count(*) AS numcust,
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS totacctbal
+    FROM customer c CROSS JOIN t
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,6)) > t.avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      )
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
