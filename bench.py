@@ -48,6 +48,7 @@ HEADLINE = [
     "p10_hybrid_rrf",           # hybrid BM25+vector RRF fusion
     "p11_bq_rerank_search",     # binary-quantized search + exact rescore
     "p12_passage_maxp",         # chunk + BM25 + MaxP passage retrieval
+    "p14_pq_adc_search",        # product-quantized ADC search + rescore
     "c03_split_contamination",  # corpus-pipeline contamination check
     "t15_fuzzy_name_join",      # trigram set-similarity entity-resolution join
 ]

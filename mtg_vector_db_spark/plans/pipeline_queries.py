@@ -548,3 +548,24 @@ def p13_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
     )
     return mmr_rerank(cand, k=5, lam=0.7).orderBy("query_id", "mmr_rank")
+
+
+# ---------------------------------------------------------------------------
+# Product-quantized ANN (operators/quantize.py pq_*): train per-subspace
+# codebooks, encode the corpus to m 4-bit-ish codes, search by ADC table
+# lookups, exact-cosine rescore of k·4 survivors — the IVF-PQ scan kernel
+# re-expressed on DataFrames. K-means training makes the codes
+# data-dependent in a way SQL can't replay — rows-only gate; encode/ADC
+# parity vs a pure-numpy model and recall floors vs exact KNN are pinned in
+# tests/test_quantize.py.
+# ---------------------------------------------------------------------------
+@query("p14_pq_adc_search")
+def p14_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.quantize import pq_search, pq_train
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir)
+    cbs = pq_train(emb, m=8, n_codes=16)
+    return pq_search(emb, cbs, qv, k=10, oversample=4, round_digits=R).orderBy(
+        F.desc("sim"), F.asc("doc_id")
+    )

@@ -169,3 +169,83 @@ def test_mmr_matches_python_model_and_diversifies(spark, sf001):
             if r["query_id"] == qid
         ]
         assert got == expect
+
+
+def _pq_setup(spark, sf001):
+    import numpy as np
+
+    from mtg_vector_db_spark.operators.quantize import pq_train
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    cbs = pq_train(emb, m=8, n_codes=16)
+    rows = emb.select("vec_id", "embedding").collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    ids = [r["vec_id"] for r in rows]
+    return emb, cbs, ids, x
+
+
+def test_pq_encode_matches_numpy_model(spark, sf001):
+    import numpy as np
+
+    from mtg_vector_db_spark.operators.quantize import pq_encode
+
+    emb, cbs, ids, x = _pq_setup(spark, sf001)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(emb, cbs).select("vec_id", "codes").collect()
+    }
+    for row_i, vid in enumerate(ids):
+        expect = []
+        for s in range(8):
+            sub = x[row_i, s * 8 : (s + 1) * 8]
+            cb = np.asarray(cbs[s])
+            expect.append(int(np.argmin(((cb - sub) ** 2).sum(1))))
+        assert got[vid] == expect, vid
+    assert all(0 <= c < 16 for codes in got.values() for c in codes)
+
+
+def test_pq_adc_matches_numpy_dtable(spark, sf001):
+    import numpy as np
+
+    from mtg_vector_db_spark.operators.quantize import pq_adc_distance, pq_encode
+
+    emb, cbs, ids, x = _pq_setup(spark, sf001)
+    qv = query_vector(spark, sf001)
+    q = np.asarray(qv) / np.linalg.norm(qv)
+    got = {
+        r["vec_id"]: r["adc"]
+        for r in pq_encode(emb, cbs)
+        .select(
+            "vec_id", pq_adc_distance(F.col("codes"), cbs, qv).alias("adc")
+        )
+        .collect()
+    }
+    dtable = []
+    for s in range(8):
+        cb = np.asarray(cbs[s])
+        dtable.append(((cb - q[s * 8 : (s + 1) * 8]) ** 2).sum(1))
+    for row_i, vid in enumerate(ids):
+        expect = 0.0
+        for s in range(8):
+            sub = x[row_i, s * 8 : (s + 1) * 8]
+            cb = np.asarray(cbs[s])
+            expect += dtable[s][int(np.argmin(((cb - sub) ** 2).sum(1)))]
+        assert abs(got[vid] - expect) < 1e-9, vid
+
+
+def test_pq_search_recall_vs_exact(spark, sf001):
+    from mtg_vector_db_spark.operators.quantize import pq_search, pq_train
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    qv = query_vector(spark, sf001)
+    cbs = pq_train(emb, m=8, n_codes=16)
+    exact = {r["vec_id"] for r in knn(emb, qv, 10, round_digits=6).collect()}
+    got = pq_search(emb, cbs, qv, k=10, oversample=4).collect()
+    assert len(got) == 10
+    # 8 subspaces × 16 codes on 64 dims is a fine quantizer; with 4×
+    # oversample + exact rescore it must recover most of the exact top-10.
+    assert len(exact & {r["doc_id"] for r in got}) / len(exact) >= 0.6
+    # rescore output is ordered by exact similarity
+    sims = [r["sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)
