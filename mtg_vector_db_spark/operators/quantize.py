@@ -366,3 +366,41 @@ def sq_reconstruction_error(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def ivfpq_search(
+    emb: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: Sequence[float],
+    k: int,
+    nprobe: int = 2,
+    oversample: int = 4,
+    cluster_col: str = "label",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ: coarse-quantizer cell pruning THEN PQ ADC candidates THEN
+    exact rescore — the composed index structure behind billion-scale ANN
+    (FAISS IVFPQ / pgvector's roadmap shape), on DataFrames.
+
+    The two stages prune independently: IVF cuts the scan to ``nprobe``
+    cells (partition pruning when the corpus is written partitioned by
+    cell), PQ cuts per-row cost inside a cell to m table lookups. With both,
+    a 100 TB corpus reads nprobe/n_cells of its partitions and only the
+    codes column of those."""
+    from mtg_vector_db_spark.operators.ann import ivf_probe_labels
+
+    labels = ivf_probe_labels(centroids, query_vec, nprobe, cluster_col)
+    pruned = emb.filter(F.col(cluster_col).isin(labels))
+    return pq_search(
+        pruned,
+        codebooks,
+        query_vec,
+        k,
+        oversample=oversample,
+        emb_col=emb_col,
+        id_col=id_col,
+        round_digits=round_digits,
+    )

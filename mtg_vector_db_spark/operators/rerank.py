@@ -63,6 +63,37 @@ def parse_score(text: str) -> float:
     return 0.5
 
 
+_PCT = r"(\d+(?:\.\d+)?)\s*%"
+_FRAC = r"(\d+(?:\.\d+)?)\s*/\s*(10|100)\b"
+_BARE = r"\d+(?:\.\d+)?"
+
+
+def parse_score_col(c: F.Column) -> F.Column:
+    """:func:`parse_score` as a pure column expression (db_utils.py:455-495
+    re-expressed JVM-side): %, /10, /100, bare float, 0.5 fallback, clamped
+    to [0,1]. Same regexes, same branch order — and SQL-replayable, which
+    upgrades the score-parsing path from property-tested to oracle-checked.
+    Equality with the Python parser is pinned in tests/test_properties.py."""
+    t = F.trim(c)
+    pct = F.regexp_extract(t, _PCT, 1)
+    num = F.regexp_extract(t, _FRAC, 1)
+    den = F.regexp_extract(t, _FRAC, 2)
+    bare = F.regexp_extract(t, _BARE, 0)
+    bare_v = bare.cast("double")
+    scaled = (
+        F.when(bare_v > 10.0, bare_v / 100.0)
+        .when(bare_v > 1.0, bare_v / 10.0)
+        .otherwise(bare_v)
+    )
+    raw = (
+        F.when(pct != "", pct.cast("double") / 100.0)
+        .when(num != "", num.cast("double") / den.cast("double"))
+        .when(bare != "", scaled)
+        .otherwise(F.lit(0.5))
+    )
+    return F.least(F.lit(1.0), F.greatest(F.lit(0.0), raw))
+
+
 def stub_rerank(
     candidates: DataFrame,
     id_col: str = "doc_id",

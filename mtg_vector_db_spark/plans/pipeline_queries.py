@@ -569,3 +569,130 @@ def p14_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_search(emb, cbs, qv, k=10, oversample=4, round_digits=R).orderBy(
         F.desc("sim"), F.asc("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pointwise rerank scoring (V8, db_utils.py:455-495): retrieve top-20 by
+# cosine, synthesize each candidate's "LLM relevance reply" in one of the
+# five reply formats the reference's parser handles (%, /10, /100, bare
+# float, no-number fallback), parse with the column-expression parser, and
+# blend with retrieval similarity. Every step is JVM expressions, so the
+# whole path — including the regex branch order and clamping — is replayed
+# by the DuckDB oracle.
+# ---------------------------------------------------------------------------
+@query("p15_pointwise_rerank")
+def p15_pointwise_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.rerank import parse_score_col
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir)
+    cand = knn(emb, qv, k=20, round_digits=R).withColumnRenamed("vec_id", "doc_id")
+    d = F.col("doc_id")
+    reply = (
+        F.when(d % 5 == 0, F.concat((d * 37 % 101).cast("string"), F.lit("%")))
+        .when(
+            d % 5 == 1,
+            F.concat(F.lit("Score: "), (d * 7 % 11).cast("string"), F.lit("/10")),
+        )
+        .when(d % 5 == 2, F.concat((d * 13 % 101).cast("string"), F.lit("/100")))
+        .when(
+            d % 5 == 3,
+            F.concat(
+                F.lit("relevance "),
+                (d * 3 % 10).cast("string"),
+                F.lit("."),
+                (d % 10).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("no judgment"))
+    )
+    scored = cand.select(
+        "doc_id",
+        "sim",
+        reply.alias("reply"),
+        F.round(parse_score_col(reply), R).alias("llm_score"),
+    )
+    return (
+        scored.withColumn(
+            "blended",
+            F.round(0.5 * F.col("sim") + 0.5 * F.col("llm_score"), R),
+        )
+        .orderBy(F.desc("blended"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+oracle(
+    "p15_pointwise_rerank",
+    f"""
+    WITH cand AS (
+      SELECT e.vec_id AS doc_id, {_SIM} AS sim
+      FROM embeddings e ORDER BY sim DESC, doc_id ASC LIMIT 20
+    ), reply AS (
+      SELECT doc_id, sim,
+        CASE doc_id % 5
+          WHEN 0 THEN CAST(doc_id*37 % 101 AS VARCHAR) || '%'
+          WHEN 1 THEN 'Score: ' || CAST(doc_id*7 % 11 AS VARCHAR) || '/10'
+          WHEN 2 THEN CAST(doc_id*13 % 101 AS VARCHAR) || '/100'
+          WHEN 3 THEN 'relevance ' || CAST(doc_id*3 % 10 AS VARCHAR)
+                      || '.' || CAST(doc_id % 10 AS VARCHAR)
+          ELSE 'no judgment'
+        END AS reply
+      FROM cand
+    ), parsed AS (
+      SELECT doc_id, sim, reply,
+        round(least(1.0, greatest(0.0,
+          CASE
+            WHEN regexp_matches(trim(reply), '(\\d+(?:\\.\\d+)?)\\s*%')
+              THEN CAST(regexp_extract(trim(reply), '(\\d+(?:\\.\\d+)?)\\s*%', 1) AS DOUBLE) / 100.0
+            WHEN regexp_matches(trim(reply), '(\\d+(?:\\.\\d+)?)\\s*/\\s*(10|100)\\b')
+              THEN CAST(regexp_extract(trim(reply), '(\\d+(?:\\.\\d+)?)\\s*/\\s*(10|100)\\b', 1) AS DOUBLE)
+                   / CAST(regexp_extract(trim(reply), '(\\d+(?:\\.\\d+)?)\\s*/\\s*(10|100)\\b', 2) AS DOUBLE)
+            WHEN regexp_matches(trim(reply), '\\d+(?:\\.\\d+)?')
+              THEN CASE
+                WHEN CAST(regexp_extract(trim(reply), '\\d+(?:\\.\\d+)?', 0) AS DOUBLE) > 10.0
+                  THEN CAST(regexp_extract(trim(reply), '\\d+(?:\\.\\d+)?', 0) AS DOUBLE) / 100.0
+                WHEN CAST(regexp_extract(trim(reply), '\\d+(?:\\.\\d+)?', 0) AS DOUBLE) > 1.0
+                  THEN CAST(regexp_extract(trim(reply), '\\d+(?:\\.\\d+)?', 0) AS DOUBLE) / 10.0
+                ELSE CAST(regexp_extract(trim(reply), '\\d+(?:\\.\\d+)?', 0) AS DOUBLE)
+              END
+            ELSE 0.5
+          END)), {R}) AS llm_score
+      FROM reply
+    )
+    SELECT doc_id, sim, reply, llm_score,
+           round(0.5 * sim + 0.5 * llm_score, {R}) AS blended
+    FROM parsed
+    ORDER BY blended DESC, doc_id ASC LIMIT 10
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composition (operators/quantize.py:ivfpq_search): k-means coarse
+# quantizer (p07's index build — geometric cells, unlike the synthetic
+# `label` column p04 demonstrates pruning with), probe the 2 nearest cells,
+# PQ-ADC inside them, exact rescore — both prunings of the billion-scale
+# ANN stack in one plan. K-means makes it rows-only like p14; recall floor
+# vs same-cells exact KNN is pinned in test_quantize.py.
+# ---------------------------------------------------------------------------
+@query("p16_ivfpq_search")
+def p16_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.ann import kmeans_ivf_build
+    from mtg_vector_db_spark.operators.quantize import ivfpq_search, pq_train
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir)
+    centroids, assigned = kmeans_ivf_build(emb, n_cells=16)
+    cbs = pq_train(emb, m=8, n_codes=16)
+    return ivfpq_search(
+        assigned,
+        centroids,
+        cbs,
+        qv,
+        k=10,
+        nprobe=2,
+        oversample=4,
+        cluster_col="cell",
+        round_digits=R,
+    ).orderBy(F.desc("sim"), F.asc("doc_id"))

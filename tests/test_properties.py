@@ -254,3 +254,28 @@ def test_bpe_tokens_match_python_model(spark):
     for i, t in enumerate(texts):
         expect = pat.findall(t.lower())
         assert got[i] == expect, (t, got[i], expect)
+
+
+def test_parse_score_col_matches_python(spark):
+    """The column-expression parser (oracle-checkable path in p15) computes
+    exactly what the reference-semantics Python parser computes, across all
+    reply formats and the fallback."""
+    from pyspark.sql import functions as F
+
+    from mtg_vector_db_spark.operators.rerank import parse_score, parse_score_col
+
+    replies = [
+        "85%", "7/10", "42/100", "0.73", "relevance 9.5", "3 out of 5",
+        "Score: 10/10", "110%", " 55 % ", "15/10", "0", "1", "10", "11",
+        "99.9", "no judgment", "", "n/a", "rated 8 of 10", "2.5/10",
+        "100/100", "0.0001", "7.", ".5 maybe", "12 / 100", "  ",
+    ]
+    df = spark.createDataFrame([(r,) for r in replies], ["reply"])
+    got = {
+        r["reply"]: r["s"]
+        for r in df.select(
+            "reply", parse_score_col(F.col("reply")).alias("s")
+        ).collect()
+    }
+    for text in replies:
+        assert abs(got[text] - parse_score(text)) < 1e-12, repr(text)

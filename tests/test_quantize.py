@@ -249,3 +249,32 @@ def test_pq_search_recall_vs_exact(spark, sf001):
     # rescore output is ordered by exact similarity
     sims = [r["sim"] for r in got]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_ivfpq_recall_vs_same_cells_exact(spark, sf001):
+    from mtg_vector_db_spark.operators.ann import (
+        ivf_probe_labels,
+        kmeans_ivf_build,
+    )
+    from mtg_vector_db_spark.operators.quantize import ivfpq_search, pq_train
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    qv = query_vector(spark, sf001)
+    centroids, assigned = kmeans_ivf_build(emb, n_cells=16)
+    cbs = pq_train(emb, m=8, n_codes=16)
+    got = ivfpq_search(
+        assigned, centroids, cbs, qv, k=10, nprobe=2, cluster_col="cell"
+    ).collect()
+    assert len(got) == 10
+
+    labels = ivf_probe_labels(centroids, qv, 2, cluster_col="cell")
+    pruned = assigned.filter(F.col("cell").isin(labels))
+    cell_exact = {r["vec_id"] for r in knn(pruned, qv, 10, round_digits=6).collect()}
+    # PQ candidates come only from the probed cells, so the honest baseline
+    # is exact KNN over those same cells.
+    assert len(cell_exact & {r["doc_id"] for r in got}) / 10 >= 0.6
+    sims = [r["sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)
+    # A geometric coarse quantizer must route the query vector's own cell
+    # into the probe set: vec 0 (the query itself) is recalled at sim 1.0.
+    assert got[0]["doc_id"] == 0 and got[0]["sim"] == 1.0
