@@ -220,3 +220,65 @@ oracle(
     FROM ex ORDER BY doc_id, chunk_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus mixing: fill each source's token budget greedily in a
+# deterministic md5-hash order — the "mix N tokens per domain" step that
+# turns a raw corpus + mixture weights into a training set. Hash order (not
+# rand()) makes the draw stable under corpus growth and re-runs, same
+# rationale as c04/r23; the running total is a per-source window cumsum —
+# partitioned by source, never a global window, so at 100 TB each domain
+# fills independently after one shuffle on source.
+# ---------------------------------------------------------------------------
+@query("c06_token_budget_mix")
+def c06_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions.textstats import token_count
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    budget = 600
+    t = docs.select(
+        "source",
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("toks"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept = t.withColumn(
+        "cum_before", F.coalesce(F.sum("toks").over(w), F.lit(0))
+    ).filter(F.col("cum_before") < budget)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+oracle(
+    "c06_token_budget_mix",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id, CAST(len({_TOKS}) AS BIGINT) AS toks,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), c AS (
+      SELECT *, coalesce(sum(toks) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_before
+      FROM t
+    )
+    SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
+    FROM c WHERE cum_before < 600
+    GROUP BY source ORDER BY source
+    """,
+)

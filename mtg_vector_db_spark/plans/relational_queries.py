@@ -1114,3 +1114,57 @@ oracle(
     GROUP BY n.n_name ORDER BY n.n_name
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join, batch-equivalent form (streaming/pipelines.py
+# :attribute_purchases — one plan, two runners): every purchase attributed
+# to the same user's clicks in the trailing hour. Inner pairs from the
+# operator, re-joined LEFT to purchases so zero-click purchases keep a row
+# (the streaming runner emits the same inner pairs incrementally; the test
+# pins stream ≡ batch). Gap arithmetic in integer microseconds — exact in
+# both engines.
+# ---------------------------------------------------------------------------
+@query("r30_purchase_click_attribution")
+def r30_purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.streaming.pipelines import attribute_purchases
+
+    (events,) = tables(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    pairs = attribute_purchases(clicks, purchases, within="1 hour")
+    agg = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_1h"),
+        F.max(F.unix_micros(F.col("click_ts"))).alias("last_click_us"),
+    )
+    return (
+        purchases.select("event_id", "user_id", "ts")
+        .join(agg, "event_id", "left_outer")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("n_clicks_1h"), F.lit(0)).alias("n_clicks_1h"),
+            (F.unix_micros(F.col("ts")) - F.col("last_click_us")).alias(
+                "last_gap_us"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+oracle(
+    "r30_purchase_click_attribution",
+    """
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id,
+           count(c.ts) AS n_clicks_1h,
+           CASE WHEN count(c.ts) > 0
+                THEN epoch_us(p.ts) - max(epoch_us(c.ts)) END AS last_gap_us
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 1 HOUR
+    GROUP BY p.event_id, p.user_id, p.ts
+    ORDER BY p.event_id
+    """,
+)

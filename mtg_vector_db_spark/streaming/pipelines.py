@@ -271,3 +271,47 @@ def streaming_neardup_ingest(
         stream.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def attribute_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-stream (or batch-batch) interval join: each purchase matched
+    to the same user's clicks in the ``within`` window ending at the
+    purchase → ``(event_id, user_id, purchase_ts, click_ts)`` pairs.
+
+    One plan, two runners (this module's convention): on batch frames it is
+    a plain equi-join with a range post-filter; on streaming frames the
+    ``watermark`` plus the two-sided time bound lets Spark size and evict
+    the join state — the canonical watermarked stream-stream join. The join
+    keys on user_id, so both sides shuffle-partition by user; the range
+    condition never becomes a nested-loop.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    p = purchases.select(
+        "event_id",
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if watermark is not None:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            > F.col("purchase_ts") - F.expr(f"INTERVAL {within}")
+        )
+    )
+    return p.join(c, cond, "inner").select(
+        "event_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+    )

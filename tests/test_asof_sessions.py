@@ -266,3 +266,41 @@ def test_asof_join_matches_pandas_merge_asof_random(spark):
     for _, row in merged.iterrows():
         expect = None if pd.isna(row["value"]) else row["value"]
         assert got[row["event_id"]] == expect, row["event_id"]
+
+
+def test_attribute_purchases_stream_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join emits exactly the batch
+    join's pairs once the availableNow run drains both sides."""
+    from mtg_vector_db_spark.streaming.pipelines import attribute_purchases
+
+    sf = "/root/testdata/sf0.001"
+    from mtg_vector_db_spark.plans.registry import events_df
+
+    events = events_df(spark, sf)
+    clicks = events.filter("event_type = 'click'").select("event_id", "user_id", "ts", "value")
+    purchases = events.filter("event_type = 'purchase'").select("event_id", "user_id", "ts", "value")
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks.coalesce(1).write.parquet(cdir)
+    purchases.coalesce(1).write.parquet(pdir)
+
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    cs = spark.readStream.schema(schema).parquet(cdir)
+    ps = spark.readStream.schema(schema).parquet(pdir)
+    out = attribute_purchases(cs, ps, within="1 hour", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = sorted(tuple(r) for r in spark.table("attrib_stream").collect())
+    batch = sorted(
+        tuple(r)
+        for r in attribute_purchases(clicks, purchases, within="1 hour").collect()
+    )
+    assert streamed == batch
+    assert len(batch) > 0
