@@ -1168,3 +1168,303 @@ oracle(
     ORDER BY p.event_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: shipping-class service levels — conditional aggregation
+# over the orders⋈lineitem join. The CASE sums ride the join's shuffle (no
+# extra pass); lineitem is filtered to one year BEFORE the join so the
+# probe side ships only matching rows, and each side is pruned to the 2-3
+# columns used (ReadSchema stays narrow at 100 TB).
+# ---------------------------------------------------------------------------
+@query("r31_shipclass_priority_counts")
+def r31_shipclass_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    year = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        year.join(orders.select("o_orderkey", "o_orderpriority"),
+                  year.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+oracle(
+    "r31_shipclass_priority_counts",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promo-revenue share — a conditional-sum ratio over the
+# part⋈lineitem join, lineitem pre-filtered to one month. Both the promo
+# numerator and the total denominator accumulate in ONE aggregate over the
+# same join (not two queries); sums are exact decimal so the ratio is
+# engine-invariant. part scales with the corpus, so the join shuffles on
+# partkey rather than forcing a broadcast that would OOM at 100 TB (AQE
+# may still pick broadcast when the filtered side is small).
+# ---------------------------------------------------------------------------
+@query("r32_promo_revenue_share")
+def r32_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, li = tables(spark, sf_dir, "part", "lineitem")
+    month = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+    joined = month.join(part.select("p_partkey", "p_type"),
+                        month.l_partkey == F.col("p_partkey"))
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(
+                F.lit(0).cast(DEC4))).cast("double")
+            / F.sum(disc).cast("double"),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.round(F.sum(disc).cast("double"), 4).alias("total_revenue"),
+    )
+
+
+oracle(
+    "r32_promo_revenue_share",
+    """
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))
+                 ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(22,4))) AS DOUBLE), 6) AS promo_revenue_pct,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(22,4))) AS DOUBLE), 4) AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top-revenue supplier — a "view" of per-supplier quarterly
+# revenue whose MAX is folded back as a broadcast scalar (1-row aggregate
+# crossJoin), not a re-scan: the revenue relation is computed once, the max
+# costs one extra tiny stage, and the equality filter is exact because
+# revenue is a decimal sum. At 100 TB the revenue view is the only big
+# shuffle (keyed on suppkey); everything after runs on ~one row per tie.
+# ---------------------------------------------------------------------------
+@query("r33_top_revenue_supplier")
+def r33_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp, li = tables(spark, sf_dir, "supplier", "lineitem")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(disc).alias("total_revenue"))
+    )
+    best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_revenue").cast("double"), 4).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+oracle(
+    "r33_top_revenue_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4)))
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           round(CAST(r.total_revenue AS DOUBLE), 4) AS total_revenue
+    FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: small-quantity-order revenue — the correlated per-part
+# AVG subquery re-expressed as one groupBy on l_partkey joined back to the
+# fact (same single-shuffle trick as r28's window min; here the aggregate
+# relation is far smaller than the fact, so join-back beats a window over
+# every lineitem row). The 0.2·avg threshold is computed in exact decimal
+# so bracket membership is engine-invariant.
+# ---------------------------------------------------------------------------
+@query("r34_small_qty_order_revenue")
+def r34_small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, li = tables(spark, sf_dir, "part", "lineitem")
+    brand = part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    avg_qty = (
+        li.groupBy("l_partkey")
+        .agg(
+            (F.sum(F.col("l_quantity").cast(DEC)) / F.count(F.lit(1)))
+            .cast("decimal(18,6)")
+            .alias("avg_qty")
+        )
+    )
+    thresh = (F.lit(2).cast("decimal(2,1)") * F.col("avg_qty") / F.lit(10)).cast(
+        "decimal(18,7)"
+    )
+    return (
+        li.join(brand, li.l_partkey == brand.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity").cast(DEC) < thresh)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0, 4
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+oracle(
+    "r34_small_qty_order_revenue",
+    """
+    WITH avg_qty AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) / count(*)
+                  AS DECIMAL(18,6)) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                 AS DOUBLE) / 7.0, 4) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#13'
+    JOIN avg_qty a ON l.l_partkey = a.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,2))
+          < CAST(CAST(2 AS DECIMAL(2,1)) * a.avg_qty / 10 AS DECIMAL(18,7))
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: supplier diversity per part attribute — COUNT(DISTINCT
+# suppkey) grouped by (brand, type, size), with an excluded-supplier set
+# (NOT IN → broadcast LEFT ANTI join: the exclusion list is tiny and
+# corpus-independent, so anti-joining it before the distinct agg removes
+# rows at scan parallelism). The distinct-count shuffles once on the group
+# key with the suppkey carried for exact distinct (not approx).
+# ---------------------------------------------------------------------------
+@query("r35_supplier_diversity")
+def r35_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, supp, li = tables(spark, sf_dir, "part", "supplier", "lineitem")
+    excluded = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    eligible = li.select("l_partkey", "l_suppkey").join(
+        F.broadcast(excluded),
+        li.l_suppkey == excluded.s_suppkey,
+        "left_anti",
+    )
+    sel = part.filter(
+        (F.col("p_brand") != "Brand#13") & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        eligible.join(sel, eligible.l_partkey == sel.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(20)
+    )
+
+
+oracle(
+    "r35_supplier_diversity",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive bracket predicate (OR of AND-groups mixing
+# part and lineitem attributes) — the classic "can't push the whole WHERE
+# to either side" case. Spark extracts the per-side IN/range conjuncts it
+# CAN push (partial predicate pushdown via CNF), joins on partkey, and
+# evaluates the residual disjunction in whole-stage codegen — one pass, no
+# per-branch union of three scans.
+# ---------------------------------------------------------------------------
+@query("r36_bracket_revenue")
+def r36_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, li = tables(spark, sf_dir, "part", "lineitem")
+    j = li.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount").join(
+        part.select("p_partkey", "p_type", "p_size"),
+        li.l_partkey == part.p_partkey,
+    )
+    brackets = (
+        ((F.col("p_type") == "PROMO") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_type") == "ECONOMY") & F.col("p_size").between(11, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_type") == "SMALL") & F.col("p_size").between(26, 50)
+           & (F.col("l_quantity") >= 20))
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+    return j.filter(brackets).agg(
+        F.round(F.sum(disc).cast("double"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+oracle(
+    "r36_bracket_revenue",
+    """
+    SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(22,4))) AS DOUBLE), 4) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p_type = 'PROMO'   AND p_size BETWEEN 1  AND 10
+           AND l_quantity BETWEEN 1  AND 20)
+       OR (p_type = 'ECONOMY' AND p_size BETWEEN 11 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_type = 'SMALL'   AND p_size BETWEEN 26 AND 50
+           AND l_quantity >= 20)
+    """,
+)
+
