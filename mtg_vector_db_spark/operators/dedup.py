@@ -72,27 +72,63 @@ def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as ONE array column: element i is the
-    lexicographic min of md5(shingle || '#i') across the shingle set.
-    Hex-string min avoids any engine-specific integer hashing while
-    preserving the MinHash property (a uniform "random" permutation per
-    seed).
+MINHASH_P = 2147483647  # Mersenne prime 2^31-1: products stay under 2^62
 
-    Deliberately a single nested expression (transform over the seed
-    sequence), NOT num_hashes sibling projection columns: emitting many
-    lambda-bearing expressions in one projection silently corrupts their
-    results in this Spark version (observed: 16 array_min(transform(md5))
-    columns evaluate to values that are md5 of nothing; the identical
-    computation as one nested transform, or as explode+groupBy-min, is
-    correct — pinned by tests/test_properties.py against hashlib)."""
+
+def minhash_coeffs(num_hashes: int = 16) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_k, b_k) mod MINHASH_P.
+
+    a_k is never 0 (odd multiples of a golden-ratio constant mod a prime
+    larger than both factors), so each h ↦ (a·h + b) mod p is a proper
+    permutation-ish universal hash. Shared verbatim by the DuckDB oracle
+    and the hashlib property model."""
+    return [
+        (
+            (2654435761 * (2 * k + 1)) % MINHASH_P,
+            (40503 * (k + 1) + 2654435769) % MINHASH_P,
+        )
+        for k in range(num_hashes)
+    ]
+
+
+def minhash_hash_values(shingle_col: Column) -> Column:
+    """Per-shingle 31-bit base hash: fold the first 15 hex chars of
+    md5(shingle) into a 60-bit int (``conv``), reduce mod MINHASH_P.
+    Computed ONCE per shingle — the num_hashes seed variants are cheap
+    integer mixes of this value (see :func:`minhash_signature`), which is
+    what keeps MinHash at one md5 per shingle instead of num_hashes of
+    them (measured ~10× on the signature stage)."""
     return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda k: F.array_min(
-            F.transform(
-                shingle_col,
-                lambda s: F.md5(F.concat(s, F.lit("#"), k.cast("string"))),
-            )
+        shingle_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_P,
+    )
+
+
+def minhash_signature(hash_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as ONE array column over pre-computed base
+    hashes (:func:`minhash_hash_values`): element k is
+    min over shingles of (a_k·h + b_k) mod p — the standard universal-hash
+    MinHash family, exactly replayable in SQL (pure 64-bit int arithmetic,
+    no engine-specific hashing).
+
+    Deliberately a single nested expression (transform over the literal
+    coefficient array), NOT num_hashes sibling projection columns: emitting
+    many lambda-bearing expressions in one projection silently corrupts
+    their results in this Spark version (observed: 16 array_min(transform)
+    columns evaluate to garbage; the identical computation as one nested
+    transform is correct — pinned by tests/test_properties.py against a
+    hashlib model)."""
+    coeffs = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in minhash_coeffs(num_hashes)
+        ]
+    )
+    return F.transform(
+        coeffs,
+        lambda c: F.array_min(
+            F.transform(hash_col, lambda h: (c["a"] * h + c["b"]) % MINHASH_P)
         ),
     )
 
@@ -186,8 +222,11 @@ def minhash_lsh_pairs(
     sh = widen(docs).select(
         F.col(id_col), word_shingles(F.col(text_col)).alias("shingles")
     )
-    sig = sh.select(
-        id_col, minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    # Base hashes materialized in their own projection so the md5 fold runs
+    # once per shingle; the signature projection then only does int mixes.
+    hv = sh.select(id_col, minhash_hash_values(F.col("shingles")).alias("hv"))
+    sig = hv.select(
+        id_col, minhash_signature(F.col("hv"), num_hashes).alias("sig")
     )
 
     band_structs = F.array(
@@ -197,7 +236,7 @@ def minhash_lsh_pairs(
                 F.concat_ws(
                     "|",
                     *[
-                        F.get(F.col("sig"), b * rows_per_band + r)
+                        F.get(F.col("sig"), b * rows_per_band + r).cast("string")
                         for r in range(rows_per_band)
                     ],
                 ).alias("band_key"),

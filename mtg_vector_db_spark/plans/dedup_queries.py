@@ -94,7 +94,9 @@ oracle(
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding (16 hashes, 4 bands × 4 rows) + exact verify — the
-# scale path. The oracle replays the identical LSH in SQL.
+# scale path. The oracle replays the identical LSH in SQL: same md5 fold to
+# a 31-bit base hash, same (a_k·h + b_k) mod p universal-hash mixes, same
+# band keys — exact integer arithmetic in both engines.
 # ---------------------------------------------------------------------------
 @query("d03_minhash_lsh_pairs")
 def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,20 +104,34 @@ def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, verify_threshold=0.5).orderBy("id_a", "id_b")
 
 
+_MH_P = D.MINHASH_P
+_MH_A = "[" + ", ".join(str(a) for a, _ in D.minhash_coeffs(16)) + "]"
+_MH_B = "[" + ", ".join(str(b) for _, b in D.minhash_coeffs(16)) + "]"
+_MH_HV = (
+    "list_transform(shingles, s -> list_reduce("
+    "list_transform(range(1, 16), i -> "
+    "CAST(strpos('0123456789abcdef', substring(md5(s), i, 1)) AS BIGINT) - 1), "
+    f"(x, y) -> x * 16 + y) % {_MH_P})"
+)
+
 oracle(
     "d03_minhash_lsh_pairs",
     f"""
     WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+    hv AS (SELECT doc_id, shingles, {_MH_HV} AS hv FROM sh),
     sig AS (
       SELECT doc_id, shingles,
              list_transform(range(0, 16), k ->
-               list_aggregate(list_transform(shingles,
-                 s -> md5(s || '#' || CAST(k AS VARCHAR))), 'min')) AS sig
-      FROM sh
+               list_aggregate(list_transform(hv,
+                 h -> (({_MH_A})[k+1] * h + ({_MH_B})[k+1]) % {_MH_P}),
+                 'min')) AS sig
+      FROM hv
     ),
     banded AS (
       SELECT doc_id, b AS band,
-             sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4] AS band_key
+             CAST(sig[b*4+1] AS VARCHAR) || '|' || CAST(sig[b*4+2] AS VARCHAR)
+               || '|' || CAST(sig[b*4+3] AS VARCHAR) || '|' || CAST(sig[b*4+4] AS VARCHAR)
+               AS band_key
       FROM sig, range(0, 4) t(b)
     ),
     cand AS (

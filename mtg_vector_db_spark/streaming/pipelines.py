@@ -181,6 +181,7 @@ def streaming_neardup_ingest(
 
     from mtg_vector_db_spark.operators.dedup import (
         jaccard,
+        minhash_hash_values,
         minhash_signature,
         word_shingles,
     )
@@ -195,14 +196,22 @@ def streaming_neardup_ingest(
         sig = sh.select(
             "doc_id",
             "shingles",
-            minhash_signature(F.col("shingles"), 16).alias("sig"),
+            minhash_hash_values(F.col("shingles")).alias("hv"),
+        ).select(
+            "doc_id",
+            "shingles",
+            minhash_signature(F.col("hv"), 16).alias("sig"),
         )
         band_structs = F.array(
             *[
                 F.struct(
                     F.lit(b).alias("band"),
                     F.concat_ws(
-                        "|", *[F.get(F.col("sig"), b * 4 + r) for r in range(4)]
+                        "|",
+                        *[
+                            F.get(F.col("sig"), b * 4 + r).cast("string")
+                            for r in range(4)
+                        ],
                     ).alias("band_key"),
                 )
                 for b in range(4)

@@ -112,13 +112,16 @@ def test_simhash_matches_python_model_on_random_corpus(spark):
 
 
 def py_minhash_sig(text: str, num_hashes: int = 16) -> tuple:
+    from mtg_vector_db_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
     toks = [t for t in re.split(r"\s+", text.lower().strip()) if t]
     sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)} if len(toks) >= 3 else set()
     if not sh:
         return None
+    hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P for s in sh]
     return tuple(
-        min(hashlib.md5((s + f"#{k}").encode()).hexdigest() for s in sh)
-        for k in range(num_hashes)
+        min((a * h + b) % MINHASH_P for h in hs)
+        for a, b in minhash_coeffs(num_hashes)
     )
 
 
@@ -128,13 +131,19 @@ def test_minhash_signature_matches_hashlib_corpus(spark, sf001):
     lambda-bearing projection columns silently evaluated to garbage)."""
     from pyspark.sql import functions as F
 
-    from mtg_vector_db_spark.operators.dedup import minhash_signature, word_shingles
+    from mtg_vector_db_spark.operators.dedup import (
+        minhash_hash_values,
+        minhash_signature,
+        word_shingles,
+    )
 
     docs = spark.read.parquet(f"{sf001}/documents.parquet")
     sh = docs.select("doc_id", "text", word_shingles(F.col("text")).alias("shingles"))
-    rows = sh.select(
-        "doc_id", "text", minhash_signature(F.col("shingles")).alias("sig")
-    ).collect()
+    rows = (
+        sh.select("doc_id", "text", minhash_hash_values(F.col("shingles")).alias("hv"))
+        .select("doc_id", "text", minhash_signature(F.col("hv")).alias("sig"))
+        .collect()
+    )
     assert len(rows) == 500
     checked = 0
     for r in rows:
@@ -152,21 +161,26 @@ def test_minhash_band_keys_match_hashlib(spark, sf001):
     re-introducing the duplicated-lambda corruption downstream."""
     from pyspark.sql import functions as F
 
-    from mtg_vector_db_spark.operators.dedup import minhash_signature, word_shingles
+    from mtg_vector_db_spark.operators.dedup import (
+        minhash_hash_values,
+        minhash_signature,
+        word_shingles,
+    )
 
     docs = spark.read.parquet(f"{sf001}/documents.parquet").filter(
         F.col("doc_id") < 50
     )
     sh = docs.select("doc_id", "text", word_shingles(F.col("text")).alias("shingles"))
     sig = sh.select(
-        "doc_id", "text", minhash_signature(F.col("shingles")).alias("sig")
-    )
+        "doc_id", "text", minhash_hash_values(F.col("shingles")).alias("hv")
+    ).select("doc_id", "text", minhash_signature(F.col("hv")).alias("sig"))
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.concat_ws(
-                    "|", *[F.get(F.col("sig"), b * 4 + r) for r in range(4)]
+                    "|",
+                    *[F.get(F.col("sig"), b * 4 + r).cast("string") for r in range(4)],
                 ).alias("band_key"),
             )
             for b in range(4)
@@ -178,7 +192,9 @@ def test_minhash_band_keys_match_hashlib(spark, sf001):
         if expected is None:
             continue
         b = r["band"]
-        assert r["band_key"] == "|".join(expected[b * 4 : b * 4 + 4]), (r["doc_id"], b)
+        assert r["band_key"] == "|".join(
+            str(v) for v in expected[b * 4 : b * 4 + 4]
+        ), (r["doc_id"], b)
 
 
 def test_textstats_match_python_models_on_corpus(spark, sf001):
