@@ -160,6 +160,48 @@ def chunk_documents(
     )
 
 
+def dedup_keep_set(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply duplicate-cluster resolution: keep each cluster's canonical
+    document (the min-id label, i.e. ``doc_id == cluster_id``) plus every
+    unclustered document — the step that turns :func:`dup_clusters` output
+    into the deduplicated corpus a trainer actually reads.
+
+    Shape at scale: ``clusters`` only contains documents that appeared in
+    a near-dup pair, so it is orders of magnitude smaller than the corpus;
+    the drop set (non-canonical members) is smaller still. The kept corpus
+    is one LEFT ANTI join of the full corpus against that small drop set —
+    broadcastable in practice, and never a shuffle of the corpus itself.
+    """
+    dropped = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return docs.join(F.broadcast(dropped), id_col, "left_anti")
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = ":shuf",
+    out_col: str = "shuffle_key",
+) -> DataFrame:
+    """Attach a deterministic pseudo-random global ordering key:
+    ``md5(key || salt)``. Ordering by it is the corpus shuffle a trainer
+    needs before sequence packing — reproducible across runs and engines
+    (no ``rand()``), and re-salting (e.g. ``:epoch2``) draws an
+    independent order per epoch without touching the data.
+
+    At scale, materialize the order with ``repartitionByRange(out_col)``
+    + ``sortWithinPartitions(out_col)`` — a total order for sequential
+    consumption via range partitioning (two passes: sample + shuffle),
+    never a single-partition global sort; ``orderBy(out_col).limit(k)``
+    previews plan as TakeOrderedAndProject.
+    """
+    key = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    return df.withColumn(out_col, key)
+
+
 def _split(frac: Column) -> Column:
     """The r23 train/eval/test assignment, shared here so contamination
     checks use the identical split."""

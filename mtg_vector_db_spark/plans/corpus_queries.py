@@ -223,6 +223,89 @@ oracle(
 
 
 # ---------------------------------------------------------------------------
+# C7: APPLY dedup — clusters (c01) → canonical keep-set → deduplicated
+# corpus stats. The drop set (non-canonical cluster members) is tiny next
+# to the corpus, so the apply step is one broadcast LEFT ANTI join; the
+# corpus itself is never shuffled. Completes the dedup story: d02/d03 find
+# pairs, c01 resolves clusters, c07 emits what the trainer reads.
+# ---------------------------------------------------------------------------
+@query("c07_dedup_apply")
+def c07_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    bounded = docs.filter(F.col("doc_id") < 1000)
+    pairs = D.exact_jaccard_pairs(bounded, threshold=0.5)
+    clusters = C.dup_clusters(pairs, iters=3)
+    kept = C.dedup_keep_set(bounded, clusters)
+    n_docs = bounded.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_clusters = clusters.agg(
+        F.countDistinct("cluster_id").alias("n_clusters")
+    )
+    return (
+        kept.agg(F.count(F.lit(1)).alias("n_kept"))
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(n_clusters))
+        .select(
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+            "n_clusters",
+        )
+    )
+
+
+oracle(
+    "c07_dedup_apply",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+                WHERE doc_id < 1000),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE {_JACC} >= 0.5
+    ),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    edges AS (SELECT u, v FROM sym UNION ALL SELECT node, node FROM nodes),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    l1 AS ({_PROP.format(prev="l0")}),
+    l2 AS ({_PROP.format(prev="l1")}),
+    l3 AS ({_PROP.format(prev="l2")}),
+    dropped AS (SELECT node FROM l3 WHERE node <> label)
+    SELECT (SELECT count(*) FROM sh) AS n_docs,
+           (SELECT count(*) FROM sh
+            WHERE doc_id NOT IN (SELECT node FROM dropped)) AS n_kept,
+           (SELECT count(*) FROM dropped) AS n_dropped,
+           (SELECT count(DISTINCT label) FROM l3) AS n_clusters
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# C8: deterministic corpus shuffle (operators/corpus.py:
+# deterministic_shuffle) — md5-keyed pseudo-random training order,
+# reproducible and re-salted per epoch. The preview is orderBy+limit =
+# TakeOrderedAndProject (k rows per partition, no global sort); full
+# materialization is repartitionByRange + sortWithinPartitions.
+# ---------------------------------------------------------------------------
+@query("c08_shuffle_order")
+def c08_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    keyed = C.deterministic_shuffle(docs.select("doc_id", "source"))
+    return keyed.orderBy("shuffle_key").limit(20)
+
+
+oracle(
+    "c08_shuffle_order",
+    """
+    SELECT doc_id, source,
+           md5(CAST(doc_id AS VARCHAR) || ':shuf') AS shuffle_key
+    FROM documents ORDER BY shuffle_key LIMIT 20
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Token-budget corpus mixing: fill each source's token budget greedily in a
 # deterministic md5-hash order — the "mix N tokens per domain" step that
 # turns a raw corpus + mixture weights into a training set. Hash order (not
