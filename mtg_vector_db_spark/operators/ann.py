@@ -223,6 +223,76 @@ def kmeans_ivf_build(
     return centroids, assigned
 
 
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    emb_col: str = "embedding",
+    cluster_col: str = "cell",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """Assign vectors to FROZEN IVF cells — the incremental-index-maintenance
+    step: new vectors joining a built index (kmeans_ivf_build) get cells
+    WITHOUT refitting the quantizer (the standard IVF serving recipe; refit
+    is a periodic batch job, not a per-arrival one).
+
+    Same rule as MLlib KMeans.transform: argmin squared-L2 distance over
+    L2-normalized input, computed as ``‖c‖² − 2·(x̂·c)`` (the ‖x̂‖²=1 term
+    is constant). Pure column expression over a literal centroid table —
+    map-side only, no shuffle, no Python: exactly what a 100 TB/day stream
+    needs. The centroid table is collected to the driver; for very large
+    n_cells (≫10⁴) swap the literal for a broadcast-join + window argmin —
+    same semantics, different physical strategy.
+
+    The whole scored array is ONE nested transform (not n_cells sibling
+    lambda columns — see operators/dedup.py:minhash_signature for the
+    sibling-HOF corruption this avoids); argmin is array_min over
+    (dist, cell) structs, tie-broken on cell id.
+    """
+    from mtg_vector_db_spark.functions.vector import dot, l2_normalize
+
+    rows = sorted(
+        centroids.select(cluster_col, centroid_col).collect(),
+        key=lambda r: r[cluster_col],
+    )
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(r[cluster_col]).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in r[centroid_col]]).alias("c"),
+                F.lit(float(sum(x * x for x in r[centroid_col]))).alias("n2"),
+            )
+            for r in rows
+        ]
+    )
+    scored = F.transform(
+        cent_lit,
+        lambda ce: F.struct(
+            (ce["n2"] - 2.0 * dot(ce["c"], F.col("_nx"))).alias("dist"),
+            ce["cell"].alias("cell"),
+        ),
+    )
+    return (
+        emb.withColumn("_nx", l2_normalize(F.col(emb_col)))
+        .withColumn(cluster_col, F.array_min(scored)["cell"])
+        .drop("_nx")
+    )
+
+
+def ivf_index_append(
+    batch: DataFrame,
+    centroids: DataFrame,
+    index_path: str,
+    emb_col: str = "embedding",
+) -> None:
+    """Append a batch of new vectors to an on-disk IVF index: frozen-cell
+    assignment (:func:`ivf_assign`) + append into the cell-partitioned
+    parquet layout — the layout IS the index, so the append keeps every
+    existing byte untouched and the probe path keeps pruning partitions.
+    Used per micro-batch by streaming/pipelines.py:streaming_ivf_ingest."""
+    assigned = ivf_assign(batch, centroids, emb_col=emb_col)
+    assigned.write.mode("append").partitionBy("cell").parquet(index_path)
+
+
 def recall_report(
     emb: DataFrame,
     query_vec: Sequence[float],

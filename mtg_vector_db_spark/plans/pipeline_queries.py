@@ -696,3 +696,59 @@ def p16_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_col="cell",
         round_digits=R,
     ).orderBy(F.desc("sim"), F.asc("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF maintenance (operators/ann.py:ivf_assign): assign every
+# vector to FROZEN cells — the map-side argmin a streaming index append
+# runs per micro-batch (streaming/pipelines.py:streaming_ivf_ingest). Seed
+# centroids are deterministic (the first 8 vectors), so unlike the k-means
+# builds this assignment is fully oracle-exact: DuckDB replays the same
+# ‖c‖² − 2·x̂·c argmin with the same sequential float64 folds.
+# ---------------------------------------------------------------------------
+@query("p17_ivf_assign_cells")
+def p17_ivf_assign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.ann import ivf_assign
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    assigned = ivf_assign(emb, seeds)
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("cell")
+    )
+
+
+oracle(
+    "p17_ivf_assign_cells",
+    """
+    WITH c AS (
+      SELECT CAST(vec_id AS INT) AS cell,
+             CAST(embedding AS DOUBLE[]) AS cvec,
+             list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS n2
+      FROM embeddings WHERE vec_id < 8
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nx
+          FROM e),
+    d AS (SELECT n.vec_id, c.cell,
+                 c.n2 - 2 * list_inner_product(c.cvec, n.nx) AS dist
+          FROM n CROSS JOIN c),
+    a AS (SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cell) AS rn
+            FROM d) WHERE rn = 1)
+    SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+    FROM a GROUP BY cell ORDER BY cell
+    """,
+)

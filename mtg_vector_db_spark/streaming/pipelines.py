@@ -282,6 +282,39 @@ def streaming_neardup_ingest(
     )
 
 
+def streaming_ivf_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    centroids: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    schema: str = "vec_id long, embedding array<float>",
+) -> "DataStreamWriter":
+    """Incremental IVF index maintenance: vectors arriving on a stream are
+    assigned to the FROZEN coarse quantizer (operators/ann.py:ivf_assign —
+    map-side argmin, no shuffle, no refit) and appended into the
+    cell-partitioned parquet layout that IS the index. Existing files are
+    never rewritten; the probe path (ivf_search over the pruned cells)
+    sees new vectors as soon as the batch commits.
+
+    This is the online half of the reference's HNSW build
+    (/root/reference/db/init.sql:50-53 — pgvector inserts update the graph
+    per row): at 100 TB/day the graph walk is replaced by cell append +
+    periodic batch refit (kmeans_ivf_build) when cell-size skew drifts.
+    """
+    from mtg_vector_db_spark.operators.ann import ivf_index_append
+
+    stream = spark.readStream.schema(schema).json(source_dir)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_index_append(batch_df, centroids, index_path)
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
 def attribute_purchases(
     clicks: DataFrame,
     purchases: DataFrame,

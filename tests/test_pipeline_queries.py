@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from mtg_vector_db_spark.operators.rerank import parse_ranking, parse_score
 from mtg_vector_db_spark.plans import registry
@@ -172,3 +173,47 @@ def test_embedding_throughput_beats_reference(spark, sf001):
     rate = n / (time.perf_counter() - t0)
     assert n == 500
     assert rate > 100, f"embedding rate {rate:.0f} docs/s"
+
+
+def test_ivf_assign_matches_mllib_transform(spark, sf001):
+    """Frozen-cell assignment (the incremental-index path) must agree with
+    MLlib KMeans.transform on every vector — same argmin rule, so a vector
+    arriving via the stream lands in the same cell a batch rebuild would
+    put it in."""
+    from mtg_vector_db_spark.operators.ann import ivf_assign, kmeans_ivf_build
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    centroids, assigned = kmeans_ivf_build(emb, n_cells=8)
+    ours = ivf_assign(emb, centroids).select("vec_id", "cell")
+    theirs = assigned.select("vec_id", F.col("cell").alias("mllib_cell"))
+    diff = ours.join(theirs, "vec_id").filter(
+        F.col("cell") != F.col("mllib_cell")
+    )
+    assert diff.count() == 0
+
+
+def test_ivf_index_append_incremental_equals_batch(spark, sf001, tmp_path):
+    """Two incremental appends produce the same cell-partitioned index as
+    one batch assignment: existing files untouched, partition layout
+    preserved, assignments identical."""
+    from mtg_vector_db_spark.operators.ann import (
+        ivf_assign,
+        ivf_index_append,
+        kmeans_ivf_build,
+    )
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    centroids, _ = kmeans_ivf_build(emb, n_cells=8)
+    idx = str(tmp_path / "ivf_index")
+    ivf_index_append(emb.filter(F.col("vec_id") < 250), centroids, idx)
+    ivf_index_append(emb.filter(F.col("vec_id") >= 250), centroids, idx)
+
+    stored = spark.read.parquet(idx).select("vec_id", "cell")
+    expected = ivf_assign(emb, centroids).select(
+        "vec_id", F.col("cell").alias("expected_cell")
+    )
+    assert stored.count() == emb.count()
+    diff = stored.join(expected, "vec_id").filter(
+        F.col("cell") != F.col("expected_cell")
+    )
+    assert diff.count() == 0
