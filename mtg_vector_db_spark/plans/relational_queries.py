@@ -1468,3 +1468,120 @@ oracle(
     """,
 )
 
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item top customers — the "find the problem
+# accounts" report. lineitem is filtered to returns BEFORE its join (the
+# only big shuffle is orders⋈lineitem on orderkey); customer attributes and
+# nation ride broadcast joins; final top-20 is TakeOrderedAndProject on the
+# aggregated (small) per-customer relation.
+# ---------------------------------------------------------------------------
+@query("r37_returned_item_customers")
+def r37_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li, nation = tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    returns = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    window_orders = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    ).select("o_orderkey", "o_custkey")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+    return (
+        returns.join(window_orders, returns.l_orderkey == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(disc).cast("double"), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+oracle(
+    "r37_returned_item_customers",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(22,4))) AS DOUBLE), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: cross-nation trade volume — supplier nation × customer
+# nation pairs by ship year. Two independent dimension chains hang off the
+# fact (supplier→nation broadcast on one side, orders→customer→nation on
+# the other); the nation-pair predicate is evaluated AFTER both joins
+# (either direction of the pair), and the only corpus-sized shuffles are
+# the two fact equi-joins. Group-by is on tiny (pair, year) keys.
+# ---------------------------------------------------------------------------
+@query("r38_nation_pair_volume")
+def r38_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li, supp, nation = tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+    return (
+        li.select(
+            "l_orderkey", "l_suppkey", "l_shipdate",
+            "l_extendedprice", "l_discount",
+        )
+        # supplier scales with the corpus — no forced broadcast; AQE
+        # converts to broadcast when the actual size allows (nation, 25
+        # rows, IS forced).
+        .join(supp.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(disc).cast("double"), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+oracle(
+    "r38_nation_pair_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(22,4))) AS DOUBLE), 4) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
