@@ -1585,3 +1585,44 @@ oracle(
     GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: the pure scan-predicate revenue forecast — no join at
+# all. Exists as the pushdown litmus: every predicate (date range,
+# discount band, quantity cap) reaches the parquet scan as PushedFilters,
+# the scan reads 4 columns, and the aggregate is a single map-side
+# partial + 1-row final. If this plan ever grows a shuffle or a wide
+# ReadSchema, filter/column pushdown regressed.
+# ---------------------------------------------------------------------------
+@query("r39_forecast_revenue")
+def r39_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = tables(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast(DEC4)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+oracle(
+    "r39_forecast_revenue",
+    """
+    SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
+                 AS DECIMAL(22,4))) AS DOUBLE), 4) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
