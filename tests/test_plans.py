@@ -75,6 +75,23 @@ def test_filter_pushdown_reaches_scan(spark, sf001):
     assert "o_orderstatus" in pushed
 
 
+def test_q6_litmus_pushdown_and_pruning(spark, sf001):
+    """r39 is the pushdown litmus: every predicate reaches the scan, the
+    ReadSchema holds exactly the four columns used, and no shuffle beyond
+    the 1-row final aggregate exists."""
+    plan = physical(registry.QUERIES["r39_forecast_revenue"](spark, sf001))
+    scan = plan[plan.index("FileScan"):].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan[scan.index("PushedFilters"):], col
+    schema = scan[scan.index("ReadSchema"):]
+    assert all(
+        c in schema
+        for c in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+    )
+    assert "l_orderkey" not in schema  # pruned
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
 def test_ivf_partitioned_layout_prunes(spark, sf0001, tmp_path):
     """Writing the corpus partitioned by IVF cell turns the nprobe filter
     into scan-time partition pruning — the claim in operators/ann.py."""
