@@ -55,21 +55,29 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 
 
 def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events table with nanosecond-timestamp handling.
+    """Events table with timestamp-encoding normalization.
 
-    The driver writes ``events.parquet`` with ``timestamp[ns]``, which Spark's
-    parquet reader rejects by default (PARQUET_TYPE_ILLEGAL). We read nanos as
-    long (runtime SQL conf — works on any session the driver hands us) and
-    convert to microsecond timestamps, matching DuckDB's own ns→µs truncation
-    so event-time results hash-match the oracle.
+    Driver snapshots have shipped ``events.ts`` as either ``timestamp[us]``
+    (reads natively) or ``timestamp[ns]``, which Spark's parquet reader
+    rejects by default (PARQUET_TYPE_ILLEGAL). We enable nanos-as-long
+    (runtime SQL conf — works on any session the driver hands us) and, when
+    the scan surfaces a long column, convert to microsecond timestamps —
+    matching DuckDB's own ns→µs truncation so event-time results hash-match
+    the oracle either way.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # Integer DIV, not `/`: epoch-nanos (~1.7e18) exceed double's 2^53
-    # integer range, so float division is off by ±1 µs on some rows.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dict(raw.dtypes).get("ts") in ("bigint", "long"):
+        # Integer DIV, not `/`: epoch-nanos (~1.7e18) exceed double's 2^53
+        # integer range, so float division is off by ±1 µs on some rows.
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # timestamp[us] parquet reads as TIMESTAMP_NTZ; with the session zone
+    # pinned UTC the cast is instant-preserving and keeps every downstream
+    # schema (and the driver's schema compare) on plain TimestampType.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_all() -> None:
