@@ -36,6 +36,7 @@ HEADLINE = [
     "r18_click_asof_error",     # as-of join (union+window, one shuffle)
     "r19_sql_shipping_priority",  # SQL surface, 3-way join top-k
     "r35_supplier_diversity",   # anti-join + exact distinct count (Q16)
+    "r44_waiting_suppliers",    # Q21 double-EXISTS as one fact shuffle
     "v01_knn_topk",             # brute-force cosine KNN (TakeOrdered)
     "v03_knn_batch",            # batch-of-queries KNN join
     "v05_knn_numpy_batch",      # Arrow GEMM batch KNN (mapInPandas)

@@ -1626,3 +1626,475 @@ oracle(
       AND l_quantity < 24
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: local supplier volume — the cyclic-join query. The
+# customer→nation and supplier→nation arms must agree (c_nationkey =
+# s_nationkey), which no star-join plan gives for free: we ride the fact
+# table's existing join keys and apply the nation-equality as a residual
+# predicate on the supplier join, so the cycle costs zero extra shuffles.
+# Orders are date-filtered BEFORE the join (pushdown to its scan), and
+# nation⋈region folds to a 25-row broadcast.
+# ---------------------------------------------------------------------------
+@query("r40_local_supplier_volume")
+def r40_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, supp, nation, region = tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
+    )
+    asia = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    orders_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+    return (
+        li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            cust.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        # supplier scales with the corpus — keyed join, with the Q5 cycle
+        # (customer nation == supplier nation) as a residual predicate.
+        .join(
+            supp.select("s_suppkey", "s_nationkey"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(disc).cast("double"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+oracle(
+    "r40_local_supplier_volume",
+    """
+    SELECT n_name,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(22,4))) AS DOUBLE), 4) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share — a conditional-sum RATIO over a
+# six-table join. Both the numerator (target nation's volume) and the
+# denominator (all volume) come out of ONE aggregate over ONE joined
+# relation; a naive translation computes two joined subqueries and merges.
+# Part is filtered to its type before joining (AQE broadcasts the
+# survivor side when small); order dates prune at the orders scan.
+# ---------------------------------------------------------------------------
+@query("r41_market_share")
+def r41_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, supp, nation, region, part = tables(
+        spark, sf_dir,
+        "lineitem", "orders", "customer", "supplier", "nation", "region", "part",
+    )
+    cust_region = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region), nation.n_regionkey == region.r_regionkey
+                ).filter(F.col("r_name") == "ASIA")
+            ),
+            cust.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                  F.col("n_name").alias("supp_nation"))),
+        supp.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    orders_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+    target_vol = F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(
+        F.lit(0).cast(DEC4)
+    )
+    return (
+        li.select("l_orderkey", "l_partkey", "l_suppkey",
+                  "l_extendedprice", "l_discount")
+        .join(
+            part.filter(F.col("p_type") == "ECONOMY").select("p_partkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_region, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(target_vol).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+oracle(
+    "r41_market_share",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+                      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))
+                      ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(22,4))) AS DOUBLE), 6) AS mkt_share,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: product-type profit by nation and year. The driver's
+# tables have no partsupp, so supply cost is modeled as 10% of the part's
+# retail price per unit — the JOIN TOPOLOGY (fact ⋈ filtered part ⋈
+# supplier ⋈ nation ⋈ orders, profit expression mixing columns from three
+# tables) is the point, not the cost constant. The p_name LIKE filter
+# cannot push below the join, so part is pre-filtered and the fact joins
+# only survivors.
+# ---------------------------------------------------------------------------
+@query("r42_product_type_profit")
+def r42_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, supp, nation, part = tables(
+        spark, sf_dir, "lineitem", "orders", "supplier", "nation", "part"
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast(DEC4)
+    return (
+        li.select("l_orderkey", "l_partkey", "l_suppkey",
+                  "l_quantity", "l_extendedprice", "l_discount")
+        .join(
+            part.filter(F.col("p_name").like("%red%"))
+            .select("p_partkey", "p_retailprice"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(supp.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(profit).cast("double"), 4).alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+oracle(
+    "r42_product_type_profit",
+    """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 - 0.1 * p_retailprice * l_quantity
+                 AS DECIMAL(22,4))) AS DOUBLE), 4) AS sum_profit,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2 ORDER BY 1, 2 DESC
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: important-stock value share. partsupp doesn't exist in
+# the driver's schema, so "value" is shipped lineitem value from the
+# target nations' suppliers. The correlated scalar (total value × frac)
+# is computed ONCE from the same aggregated relation and folded back as a
+# broadcast — the per-part relation is aggregated exactly once, never
+# re-scanned (same fold-back discipline as r33/Q15).
+# ---------------------------------------------------------------------------
+@query("r43_important_parts")
+def r43_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, supp, nation = tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    target_supp = supp.join(
+        F.broadcast(
+            nation.filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        ),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    per_part = (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(target_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("value_dec"))
+    )
+    # One extra tiny job (1-row collect) instead of a second full
+    # aggregation pass under a cross join — per_part is cached for reuse.
+    per_part = per_part.cache()
+    threshold = (
+        per_part.agg((F.sum("value_dec") * F.lit(0.001)).alias("t")).head()[0]
+    )
+    return (
+        per_part.filter(F.col("value_dec") > F.lit(float(threshold)))
+        .select(
+            "l_partkey",
+            F.round(F.col("value_dec").cast("double"), 2).alias("value"),
+        )
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+oracle(
+    "r43_important_parts",
+    """
+    WITH val AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      GROUP BY 1)
+    SELECT l_partkey, round(CAST(value_dec AS DOUBLE), 2) AS value
+    FROM val
+    WHERE value_dec > (SELECT sum(value_dec) * 0.001 FROM val)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: suppliers who kept orders waiting — the textbook
+# EXISTS + NOT EXISTS double self-join. Re-planned as ONE aggregation
+# over the order's lineitems: per order, count distinct suppliers,
+# count distinct LATE suppliers, and remember the late one; the Q21
+# condition (multi-supplier order, exactly one late supplier) becomes a
+# post-aggregate filter. Three correlated scans of lineitem collapse to
+# one shuffle on l_orderkey. "Late" = shipped >60 days after order date
+# (the schema has no commit/receipt dates).
+# ---------------------------------------------------------------------------
+@query("r44_waiting_suppliers")
+def r44_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, supp = tables(spark, sf_dir, "lineitem", "orders", "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn("late_supp", F.when(late, F.col("l_suppkey")))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("late_supp").alias("n_late"),
+            F.max("late_supp").alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        per_order.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        # post-aggregate relation is ≤ |supplier| rows — broadcast it into
+        # the name lookup rather than shuffling supplier.
+        .join(supp.select("s_suppkey", "s_name"),
+              F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+oracle(
+    "r44_waiting_suppliers",
+    """
+    WITH flagged AS (
+      SELECT l_orderkey, l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ), per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+             max(CASE WHEN late THEN l_suppkey END) AS late_supp
+      FROM flagged GROUP BY 1)
+    SELECT s_name, count(*) AS numwait
+    FROM per_order JOIN supplier ON late_supp = s_suppkey
+    WHERE n_supp > 1 AND n_late = 1
+    GROUP BY s_name ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Sequential funnel over the events stream (extension): first view →
+# first click within 24 h of it → first purchase within 24 h of that.
+# Each stage is a per-user MIN over a progressively-filtered event set;
+# every stage aggregates and joins on user_id, so after the first
+# exchange the remaining stages reuse the same hash partitioning (no new
+# shuffle key ever appears). Stage relations shrink monotonically —
+# at scale the later joins are broadcastable and AQE converts them.
+# ---------------------------------------------------------------------------
+@query("r45_event_funnel")
+def r45_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionByName(stage(c, "2_click"))
+        .unionByName(stage(p, "3_purchase"))
+        .orderBy("stage")
+    )
+
+
+oracle(
+    "r45_event_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, min(ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE event_type = 'click'
+        AND ts > t_view AND ts <= t_view + INTERVAL 24 HOUR
+      GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, min(ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE event_type = 'purchase'
+        AND ts > t_click AND ts <= t_click + INTERVAL 24 HOUR
+      GROUP BY 1
+    )
+    SELECT '1_view' AS stage, count(*) AS n_users FROM v
+    UNION ALL
+    SELECT '2_click', count(*) FROM c
+    UNION ALL
+    SELECT '3_purchase', count(*) FROM p
+    ORDER BY stage
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (extension): users cohorted by the ISO week of
+# their first event; cell (cohort, k) counts distinct users active k
+# weeks later. One aggregation keys user_id, the join back to events
+# reuses that partitioning, and the distinct collapses (user, cohort, k)
+# before the final small aggregate — the standard two-level shrink that
+# keeps the wide side to exactly two shuffles at any scale.
+# ---------------------------------------------------------------------------
+@query("r46_retention_cohorts")
+def r46_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    ev = events.select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_ts")
+    )
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            F.date_format("cohort_ts", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_ts"))
+                / 7
+            ).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+oracle(
+    "r46_retention_cohorts",
+    """
+    WITH first AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_ts
+      FROM events GROUP BY 1
+    ), act AS (
+      SELECT DISTINCT e.user_id,
+             strftime(cohort_ts, '%Y-%m-%d') AS cohort_week,
+             CAST(date_diff('day', cohort_ts, date_trunc('week', ts)) // 7
+                  AS BIGINT) AS week_offset
+      FROM events e JOIN first USING (user_id)
+    )
+    SELECT cohort_week, week_offset, count(*) AS n_users
+    FROM act GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
