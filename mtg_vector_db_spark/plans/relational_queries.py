@@ -1905,13 +1905,15 @@ oracle(
 
 # ---------------------------------------------------------------------------
 # TPC-H Q21 shape: suppliers who kept orders waiting — the textbook
-# EXISTS + NOT EXISTS double self-join. Re-planned as ONE aggregation
-# over the order's lineitems: per order, count distinct suppliers,
-# count distinct LATE suppliers, and remember the late one; the Q21
+# EXISTS + NOT EXISTS double self-join. Re-planned as TWO-LEVEL
+# aggregation over the order's lineitems: per (order, supplier) fold the
+# late flag, then per order count suppliers and late suppliers; the Q21
 # condition (multi-supplier order, exactly one late supplier) becomes a
-# post-aggregate filter. Three correlated scans of lineitem collapse to
-# one shuffle on l_orderkey. "Late" = shipped >60 days after order date
-# (the schema has no commit/receipt dates).
+# post-aggregate filter. One explicit repartition on l_orderkey serves
+# BOTH levels (hash(l_orderkey) clusters (l_orderkey, l_suppkey) too),
+# so three correlated lineitem scans collapse to one shuffle — and no
+# countDistinct, so no Expand tripling the shuffle either. "Late" =
+# shipped >60 days after order date (no commit/receipt dates in schema).
 # ---------------------------------------------------------------------------
 @query("r44_waiting_suppliers")
 def r44_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1924,12 +1926,15 @@ def r44_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "o_orderdate"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .withColumn("late_supp", F.when(late, F.col("l_suppkey")))
+        .withColumn("is_late", late)
+        .repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("supp_late"))
         .groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct("late_supp").alias("n_late"),
-            F.max("late_supp").alias("late_supp"),
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).alias("n_late"),
+            F.max(F.when(F.col("supp_late"), F.col("l_suppkey"))).alias("late_supp"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
