@@ -2103,3 +2103,109 @@ oracle(
     FROM act GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# CDC latest-state compaction (extension): collapse an append-only event
+# log to one current row per key — the batch half of merge/upsert (the
+# streaming half is foreachBatch upsert in streaming/pipelines.py). One
+# hash aggregate folding max(struct(ts, id, payload…)): a single shuffle
+# with map-side partial folding, vs the window row_number=1 formulation
+# which sorts every partition. (ts, event_id) is a unique key, so the
+# struct max is deterministic.
+# ---------------------------------------------------------------------------
+@query("r47_latest_state_compaction")
+def r47_latest_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    top = F.max(
+        F.struct("ts", "event_id", "event_type", "value")
+    ).alias("s")
+    return (
+        events.select("user_id", "ts", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .agg(top)
+        .select(
+            "user_id",
+            F.col("s.ts").alias("last_ts"),
+            F.col("s.event_type").alias("last_type"),
+            F.round("s.value", 6).alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+oracle(
+    "r47_latest_state_compaction",
+    """
+    SELECT user_id, ts AS last_ts, event_type AS last_type,
+           round(value, 6) AS last_value
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 state history via gaps-and-islands (extension): collapse each
+# user's consecutive same-type event runs into [valid_from, valid_to)
+# intervals, open-ended for the current state — the slowly-changing-
+# dimension build. Change detection (lag), island numbering (running
+# sum), and the valid_to lookup (lead over islands) all window on
+# user_id, and the island aggregation clusters on a superset key — so
+# the whole history builds on ONE exchange of the log.
+# ---------------------------------------------------------------------------
+@query("r48_scd2_history")
+def r48_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn(
+            "changed",
+            F.coalesce(
+                F.lag("event_type").over(w) != F.col("event_type"), F.lit(True)
+            ).cast("int"),
+        )
+        .withColumn("island", F.sum("changed").over(wrun))
+    )
+    wi = Window.partitionBy("user_id").orderBy("island")
+    return (
+        islands.groupBy("user_id", "island", "event_type")
+        .agg(F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events"))
+        .withColumn("valid_to", F.lead("valid_from").over(wi))
+        .select("user_id", "event_type", "valid_from", "valid_to", "n_events")
+        .orderBy("user_id", "valid_from")
+    )
+
+
+oracle(
+    "r48_scd2_history",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS changed
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+      SELECT *, sum(changed) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ), runs AS (
+      SELECT user_id, island, event_type,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM islands GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+             AS valid_to,
+           n_events
+    FROM runs
+    ORDER BY user_id, valid_from
+    """,
+)

@@ -130,3 +130,38 @@ def test_explain_tool_lists_and_prints(spark, sf0001, capsys):
     plan = capsys.readouterr().out
     assert "TakeOrderedAndProject" in plan and "#x" in plan
     assert explain.main(["nope", "--sf-dir", sf0001], spark=spark) == 2
+
+
+def test_q21_single_fact_shuffle_no_expand(spark, sf001):
+    """r44's two-level aggregation must ride ONE exchange of the joined
+    fact (hash(l_orderkey) clusters both grouping keys) and must not use
+    the countDistinct Expand path, which triples shuffle volume."""
+    plan = physical(registry.QUERIES["r44_waiting_suppliers"](spark, sf001))
+    assert "Expand" not in plan
+    # One exchange for the fact repartition, one for the tiny per-supplier
+    # aggregate — never a third.
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_latest_state_is_agg_not_window_sort(spark, sf001):
+    """r47 compacts via max(struct) hash aggregate: partial fold map-side,
+    one shuffle, and no Window/Sort of the log."""
+    plan = physical(registry.QUERIES["r47_latest_state_compaction"](spark, sf001))
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_builds_on_one_log_exchange(spark, sf001):
+    """r48's lag, running-sum, island agg, and lead all cluster on
+    user_id — one exchange of the event log serves the whole history."""
+    plan = physical(registry.QUERIES["r48_scd2_history"](spark, sf001))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q5_cycle_is_residual_not_extra_join(spark, sf001):
+    """r40's nation-equality cycle must not introduce a SortMergeJoin or
+    an exchange keyed on the nation columns."""
+    plan = physical(registry.QUERIES["r40_local_supplier_volume"](spark, sf001))
+    assert "hashpartitioning(c_nationkey" not in plan
+    assert "hashpartitioning(s_nationkey" not in plan
