@@ -2209,3 +2209,78 @@ oracle(
     ORDER BY user_id, valid_from
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample + forward-fill (extension): regularize each user's
+# irregular event stream onto an hourly grid, carrying the last observed
+# value across gaps. The grid is GENERATED (sequence+explode from per-user
+# bounds), never materialized as a dimension table; per-hour observation
+# pick is a max(struct) fold; the fill is one last(ignorenulls) window.
+# Everything keys user_id (the grid join adds the hour only as a
+# secondary key), so data volume per stage is bounded by grid size, and
+# skew follows user activity — AQE's skew-join handles a hot user.
+# ---------------------------------------------------------------------------
+@query("r49_hourly_ffill")
+def r49_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    obs = (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id", hour.alias("hour_ts"))
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("s"))
+        .select("user_id", "hour_ts", F.col("s.value").alias("v"))
+    )
+    bounds = events.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour_ts"
+        ),
+    )
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "hour_ts"], "left")
+        .withColumn(
+            "value_ffill", F.round(F.last("v", ignorenulls=True).over(wfill), 6)
+        )
+        .select("user_id", "hour_ts", "value_ffill")
+        .orderBy("user_id", "hour_ts")
+    )
+
+
+oracle(
+    "r49_hourly_ffill",
+    """
+    WITH bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events GROUP BY 1
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+      FROM bounds
+    ), obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour_ts, value AS v
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id, date_trunc('hour', ts)
+              ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+    )
+    SELECT g.user_id, g.hour_ts,
+           round(last_value(o.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour_ts
+             ROWS UNBOUNDED PRECEDING), 6) AS value_ffill
+    FROM grid g LEFT JOIN obs o
+      ON g.user_id = o.user_id AND g.hour_ts = o.hour_ts
+    ORDER BY 1, 2
+    """,
+)
