@@ -111,6 +111,33 @@ def streaming_ingest(
     )
 
 
+def exactly_once_event_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    out_path: str,
+    checkpoint: str,
+    schema: str = "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double",
+    watermark: str = "1 hour",
+) -> DataStreamWriter:
+    """At-least-once source → effectively-once sink: drop replayed
+    ``event_id``s with ``dropDuplicatesWithinWatermark``, whose dedup
+    state is EVICTED once the watermark passes — bounded memory at any
+    scale, unlike plain ``dropDuplicates`` whose key set grows forever.
+    This is the streaming face of the batch D1 dedup (SURVEY §2.9): same
+    business-key semantics, state limited to the replay horizon.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
 def running_user_totals(
     events: DataFrame,
     timeout_minutes: int = 60,

@@ -304,3 +304,50 @@ def test_attribute_purchases_stream_matches_batch(spark, tmp_path):
     )
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_exactly_once_event_ingest_drops_replays(spark, tmp_path):
+    """Overlapping file batches (an at-least-once replay) land exactly
+    once in the sink; dedup state stays inside the watermark horizon."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.streaming.pipelines import exactly_once_event_ingest
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+
+    def batch(lo: int, hi: int, name: str) -> None:
+        (
+            spark.range(lo, hi)
+            .select(
+                F.col("id").alias("event_id"),
+                F.timestamp_micros(
+                    F.lit(1704067200_000000) + F.col("id") * F.lit(60_000_000)
+                ).alias("ts"),
+                (F.col("id") % 7).alias("user_id"),
+                F.lit("click").alias("event_type"),
+                (F.col("id") * 0.5).alias("value"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(src / name))
+        )
+
+    batch(0, 100, "b1")
+    batch(50, 150, "b2")  # replays 50-99
+
+    q = (
+        exactly_once_event_ingest(
+            spark,
+            str(src) + "/*",
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 150
+    assert out.select("event_id").distinct().count() == 150
