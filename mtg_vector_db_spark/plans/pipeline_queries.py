@@ -752,3 +752,100 @@ oracle(
     FROM a GROUP BY cell ORDER BY cell
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation (extension): MRR and NDCG@10 of the exact
+# KNN arm against label ground truth, per query — the metric computation
+# a retrieval engine runs after every index/model change. Everything is
+# one batch-KNN (queries broadcast) plus per-query aggregates; the ideal
+# DCG is a closed-form fold over sequence(1, min(R,10)) — no lookup
+# table, no driver loop, so the evaluation scales with the query set.
+# ---------------------------------------------------------------------------
+@query("p18_retrieval_metrics")
+def p18_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.knn import knn_join
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("qlabel"),
+    )
+    top = knn_join(
+        emb, queries_df.select("query_id", "query_vec"), k=10, round_digits=R
+    )
+    labeled = top.join(
+        F.broadcast(queries_df.select("query_id", "qlabel")), "query_id"
+    ).join(emb.select("vec_id", "label"), "vec_id")
+    rel = F.col("label") == F.col("qlabel")
+    perq = labeled.groupBy("query_id", "qlabel").agg(
+        F.coalesce(F.max(F.when(rel, 1.0 / F.col("rank"))), F.lit(0.0)).alias("rr"),
+        F.coalesce(
+            F.sum(F.when(rel, 1.0 / F.log2(F.col("rank") + 1))), F.lit(0.0)
+        ).alias("dcg"),
+        F.sum(rel.cast("long")).alias("n_rel_topk"),
+    )
+    # Total relevant per query = corpus size of its label minus itself
+    # (knn_join excludes self) — a broadcast-joined per-label count.
+    label_counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    idcg_n = F.least(F.col("n_label") - 1, F.lit(10))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), idcg_n),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1),
+    )
+    return (
+        perq.join(
+            F.broadcast(label_counts), perq.qlabel == label_counts.label
+        )
+        .select(
+            "query_id",
+            "n_rel_topk",
+            F.round("rr", R).alias("mrr"),
+            F.when(idcg_n <= 0, F.lit(0.0))
+            .otherwise(F.round(F.col("dcg") / idcg, R))
+            .alias("ndcg10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+oracle(
+    "p18_retrieval_metrics",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+             label AS qlabel
+      FROM embeddings WHERE vec_id < 16
+    ), scored AS (
+      SELECT q.query_id, q.qlabel, e.vec_id AS doc_id, e.label,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv),
+                   {R}) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS rank
+      FROM scored
+    ), perq AS (
+      SELECT query_id, qlabel,
+             coalesce(max(CASE WHEN label = qlabel THEN 1.0 / rank END), 0)
+               AS rr,
+             coalesce(sum(CASE WHEN label = qlabel
+                          THEN 1.0 / log2(rank + 1) END), 0) AS dcg,
+             sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS n_rel_topk
+      FROM ranked WHERE rank <= 10 GROUP BY 1, 2
+    ), counts AS (
+      SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1
+    )
+    SELECT query_id, n_rel_topk, round(rr, {R}) AS mrr,
+           CASE WHEN least(n_label - 1, 10) <= 0 THEN 0.0
+                ELSE round(dcg / list_sum(list_transform(
+                       range(1, least(n_label - 1, 10) + 1),
+                       x -> 1.0 / log2(x + 1))), {R})
+           END AS ndcg10
+    FROM perq JOIN counts ON qlabel = label
+    ORDER BY query_id
+    """,
+)
