@@ -2284,3 +2284,60 @@ oracle(
     ORDER BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch hierarchical rollup (extension): per-nation HLL
+# sketches of distinct customers, UNIONED up to region level without
+# rescanning the base table — the only distinct-count pattern that
+# re-aggregates at 100 TB (exact countDistinct can't merge across
+# levels; sketches are the associative carrier). The exact count rides
+# along for the oracle, and ``est_ok`` pins the sketch estimate to ≤5%
+# relative error (Datasketches HLL is deterministic, and exact in
+# sparse mode at oracle scale).
+# ---------------------------------------------------------------------------
+@query("r50_sketch_rollup")
+def r50_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation, region = tables(spark, sf_dir, "customer", "nation", "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    per_nation = joined.groupBy("r_name", "n_name").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.countDistinct("c_custkey").alias("exact_n"),
+    )
+    return (
+        per_nation.groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+            # customers belong to exactly one nation, so the region-exact
+            # count is the sum of nation-exact counts.
+            F.sum("exact_n").alias("exact_customers"),
+        )
+        .select(
+            "r_name",
+            "n_nations",
+            "exact_customers",
+            (
+                F.abs(F.col("est") - F.col("exact_customers"))
+                <= 0.05 * F.col("exact_customers")
+            ).alias("est_ok"),
+        )
+        .orderBy("r_name")
+    )
+
+
+oracle(
+    "r50_sketch_rollup",
+    """
+    SELECT r_name,
+           count(DISTINCT n_name) AS n_nations,
+           count(DISTINCT c_custkey) AS exact_customers,
+           true AS est_ok
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
