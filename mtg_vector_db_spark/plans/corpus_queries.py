@@ -365,3 +365,61 @@ oracle(
     GROUP BY source ORDER BY source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based domain mixing (extension): per-source sampling rates
+# q_s ∝ p_s^0.5 (α = 0.5 — the multilingual corpus-balancing formula),
+# scaled to a 30% token budget. The per-source priors are a dimension-
+# sized aggregate collected once; the APPLICATION is the same map-side
+# deterministic md5 filter as c04 — no shuffle of the corpus, stable
+# under corpus growth. sqrt (exact IEEE) rather than pow keeps the
+# driver-side Python arithmetic bit-identical to the oracle's.
+# ---------------------------------------------------------------------------
+@query("c09_temperature_mix")
+def c09_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    counts = {
+        r["source"]: r["ns"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("ns")).collect()
+    }
+    total = sum(counts.values())
+    pas = {s: math.sqrt(c / total) for s, c in counts.items()}
+    denom = sum(pas[s] for s in sorted(pas))
+    rates = {
+        s: min(1.0, (0.3 * total) * (pas[s] / denom) / counts[s]) for s in counts
+    }
+    kept = C.stratified_sample(
+        docs, "source", "doc_id", rates=rates, default_rate=0.0, salt=":temp"
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+oracle(
+    "c09_temperature_mix",
+    f"""
+    WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(ns) AS DOUBLE) AS total FROM n),
+    pa AS (SELECT source, ns, sqrt(ns / total) AS pas FROM n, tot),
+    den AS (SELECT list_sum(list(pas ORDER BY source)) AS denom FROM pa),
+    rates AS (
+      SELECT source, least(1.0, (0.3 * total) * (pas / denom) / ns) AS rate
+      FROM pa, den, tot
+    ),
+    f AS (
+      SELECT d.source,
+             {_hash_frac("CAST(doc_id AS VARCHAR) || ':temp'")} AS u
+      FROM documents d
+    )
+    SELECT f.source, count(*) AS n_kept
+    FROM f JOIN rates ON f.source = rates.source
+    WHERE u < rate
+    GROUP BY f.source ORDER BY f.source
+    """,
+)
