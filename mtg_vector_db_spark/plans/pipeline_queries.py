@@ -849,3 +849,87 @@ oracle(
     ORDER BY query_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus build (extension): the full pre-training data DAG as
+# ONE lineage — exact dedup (keep lowest doc_id per text), quality gate
+# (composite score ≥ 0.5), deterministic md5 train/eval/test split, and
+# per-(split, lang) reporting. One shuffle for the dedup window, one for
+# the final small aggregate; the quality gate and split are map-side.
+# Averages go through an exact DECIMAL(18,6) sum so the result is
+# partitioning-invariant (same discipline as the money aggregates).
+# ---------------------------------------------------------------------------
+@query("p19_corpus_build_e2e")
+def p19_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions import textstats as TS
+    from mtg_vector_db_spark.functions.text import hash_fraction
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        docs.select("doc_id", "lang", "text")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    scored = deduped.select(
+        "doc_id",
+        "lang",
+        TS.token_count(F.col("text")).alias("n_tokens"),
+        TS.quality_score(F.col("text")).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+    frac = hash_fraction(F.col("doc_id"))
+    split = F.when(frac < 0.8, "train").when(frac < 0.9, "eval").otherwise("test")
+    return (
+        scored.select(split.alias("split"), "lang", "n_tokens", "quality")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def _p19_oracle() -> str:
+    from mtg_vector_db_spark.plans.text_queries import _NOISE, _NTOK, _SW_RATIO
+
+    hash_frac = (
+        "list_sum(list_transform(range(1, 9),"
+        " i -> (strpos('0123456789abcdef',"
+        " substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)"
+        " * power(16, 8 - i))) / 4294967296.0"
+    )
+    return f"""
+    WITH dedup AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1
+    ), scored AS (
+      SELECT doc_id, lang, {_NTOK} AS n_tokens,
+             round(least(1.0, 0.3 + 0.4 * least(1.0, ({_SW_RATIO}) * 4)
+                   + 0.3 * least(1.0, ({_NTOK}) / 100.0)
+                   - 0.5 * ({_NOISE})), 6) AS quality
+      FROM dedup
+    ), gated AS (
+      SELECT *, {hash_frac} AS frac FROM scored WHERE quality >= 0.5
+    )
+    SELECT CASE WHEN frac < 0.8 THEN 'train'
+                WHEN frac < 0.9 THEN 'eval' ELSE 'test' END AS split,
+           lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_quality
+    FROM gated GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+oracle("p19_corpus_build_e2e", _p19_oracle())
