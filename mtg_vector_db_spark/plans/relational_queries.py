@@ -2341,3 +2341,95 @@ oracle(
     GROUP BY r_name ORDER BY r_name
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram (extension): 20 buckets over order value via
+# width_bucket — a single map-side bucket assignment + one small
+# aggregate, the O(n) histogram a dashboard runs over any fact table.
+# ---------------------------------------------------------------------------
+@query("r51_price_histogram")
+def r51_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.width_bucket(
+                F.col("o_totalprice"), F.lit(0.0), F.lit(500000.0), F.lit(20)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("bucket")
+    )
+
+
+oracle(
+    "r51_price_histogram",
+    """
+    -- width_bucket(x, 0, 500000, 20) for in-range x (DuckDB lacks the fn)
+    SELECT CAST(floor(o_totalprice / 25000.0) + 1 AS BIGINT) AS bucket,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Trailing time-RANGE window (extension): per-nation daily revenue with a
+# trailing-7-day rolling sum — the RANGE-frame (value-based, not
+# row-based) window family. The fact aggregates to (nation, day) FIRST,
+# so the window runs over the compacted series; frames stay DECIMAL end
+# to end, making the rolling sums partitioning-invariant.
+# ---------------------------------------------------------------------------
+@query("r52_rolling_revenue")
+def r52_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust, nation = tables(spark, sf_dir, "orders", "customer", "nation")
+    daily = (
+        orders.join(
+            cust.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .groupBy("n_name", F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"))
+    )
+    # RANGE frame over epoch-days: value-based, so gaps in the calendar
+    # contribute nothing (a ROWS frame would silently span gaps).
+    wr = (
+        Window.partitionBy("n_name")
+        .orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.select(
+            "n_name",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("rev_dec").cast("double"), 2).alias("revenue"),
+            F.round(F.sum("rev_dec").over(wr).cast("double"), 2).alias("rev_7d"),
+        )
+        .orderBy("n_name", "day")
+    )
+
+
+oracle(
+    "r52_rolling_revenue",
+    """
+    WITH daily AS (
+      SELECT n_name, CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2')
+      GROUP BY 1, 2
+    )
+    SELECT n_name, strftime(day, '%Y-%m-%d') AS day,
+           round(CAST(rev_dec AS DOUBLE), 2) AS revenue,
+           round(CAST(sum(rev_dec) OVER (
+             PARTITION BY n_name ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+             AS DOUBLE), 2) AS rev_7d
+    FROM daily ORDER BY n_name, day
+    """,
+)
