@@ -2433,3 +2433,85 @@ oracle(
     FROM daily ORDER BY n_name, day
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / crosstab (extension): order counts per year × priority as a
+# wide table. The pivot values are DECLARED, not discovered — an
+# unlisted-values pivot runs a full distinct scan before the real job,
+# which is a silent second pass over the fact at scale.
+# ---------------------------------------------------------------------------
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query("r53_priority_pivot")
+def r53_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy(F.year("o_orderdate").alias("o_year"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = wide.select(
+        "o_year",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{i + 1}")
+            for i, p in enumerate(_PRIORITIES)
+        ],
+    )
+    return renamed.orderBy("o_year")
+
+
+oracle(
+    "r53_priority_pivot",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS p1,
+           CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS p2,
+           CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3,
+           CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT)
+             AS p4,
+           CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS p5
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Rank-family windows (extension): decile, percent_rank, and cume_dist
+# of customer balances within each nation — the remaining window
+# functions the engine hadn't exercised (row_number/lag/lead/rank appear
+# elsewhere). One exchange on the partition key serves all three.
+# ---------------------------------------------------------------------------
+@query("r54_customer_balance_ranks")
+def r54_customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation = tables(spark, sf_dir, "customer", "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select(
+            "n_name",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.ntile(10).over(w).alias("decile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("n_name", F.desc("acctbal"), "c_custkey")
+    )
+
+
+oracle(
+    "r54_customer_balance_ranks",
+    """
+    SELECT n_name, c_custkey, round(c_acctbal, 2) AS acctbal,
+           CAST(ntile(10) OVER w AS INT) AS decile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2')
+    WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey ASC)
+    ORDER BY n_name, acctbal DESC, c_custkey
+    """,
+)
