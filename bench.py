@@ -52,6 +52,7 @@ HEADLINE = [
     "p12_passage_maxp",         # chunk + BM25 + MaxP passage retrieval
     "p14_pq_adc_search",        # product-quantized ADC search + rescore
     "c03_split_contamination",  # corpus-pipeline contamination check
+    "p19_corpus_build_e2e",     # dedup + quality gate + split, one lineage
     "t15_fuzzy_name_join",      # trigram set-similarity entity-resolution join
 ]
 

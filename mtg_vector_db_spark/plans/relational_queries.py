@@ -2515,3 +2515,47 @@ oracle(
     ORDER BY n_name, acctbal DESC, c_custkey
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (extension): merge a historical
+# per-key aggregate with a new delta's aggregate WITHOUT rescanning
+# history — union the two partial-aggregate relations and fold once.
+# Works because (count, decimal-sum) are associative partials; this is
+# the materialized-view refresh pattern that turns an O(history) daily
+# job into O(delta). The oracle recomputes from scratch, pinning
+# merge ≡ recompute.
+# ---------------------------------------------------------------------------
+@query("r55_incremental_agg_merge")
+def r55_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    split = F.lit("2024-01-15")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("v_dec"),
+        )
+
+    hist = partial(events.filter(F.col("ts") < split))
+    delta = partial(events.filter(F.col("ts") >= split))
+    return (
+        hist.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("v_dec").cast("double"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+oracle(
+    "r55_incremental_agg_merge",
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
