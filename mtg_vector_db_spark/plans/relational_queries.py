@@ -2391,6 +2391,9 @@ def r52_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        # One explicit exchange on the nation serves BOTH the (nation, day)
+        # aggregate (subset clustering) and the rolling window below.
+        .repartition(F.col("n_name"))
         .groupBy("n_name", F.to_date("o_orderdate").alias("day"))
         .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"))
     )
@@ -2557,5 +2560,49 @@ oracle(
            round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
              AS total_value
     FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT / EXCEPT (U-family completion): customers active in BOTH
+# 1996 and 1997, minus those who ever placed an 'F'-status order. Spark
+# plans both set ops as aggregates + joins over the SAME o_custkey
+# shuffle; the year filters push to the orders scan so each leg reads
+# only its slice.
+# ---------------------------------------------------------------------------
+@query("r56_customer_set_ops")
+def r56_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+
+    def active(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    failed = (
+        orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    )
+    return (
+        active(1996)
+        .intersect(active(1997))
+        .exceptAll(failed)
+        .withColumnRenamed("o_custkey", "c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+oracle(
+    "r56_customer_set_ops",
+    """
+    SELECT o_custkey AS c_custkey FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ) ORDER BY 1
     """,
 )

@@ -165,3 +165,10 @@ def test_q5_cycle_is_residual_not_extra_join(spark, sf001):
     plan = physical(registry.QUERIES["r40_local_supplier_volume"](spark, sf001))
     assert "hashpartitioning(c_nationkey" not in plan
     assert "hashpartitioning(s_nationkey" not in plan
+
+
+def test_rolling_revenue_single_exchange(spark, sf001):
+    """r52's explicit nation repartition serves both the daily aggregate
+    and the rolling window — exactly one hash exchange in the plan."""
+    plan = physical(registry.QUERIES["r52_rolling_revenue"](spark, sf001))
+    assert plan.count("Exchange hashpartitioning") == 1
