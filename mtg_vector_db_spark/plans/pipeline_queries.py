@@ -933,3 +933,45 @@ def _p19_oracle() -> str:
 
 
 oracle("p19_corpus_build_e2e", _p19_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Audio chunking plan (operators/multimodal.py:audio_chunk_plan): the
+# 5-second chunk explode that spreads per-chunk decode/ASR work across
+# executors, with the tail chunk truncated to the clip length. Media rows
+# are synthesized from documents (duration = 10 ms per byte) so the
+# oracle can replay the plan with generate_series.
+# ---------------------------------------------------------------------------
+@query("p20_audio_chunk_plan")
+def p20_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.multimodal import audio_chunk_plan
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    media = docs.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.lit("audio").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        (F.octet_length(F.col("text")) * 10).cast("int").alias("duration_ms"),
+    )
+    return audio_chunk_plan(media, chunk_ms=5000).orderBy(
+        "doc_id", "chunk_start_ms"
+    )
+
+
+oracle(
+    "p20_audio_chunk_plan",
+    """
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) * 10 AS duration_ms
+      FROM documents WHERE doc_id < 50
+    ), c AS (
+      SELECT doc_id, duration_ms,
+             unnest(generate_series(0, greatest(duration_ms - 1, 0), 5000))
+               AS chunk_start_ms
+      FROM m
+    )
+    SELECT doc_id, chunk_start_ms,
+           least(duration_ms - chunk_start_ms, 5000) AS chunk_len_ms
+    FROM c ORDER BY doc_id, chunk_start_ms
+    """,
+)
