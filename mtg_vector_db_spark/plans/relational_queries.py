@@ -2606,3 +2606,102 @@ oracle(
     ) ORDER BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-group closed-form linear regression (extension): order-value trend
+# per nation as slope/intercept/Pearson-r over (epoch-day, price). The
+# sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are DECIMAL-exact —
+# day is an integer, price is 2 dp, so every product is exact at fixed
+# scale — which makes the whole regression partitioning-invariant: one
+# map-side-combined aggregate per group, closed-form division at the
+# end. This is how you fit millions of per-key models at 100 TB without
+# MLlib: the model IS an algebraic aggregate.
+# ---------------------------------------------------------------------------
+@query("r57_price_trend_regression")
+def r57_price_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust, nation = tables(spark, sf_dir, "orders", "customer", "nation")
+    x = F.unix_date(F.to_date("o_orderdate")).cast("decimal(28,2)")
+    y = F.col("o_totalprice").cast("decimal(28,2)")
+    stats = (
+        orders.join(
+            cust.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(28,2)").alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum((x * y).cast("decimal(38,4)")).alias("sxy"),
+            F.sum((x * x).cast("decimal(38,4)")).alias("sxx"),
+            F.sum((y * y).cast("decimal(38,4)")).alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return stats.select(
+        "n_name",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(cov_n / var_x, 6).alias("slope"),
+        F.round((sy - (cov_n / var_x) * sx) / n, 4).alias("intercept"),
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("pearson_r"),
+    ).orderBy("n_name")
+
+
+oracle(
+    "r57_price_trend_regression",
+    """
+    WITH s AS (
+      SELECT n_name,
+             CAST(count(*) AS DECIMAL(28,2)) AS n,
+             sum(CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) AS DECIMAL(28,2)))
+               AS sx,
+             sum(CAST(o_totalprice AS DECIMAL(28,2))) AS sy,
+             sum(CAST(CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) AS DECIMAL(28,2))
+                      * CAST(o_totalprice AS DECIMAL(28,2))
+                      AS DECIMAL(38,4))) AS sxy,
+             sum(CAST(CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) AS DECIMAL(28,2))
+                      * CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) AS DECIMAL(28,2))
+                      AS DECIMAL(38,4))) AS sxx,
+             sum(CAST(CAST(o_totalprice AS DECIMAL(28,2))
+                      * CAST(o_totalprice AS DECIMAL(28,2))
+                      AS DECIMAL(38,4))) AS syy
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1
+    )
+    SELECT n_name, CAST(n AS BIGINT) AS n_orders,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS pearson_r
+    FROM s ORDER BY n_name
+    """,
+)
