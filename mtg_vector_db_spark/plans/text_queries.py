@@ -586,3 +586,53 @@ def _t15_oracle() -> str:
 
 
 oracle("t15_fuzzy_name_join", _t15_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface (SURVEY §2.11): the reference's table-function shape
+# (plpgsql RETURNS TABLE, init.sql:159-237) as a registered UDTF composed
+# in SQL via LATERAL. Names are synthesized '//' pairs so the oracle can
+# replay the expansion with string_split + correlated unnest. UDTF rows
+# are Arrow-batched per partition — the expansion is data-parallel, and
+# nothing else in the plan leaves the JVM.
+# ---------------------------------------------------------------------------
+@query("t16_expand_faces_udtf")
+def t16_expand_faces_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    (docs,) = tables(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.concat(
+            F.lit("Face"), F.col("doc_id").cast("string"),
+            F.lit(" // Back"), F.col("doc_id").cast("string"),
+        ).alias("name"),
+    ).createOrReplaceTempView("named_docs")
+    return spark.sql(
+        """
+        SELECT n.doc_id, f.face, f.face_index, f.is_back
+        FROM named_docs n, LATERAL expand_faces(n.name) f
+        ORDER BY n.doc_id, f.face_index
+        """
+    )
+
+
+oracle(
+    "t16_expand_faces_udtf",
+    """
+    WITH named AS (
+      SELECT doc_id,
+             'Face' || CAST(doc_id AS VARCHAR)
+               || ' // Back' || CAST(doc_id AS VARCHAR) AS name
+      FROM documents WHERE doc_id < 50
+    ), split AS (
+      SELECT doc_id, string_split(name, '//') AS parts FROM named
+    )
+    SELECT doc_id, trim(parts[i]) AS face,
+           CAST(i - 1 AS INT) AS face_index,
+           (i - 1) > 0 AS is_back
+    FROM split, unnest(range(1, len(parts) + 1)) AS t(i)
+    ORDER BY doc_id, face_index
+    """,
+)
