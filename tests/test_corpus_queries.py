@@ -18,7 +18,7 @@ CORPUS_QUERIES = [n for n in registry.QUERIES if n.startswith("c0")]
 
 
 def test_family_registered():
-    assert len(CORPUS_QUERIES) == 8
+    assert len(CORPUS_QUERIES) == 9
     assert all(n in registry.ORACLES for n in CORPUS_QUERIES)
 
 
