@@ -975,3 +975,80 @@ oracle(
     FROM c ORDER BY doc_id, chunk_start_ms
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end-to-end (extension): trigram set-similarity
+# SELF-join (blocking by shared trigram — no cross join), connected
+# components over the match graph (fixed-round min-label propagation —
+# two keyed shuffles per round, no driver loop), canonical entity table
+# (smallest member name per cluster). The oracle replays blocking,
+# similarity, 3 propagation rounds, and canonicalization in SQL.
+# ---------------------------------------------------------------------------
+@query("p21_entity_resolution")
+def p21_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.corpus import dup_clusters
+    from mtg_vector_db_spark.operators.fuzzy_join import trigram_join
+
+    (part,) = tables(spark, sf_dir, "part")
+    bounded = part.filter(F.col("p_partkey") < 1000).select(
+        "p_partkey", "p_name"
+    )
+    pairs = (
+        trigram_join(
+            bounded, bounded, "p_partkey", "p_name", "p_partkey", "p_name",
+            threshold=0.6, round_digits=R,
+        )
+        .filter(F.col("id_l") < F.col("id_r"))
+        .select(F.col("id_l").alias("id_a"), F.col("id_r").alias("id_b"))
+    )
+    clusters = dup_clusters(pairs, iters=3)
+    return (
+        clusters.join(bounded, clusters.doc_id == bounded.p_partkey)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("p_name").alias("canonical_name"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("cluster_id")
+    )
+
+
+def _p21_oracle() -> str:
+    from mtg_vector_db_spark.functions.trigram import duckdb_trigram_set_sql
+
+    tris = duckdb_trigram_set_sql("p_name")
+    prop = (
+        "SELECT e.u AS node, min(l.label) AS label "
+        "FROM edges e JOIN {prev} l ON e.v = l.node GROUP BY e.u"
+    )
+    return f"""
+    WITH b AS (SELECT p_partkey AS id, p_name, {tris} AS tris FROM part
+               WHERE p_partkey < 1000),
+    p AS (SELECT id, len(tris) AS n, unnest(tris) AS tri FROM b),
+    j AS (SELECT a.id AS id_a, c.id AS id_b, a.n AS n_a, c.n AS n_c,
+                 count(*) AS inter
+          FROM p a JOIN p c USING (tri) WHERE a.id < c.id
+          GROUP BY 1, 2, 3, 4),
+    pairs AS (
+      SELECT id_a, id_b FROM j
+      WHERE round(inter * 1.0 / (n_a + n_c - inter), {R}) >= 0.6
+    ),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    edges AS (SELECT u, v FROM sym UNION ALL SELECT node, node FROM nodes),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    l1 AS ({prop.format(prev="l0")}),
+    l2 AS ({prop.format(prev="l1")}),
+    l3 AS ({prop.format(prev="l2")})
+    SELECT label AS cluster_id, count(*) AS n_members,
+           min(p_name) AS canonical_name
+    FROM l3 JOIN b ON node = b.id
+    GROUP BY 1 HAVING count(*) >= 2
+    ORDER BY cluster_id
+    """
+
+
+oracle("p21_entity_resolution", _p21_oracle())
