@@ -2609,6 +2609,51 @@ oracle(
 
 
 # ---------------------------------------------------------------------------
+# Arbitrary GROUPING SETS (extension — completes the rollup/cube family,
+# r14/r15): per-region, per-nation, and grand-total customer balance in
+# ONE pass. Catalyst plans a single Expand + hash aggregate — one scan,
+# not three union'd aggregations. SQL surface, like r19.
+# ---------------------------------------------------------------------------
+@query("r58_grouping_sets")
+def r58_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation, region = tables(spark, sf_dir, "customer", "nation", "region")
+    cust.createOrReplaceTempView("customer_v")
+    nation.createOrReplaceTempView("nation_v")
+    region.createOrReplaceTempView("region_v")
+    return spark.sql(
+        """
+        SELECT coalesce(r_name, 'ALL') AS region,
+               coalesce(n_name, 'ALL') AS nation,
+               count(*) AS n_customers,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+                 AS total_balance
+        FROM customer_v
+        JOIN nation_v ON c_nationkey = n_nationkey
+        JOIN region_v ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        ORDER BY region, nation
+        """
+    )
+
+
+oracle(
+    "r58_grouping_sets",
+    """
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           count(*) AS n_customers,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (n_name), ())
+    ORDER BY region, nation
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Per-group closed-form linear regression (extension): order-value trend
 # per nation as slope/intercept/Pearson-r over (epoch-day, price). The
 # sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are DECIMAL-exact —
