@@ -2654,6 +2654,56 @@ oracle(
 
 
 # ---------------------------------------------------------------------------
+# Table-stats collection (extension): the ANALYZE job — per-column null
+# count, min/max, and exact distinct count in ONE scan of the fact
+# (count-distinct via one Expand aggregate; min/max/nulls fold
+# map-side). These are the statistics a cost-based optimizer or data
+# catalog refreshes nightly; at 100 TB you run it as a query, not a
+# metadata command.
+# ---------------------------------------------------------------------------
+@query("r59_table_stats")
+def r59_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = tables(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
+            F.round(F.min(c), 2).alias(f"{c}_min"),
+            F.round(F.max(c), 2).alias(f"{c}_max"),
+            F.countDistinct(c).alias(f"{c}_ndv"),
+        ]
+    long_rows = li.agg(
+        F.count(F.lit(1)).alias("n_rows"), *aggs
+    )
+    return long_rows
+
+
+oracle(
+    "r59_table_stats",
+    """
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS l_quantity_nulls,
+           round(min(l_quantity), 2) AS l_quantity_min,
+           round(max(l_quantity), 2) AS l_quantity_max,
+           count(DISTINCT l_quantity) AS l_quantity_ndv,
+           CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS l_extendedprice_nulls,
+           round(min(l_extendedprice), 2) AS l_extendedprice_min,
+           round(max(l_extendedprice), 2) AS l_extendedprice_max,
+           count(DISTINCT l_extendedprice) AS l_extendedprice_ndv,
+           CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS l_discount_nulls,
+           round(min(l_discount), 2) AS l_discount_min,
+           round(max(l_discount), 2) AS l_discount_max,
+           count(DISTINCT l_discount) AS l_discount_ndv
+    FROM lineitem
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Per-group closed-form linear regression (extension): order-value trend
 # per nation as slope/intercept/Pearson-r over (epoch-day, price). The
 # sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are DECIMAL-exact —
