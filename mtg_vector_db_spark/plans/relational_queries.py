@@ -2654,6 +2654,49 @@ oracle(
 
 
 # ---------------------------------------------------------------------------
+# Schema-declared JSON parse (SURVEY §1.2's preferred JSONB mapping):
+# ``from_json`` with a DECLARED struct schema parses each props blob
+# ONCE and yields typed fields — vs r12's per-field get_json_object,
+# which re-parses the string for every field extracted. Same data, the
+# scalable physical path for wide semi-structured payloads.
+# ---------------------------------------------------------------------------
+@query("r60_json_struct_parse")
+def r60_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT").alias("p"),
+    )
+    return (
+        parsed.filter(F.col("p.k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("p.k").cast("decimal(18,0)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+oracle(
+    "r60_json_struct_parse",
+    """
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                 AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / count(*), 6)
+             AS avg_k
+    FROM events
+    WHERE regexp_extract(props, '"k":\\s*(-?\\d+)', 1) <> ''
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Table-stats collection (extension): the ANALYZE job — per-column null
 # count, min/max, and exact distinct count in ONE scan of the fact
 # (count-distinct via one Expand aggregate; min/max/nulls fold
