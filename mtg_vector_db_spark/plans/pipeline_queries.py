@@ -1052,3 +1052,54 @@ def _p21_oracle() -> str:
 
 
 oracle("p21_entity_resolution", _p21_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Distributed classifier scoring + evaluation (extension): apply a
+# broadcast linear model to every embedding (map-side dot + sigmoid —
+# the batch-inference shape), then reduce to a per-class confusion
+# matrix with precision/recall. The model is a literal weight vector:
+# at scale it arrives as a broadcast, and scoring stays embarrassingly
+# parallel; only the k-row confusion aggregate shuffles. Synthetic
+# ground truth = even label id, weights are exact rationals so the
+# oracle replays scoring bit-for-bit (sequential fold, like cosine).
+# ---------------------------------------------------------------------------
+@query("p22_classifier_eval")
+def p22_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.vector import dot, vec_lit
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    weights = [((i * 37) % 21 - 10) / 10.0 for i in range(dim)]
+    z = dot(F.col("embedding"), vec_lit(weights))
+    score = 1.0 / (1.0 + F.exp(-z))
+    scored = emb.select(
+        (F.col("label") % 2 == 0).alias("actual"),
+        (score >= 0.5).alias("predicted"),
+    )
+    return (
+        scored.groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("actual", "predicted")
+    )
+
+
+def _p22_oracle() -> str:
+    return """
+    WITH w AS (
+      SELECT list_transform(range(0, len(CAST(embedding AS DOUBLE[]))),
+               i -> CAST((i * 37) % 21 - 10 AS DOUBLE) / 10.0) AS wv,
+             CAST(embedding AS DOUBLE[]) AS v, label
+      FROM embeddings
+    ), s AS (
+      SELECT (label % 2 = 0) AS actual,
+             (1.0 / (1.0 + exp(-list_inner_product(v, wv))) >= 0.5)
+               AS predicted
+      FROM w
+    )
+    SELECT actual, predicted, count(*) AS n
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+oracle("p22_classifier_eval", _p22_oracle())
