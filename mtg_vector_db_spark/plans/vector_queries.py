@@ -407,3 +407,98 @@ oracle(
     ORDER BY sim DESC, doc_id ASC LIMIT 10
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift monitor (extension): split the corpus into two
+# deterministic md5 cohorts (stand-ins for yesterday/today snapshots)
+# and compare their distributions — row counts, mean L2 norm, and the
+# cosine between cohort CENTROIDS. Centroids aggregate in long format
+# ((cohort, pos) keys — one narrow shuffle, no wide-row collect), and
+# the final cosine folds 64 centroid components. This is the nightly
+# data-quality check that catches an embedder regression before it
+# poisons retrieval.
+# ---------------------------------------------------------------------------
+@query("v10_embedding_drift")
+def v10_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.text import hash_fraction
+    from mtg_vector_db_spark.functions.vector import l2_norm
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    cohort = F.when(hash_fraction(F.col("vec_id")) < 0.5, "a").otherwise("b")
+    h = emb.select(cohort.alias("cohort"), "embedding")
+    stats = (
+        h.select("cohort", l2_norm(F.col("embedding")).alias("nrm"))
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm"), 6).alias("mean_norm"),
+        )
+    )
+    cents = (
+        h.select("cohort", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cohort", "pos")
+        .agg(F.avg("v").alias("c"))
+    )
+    wide = cents.groupBy("pos").agg(
+        F.max(F.when(F.col("cohort") == "a", F.col("c"))).alias("ca"),
+        F.max(F.when(F.col("cohort") == "b", F.col("c"))).alias("cb"),
+    )
+    cos = wide.agg(
+        F.round(
+            F.sum(F.col("ca") * F.col("cb"))
+            / (
+                F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+            ),
+            6,
+        ).alias("centroid_cosine")
+    )
+    a = stats.filter(F.col("cohort") == "a").select(
+        F.col("n").alias("n_a"), F.col("mean_norm").alias("mean_norm_a")
+    )
+    b = stats.filter(F.col("cohort") == "b").select(
+        F.col("n").alias("n_b"), F.col("mean_norm").alias("mean_norm_b")
+    )
+    return a.crossJoin(b).crossJoin(cos)
+
+
+_HF_VEC = (
+    "list_sum(list_transform(range(1, 9),"
+    " i -> (strpos('0123456789abcdef',"
+    " substring(md5(CAST(vec_id AS VARCHAR)), i, 1)) - 1)"
+    " * power(16, 8 - i))) / 4294967296.0"
+)
+
+oracle(
+    "v10_embedding_drift",
+    f"""
+    WITH h AS (
+      SELECT CASE WHEN {_HF_VEC} < 0.5 THEN 'a' ELSE 'b' END AS cohort,
+             embedding
+      FROM embeddings
+    ), stats AS (
+      SELECT cohort, count(*) AS n,
+             round(avg(sqrt(list_inner_product(
+               CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6)
+               AS mean_norm
+      FROM h GROUP BY 1
+    ), cents AS (
+      SELECT cohort, i, avg(embedding[i]) AS c
+      FROM h, range(1, 65) t(i) GROUP BY 1, 2
+    ), wide AS (
+      SELECT i, max(CASE WHEN cohort = 'a' THEN c END) AS ca,
+             max(CASE WHEN cohort = 'b' THEN c END) AS cb
+      FROM cents GROUP BY 1
+    ), cos AS (
+      SELECT round(sum(ca * cb) / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))),
+                   6) AS centroid_cosine
+      FROM wide
+    )
+    SELECT a.n AS n_a, a.mean_norm AS mean_norm_a,
+           b.n AS n_b, b.mean_norm AS mean_norm_b,
+           cos.centroid_cosine
+    FROM stats a, stats b, cos
+    WHERE a.cohort = 'a' AND b.cohort = 'b'
+    """,
+)
