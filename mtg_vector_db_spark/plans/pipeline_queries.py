@@ -1103,3 +1103,84 @@ def _p22_oracle() -> str:
 
 
 oracle("p22_classifier_eval", _p22_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Threshold sweep / PR curve (extension): score once, explode a literal
+# threshold list (map-side 5× fan-out — no rescan, no per-threshold
+# job), and reduce to (threshold, precision, recall). The standard
+# operating-point selection for any filter model (quality gates, dedup
+# verdicts, toxicity): one pass over the corpus regardless of how many
+# thresholds are swept.
+# ---------------------------------------------------------------------------
+@query("p23_threshold_sweep")
+def p23_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.vector import dot, vec_lit
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    weights = [((i * 37) % 21 - 10) / 10.0 for i in range(dim)]
+    score = 1.0 / (1.0 + F.exp(-dot(F.col("embedding"), vec_lit(weights))))
+    thresholds = [0.3, 0.4, 0.5, 0.6, 0.7]
+    scored = emb.select(
+        (F.col("label") % 2 == 0).alias("actual"), score.alias("score")
+    )
+    swept = scored.select(
+        "actual", "score",
+        F.explode(F.array(*[F.lit(t) for t in thresholds])).alias("threshold"),
+    )
+    return (
+        swept.groupBy("threshold")
+        .agg(
+            F.sum((F.col("score") >= F.col("threshold")).cast("long")).alias("pred_pos"),
+            F.sum(
+                ((F.col("score") >= F.col("threshold")) & F.col("actual")).cast("long")
+            ).alias("true_pos"),
+            F.sum(F.col("actual").cast("long")).alias("actual_pos"),
+        )
+        .select(
+            "threshold",
+            "pred_pos",
+            "true_pos",
+            F.round(
+                F.when(F.col("pred_pos") > 0, F.col("true_pos") / F.col("pred_pos"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("precision"),
+            F.round(F.col("true_pos") / F.col("actual_pos"), 6).alias("recall"),
+        )
+        .orderBy("threshold")
+    )
+
+
+oracle(
+    "p23_threshold_sweep",
+    """
+    WITH s AS (
+      SELECT (label % 2 = 0) AS actual,
+             1.0 / (1.0 + exp(-list_inner_product(
+               CAST(embedding AS DOUBLE[]),
+               list_transform(range(0, len(CAST(embedding AS DOUBLE[]))),
+                 i -> CAST((i * 37) % 21 - 10 AS DOUBLE) / 10.0)))) AS score
+      FROM embeddings
+    ), sw AS (
+      SELECT actual, score, unnest([0.3, 0.4, 0.5, 0.6, 0.7]) AS threshold
+      FROM s
+    ), agg AS (
+      SELECT threshold,
+             CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+               AS pred_pos,
+             CAST(sum(CASE WHEN score >= threshold AND actual THEN 1 ELSE 0 END)
+               AS BIGINT) AS true_pos,
+             CAST(sum(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT)
+               AS actual_pos
+      FROM sw GROUP BY 1
+    )
+    SELECT threshold, pred_pos, true_pos,
+           round(CASE WHEN pred_pos > 0
+                      THEN true_pos * 1.0 / pred_pos ELSE 0.0 END, 6)
+             AS precision,
+           round(true_pos * 1.0 / actual_pos, 6) AS recall
+    FROM agg ORDER BY threshold
+    """,
+)
