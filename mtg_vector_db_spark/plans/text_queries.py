@@ -636,3 +636,66 @@ oracle(
     ORDER BY doc_id, face_index
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate (extension): per language, the share of
+# token OCCURRENCES covered by the corpus-global top-100 vocabulary —
+# the tokenizer-fit metric run before freezing a vocab. The vocabulary
+# is a top-k aggregate (tiny) broadcast into a left-semi-style flag
+# join on the exploded tokens; both aggregations key the token, so the
+# explode shuffles once. Ties at the top-k boundary break on the token
+# string, making the vocab deterministic.
+# ---------------------------------------------------------------------------
+@query("t17_vocab_coverage")
+def t17_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(100)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("in_vocab"), F.lit(False)).cast("long")).alias(
+                "covered"
+            ),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "covered",
+            F.round(1.0 - F.col("covered") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+oracle(
+    "t17_vocab_coverage",
+    f"""
+    WITH tok AS (
+      SELECT lang, unnest({_TOKS_SQL}) AS token FROM documents
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS tf FROM tok GROUP BY 1
+        ORDER BY tf DESC, token ASC LIMIT 100)
+    ), flagged AS (
+      SELECT lang, (token IN (SELECT token FROM vocab)) AS in_vocab FROM tok
+    )
+    SELECT lang, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN in_vocab THEN 1 ELSE 0 END) AS BIGINT)
+             AS covered,
+           round(1.0 - sum(CASE WHEN in_vocab THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS oov_rate
+    FROM flagged GROUP BY 1 ORDER BY lang
+    """,
+)
