@@ -2654,6 +2654,52 @@ oracle(
 
 
 # ---------------------------------------------------------------------------
+# Watermark-lateness audit (extension): per-user out-of-orderness of the
+# event stream — lateness of each event vs the running event-time
+# high-water mark in ARRIVAL order (event_id), bucketed by minute. This
+# is the measurement that sizes `withWatermark`: pick the bucket whose
+# cumulative share meets your completeness SLO. One user-keyed window,
+# one small histogram aggregate.
+# ---------------------------------------------------------------------------
+@query("r61_lateness_audit")
+def r61_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late_sec = F.greatest(
+        F.lit(0.0),
+        F.unix_micros(F.max("ts").over(w)) / 1e6 - F.unix_micros(F.col("ts")) / 1e6,
+    )
+    return (
+        events.select("user_id", "event_id", "ts")
+        .withColumn("late_min", F.floor(late_sec / 60).cast("long"))
+        .groupBy("late_min")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("late_min")
+        .limit(30)
+    )
+
+
+oracle(
+    "r61_lateness_audit",
+    """
+    WITH lat AS (
+      SELECT CAST(floor(greatest(0.0,
+               epoch(max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                   ROWS UNBOUNDED PRECEDING))
+               - epoch(ts)) / 60) AS BIGINT) AS late_min
+      FROM events
+    )
+    SELECT late_min, count(*) AS n_events
+    FROM lat GROUP BY 1 ORDER BY 1 LIMIT 30
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Schema-declared JSON parse (SURVEY §1.2's preferred JSONB mapping):
 # ``from_json`` with a DECLARED struct schema parses each props blob
 # ONCE and yields typed fields — vs r12's per-field get_json_object,
