@@ -37,3 +37,54 @@ def test_anti_semi_partition_customers(spark, sf001):
     n_anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").count()
     n_semi = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").count()
     assert n_anti + n_semi == cust.count()
+
+
+def test_funnel_stages_monotone(spark, sf001):
+    """Each funnel stage is a subset of the previous: counts must not
+    increase down the funnel."""
+    rows = {
+        r["stage"]: r["n_users"]
+        for r in registry.QUERIES["r45_event_funnel"](spark, sf001).collect()
+    }
+    assert rows["1_view"] >= rows["2_click"] >= rows["3_purchase"]
+    assert rows["3_purchase"] >= 0
+
+
+def test_scd2_intervals_partition_history(spark, sf001):
+    """Per user: intervals are disjoint, ordered, cover every event
+    (n_events sums to the user's event count), and only the last
+    interval is open-ended."""
+    import pyspark.sql.functions as F
+
+    hist = registry.QUERIES["r48_scd2_history"](spark, sf001)
+    from mtg_vector_db_spark.plans.registry import events_df
+
+    ev_counts = {
+        r["user_id"]: r["n"]
+        for r in events_df(spark, sf001)
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    by_user: dict[int, list] = {}
+    for r in hist.collect():
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, runs in by_user.items():
+        assert sum(r["n_events"] for r in runs) == ev_counts[uid]
+        opens = [r for r in runs if r["valid_to"] is None]
+        assert len(opens) == 1  # exactly one current state
+        for a, b in zip(runs, runs[1:]):  # ordered by valid_from
+            assert a["valid_from"] <= b["valid_from"]
+            if a["valid_to"] is not None:
+                assert a["valid_to"] == b["valid_from"]  # contiguous
+
+
+def test_hourly_ffill_dense_grid_no_gaps(spark, sf001):
+    """The resampled series is hourly-dense per user and forward-fill
+    leaves no nulls (the first grid hour always has an observation)."""
+    rows = registry.QUERIES["r49_hourly_ffill"](spark, sf001).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, series in by_user.items():
+        for a, b in zip(series, series[1:]):
+            assert (b["hour_ts"] - a["hour_ts"]).total_seconds() == 3600
+        assert all(r["value_ffill"] is not None for r in series)
