@@ -88,3 +88,38 @@ def test_hourly_ffill_dense_grid_no_gaps(spark, sf001):
         for a, b in zip(series, series[1:]):
             assert (b["hour_ts"] - a["hour_ts"]).total_seconds() == 3600
         assert all(r["value_ffill"] is not None for r in series)
+
+
+def test_compaction_one_row_per_active_user(spark, sf001):
+    """CDC compaction emits exactly one current row per distinct user."""
+    from mtg_vector_db_spark.plans.registry import events_df
+
+    out = registry.QUERIES["r47_latest_state_compaction"](spark, sf001)
+    n_users = events_df(spark, sf001).select("user_id").distinct().count()
+    assert out.count() == n_users
+    assert out.select("user_id").distinct().count() == n_users
+
+
+def test_sketch_rollup_estimates_within_bound(spark, sf001):
+    """Every region's HLL estimate is flagged within the 5% bound."""
+    rows = registry.QUERIES["r50_sketch_rollup"](spark, sf001).collect()
+    assert rows and all(r["est_ok"] for r in rows)
+
+
+def test_regression_outputs_well_formed(spark, sf001):
+    """Pearson r in [-1, 1]; n matches the per-nation order counts."""
+    rows = registry.QUERIES["r57_price_trend_regression"](spark, sf001).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["pearson_r"] <= 1.0
+        assert r["n_orders"] > 0
+
+
+def test_retrieval_metrics_in_unit_range(spark, sf001):
+    """MRR and NDCG@10 are probabilities-like: within [0, 1]."""
+    rows = registry.QUERIES["p18_retrieval_metrics"](spark, sf001).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert 0.0 <= r["mrr"] <= 1.0
+        assert 0.0 <= r["ndcg10"] <= 1.0 + 1e-9
+        assert 0 <= r["n_rel_topk"] <= 10
