@@ -2116,22 +2116,18 @@ oracle(
 # ---------------------------------------------------------------------------
 @query("r47_latest_state_compaction")
 def r47_latest_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.history import latest_state
+
     (events,) = tables(spark, sf_dir, "events")
-    top = F.max(
-        F.struct("ts", "event_id", "event_type", "value")
-    ).alias("s")
-    return (
-        events.select("user_id", "ts", "event_id", "event_type", "value")
-        .groupBy("user_id")
-        .agg(top)
-        .select(
-            "user_id",
-            F.col("s.ts").alias("last_ts"),
-            F.col("s.event_type").alias("last_type"),
-            F.round("s.value", 6).alias("last_value"),
-        )
-        .orderBy("user_id")
+    out = latest_state(
+        events, "user_id", ["ts", "event_id"], ["event_type", "value"]
     )
+    return out.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 6).alias("last_value"),
+    ).orderBy("user_id")
 
 
 oracle(
@@ -2159,27 +2155,12 @@ oracle(
 # ---------------------------------------------------------------------------
 @query("r48_scd2_history")
 def r48_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.history import scd2_history
+
     (events,) = tables(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    islands = (
-        events.select("user_id", "ts", "event_id", "event_type")
-        .withColumn(
-            "changed",
-            F.coalesce(
-                F.lag("event_type").over(w) != F.col("event_type"), F.lit(True)
-            ).cast("int"),
-        )
-        .withColumn("island", F.sum("changed").over(wrun))
-    )
-    wi = Window.partitionBy("user_id").orderBy("island")
-    return (
-        islands.groupBy("user_id", "island", "event_type")
-        .agg(F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events"))
-        .withColumn("valid_to", F.lead("valid_from").over(wi))
-        .select("user_id", "event_type", "valid_from", "valid_to", "n_events")
-        .orderBy("user_id", "valid_from")
-    )
+    return scd2_history(
+        events, "user_id", ["ts", "event_id"], "event_type"
+    ).orderBy("user_id", "valid_from")
 
 
 oracle(

@@ -295,3 +295,78 @@ def test_parse_score_col_matches_python(spark):
     }
     for text in replies:
         assert abs(got[text] - parse_score(text)) < 1e-12, repr(text)
+
+
+def test_scd2_history_matches_python_model_on_random_log(spark):
+    """scd2_history vs an independent run-length model over randomized
+    keyed logs: intervals, counts, and open-endedness must agree."""
+    rng = random.Random(1234)
+    rows = []
+    eid = 0
+    for user in range(12):
+        for _ in range(rng.randint(1, 25)):
+            rows.append(
+                (user, rng.randint(0, 50), eid, rng.choice("abc"))
+            )
+            eid += 1
+
+    def model(rows):
+        out = []
+        by_user: dict[int, list] = {}
+        for u, t, e, s in rows:
+            by_user.setdefault(u, []).append((t, e, s))
+        for u, evs in by_user.items():
+            evs.sort()
+            runs = []
+            for t, e, s in evs:
+                if runs and runs[-1][0] == s:
+                    runs[-1][2] += 1
+                else:
+                    runs.append([s, t, 1])
+            for i, (s, t0, n) in enumerate(runs):
+                t_next = runs[i + 1][1] if i + 1 < len(runs) else None
+                out.append((u, s, t0, t_next, n))
+        return sorted(out)
+
+    from mtg_vector_db_spark.operators.history import scd2_history
+
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "event_type"]
+    )
+    got = sorted(
+        (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"],
+         r["n_events"])
+        for r in scd2_history(
+            df, "user_id", ["ts", "event_id"], "event_type"
+        ).collect()
+    )
+    assert got == model(rows)
+
+
+def test_latest_state_matches_python_model_on_random_log(spark):
+    """latest_state vs max-by-(order) model on a randomized keyed log."""
+    rng = random.Random(99)
+    rows = [
+        (rng.randint(0, 9), rng.randint(0, 100), i, rng.choice("xyz"))
+        for i in range(300)
+    ]
+
+    def model(rows):
+        best: dict[int, tuple] = {}
+        for u, t, e, s in rows:
+            if u not in best or (t, e) > best[u][:2]:
+                best[u] = (t, e, s)
+        return sorted((u, *v) for u, v in best.items())
+
+    from mtg_vector_db_spark.operators.history import latest_state
+
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "event_type"]
+    )
+    got = sorted(
+        (r["user_id"], r["ts"], r["event_id"], r["event_type"])
+        for r in latest_state(
+            df, "user_id", ["ts", "event_id"], ["event_type"]
+        ).collect()
+    )
+    assert got == model(rows)
