@@ -2635,6 +2635,69 @@ oracle(
 
 
 # ---------------------------------------------------------------------------
+# Sequence-pattern matching / CEP-lite (extension): Spark has no
+# MATCH_RECOGNIZE, but per-key ordered journeys compress to a STRING of
+# state initials (one aggregate), and sequence patterns become regexes
+# over that string — pattern evaluation went from a stateful scan to a
+# codegen'd rlike over one short row per user. Patterns: strict
+# view→click→purchase (no purchase before the click), any-order
+# converted, and bounce (error with no later purchase).
+# ---------------------------------------------------------------------------
+@query("r62_sequence_pattern")
+def r62_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    initial = F.substring("event_type", 1, 1)
+    journeys = (
+        events.select("user_id", "ts", "event_id", initial.alias("i"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "i"))
+                    ),
+                    lambda x: x["i"],
+                ),
+                "",
+            ).alias("journey")
+        )
+    )
+    pats = {
+        "strict_funnel": "v[^p]*c[^v]*p",
+        "converted": "^.*p",
+        "error_bounce": "e[^p]*$",
+    }
+    return journeys.select(
+        *[
+            F.sum(F.col("journey").rlike(p).cast("long")).alias(name)
+            for name, p in pats.items()
+        ],
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
+oracle(
+    "r62_sequence_pattern",
+    """
+    WITH j AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS journey
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(sum(CASE WHEN regexp_matches(journey, 'v[^p]*c[^v]*p')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS strict_funnel,
+           CAST(sum(CASE WHEN regexp_matches(journey, '^.*p')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+           CAST(sum(CASE WHEN regexp_matches(journey, 'e[^p]*$')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS error_bounce,
+           count(*) AS n_users
+    FROM j
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Watermark-lateness audit (extension): per-user out-of-orderness of the
 # event stream — lateness of each event vs the running event-time
 # high-water mark in ARRIVAL order (event_id), bucketed by minute. This
