@@ -2635,6 +2635,123 @@ oracle(
 
 
 # ---------------------------------------------------------------------------
+# Ratio-to-report window (extension): each customer's share of their
+# nation's revenue — aggregate once, then a partition-total window over
+# the compacted per-customer relation (window input is one row per
+# customer, never the fact). Top-5 per nation by share.
+# ---------------------------------------------------------------------------
+@query("r63_revenue_share")
+def r63_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust, nation = tables(spark, sf_dir, "orders", "customer", "nation")
+    per_cust = (
+        orders.join(
+            cust.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"))
+    )
+    wt = Window.partitionBy("n_name")
+    wr = Window.partitionBy("n_name").orderBy(
+        F.desc("rev_dec"), F.asc("c_custkey")
+    )
+    return (
+        per_cust.withColumn(
+            "share",
+            F.round(
+                F.col("rev_dec").cast("double")
+                / F.sum("rev_dec").over(wt).cast("double"),
+                6,
+            ),
+        )
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "n_name",
+            "c_custkey",
+            F.round(F.col("rev_dec").cast("double"), 2).alias("revenue"),
+            "share",
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("n_name", "rk")
+    )
+
+
+oracle(
+    "r63_revenue_share",
+    """
+    WITH per_cust AS (
+      SELECT n_name, c_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2')
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT n_name, c_custkey,
+             round(CAST(rev_dec AS DOUBLE), 2) AS revenue,
+             round(CAST(rev_dec AS DOUBLE)
+                   / CAST(sum(rev_dec) OVER (PARTITION BY n_name) AS DOUBLE),
+                   6) AS share,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY rev_dec DESC, c_custkey ASC) AS rk
+      FROM per_cust
+    )
+    SELECT n_name, c_custkey, revenue, share, rk
+    FROM ranked WHERE rk <= 5 ORDER BY n_name, rk
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth (extension): yearly revenue with lag-based YoY
+# delta — the reporting staple. The lag runs over the tiny aggregated
+# series (one row per year), revenue stays DECIMAL into the ratio.
+# ---------------------------------------------------------------------------
+@query("r64_yoy_growth")
+def r64_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    yearly = orders.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec")
+    )
+    w = Window.orderBy("o_year")
+    prev = F.lag("rev_dec").over(w)
+    return (
+        yearly.select(
+            "o_year",
+            F.round(F.col("rev_dec").cast("double"), 2).alias("revenue"),
+            F.round(
+                (F.col("rev_dec").cast("double") - prev.cast("double"))
+                / prev.cast("double"),
+                6,
+            ).alias("yoy_growth"),
+        )
+        .orderBy("o_year")
+    )
+
+
+oracle(
+    "r64_yoy_growth",
+    """
+    WITH yearly AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders GROUP BY 1
+    )
+    SELECT o_year, round(CAST(rev_dec AS DOUBLE), 2) AS revenue,
+           round((CAST(rev_dec AS DOUBLE)
+                  - CAST(lag(rev_dec) OVER (ORDER BY o_year) AS DOUBLE))
+                 / CAST(lag(rev_dec) OVER (ORDER BY o_year) AS DOUBLE), 6)
+             AS yoy_growth
+    FROM yearly ORDER BY o_year
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Sequence-pattern matching / CEP-lite (extension): Spark has no
 # MATCH_RECOGNIZE, but per-key ordered journeys compress to a STRING of
 # state initials (one aggregate), and sequence patterns become regexes
