@@ -37,6 +37,7 @@ HEADLINE = [
     "r19_sql_shipping_priority",  # SQL surface, 3-way join top-k
     "r35_supplier_diversity",   # anti-join + exact distinct count (Q16)
     "r44_waiting_suppliers",    # Q21 double-EXISTS as one fact shuffle
+    "r48_scd2_history",         # SCD2 gaps-and-islands on one exchange
     "v01_knn_topk",             # brute-force cosine KNN (TakeOrdered)
     "v03_knn_batch",            # batch-of-queries KNN join
     "v05_knn_numpy_batch",      # Arrow GEMM batch KNN (mapInPandas)

@@ -172,3 +172,14 @@ def test_rolling_revenue_single_exchange(spark, sf001):
     and the rolling window — exactly one hash exchange in the plan."""
     plan = physical(registry.QUERIES["r52_rolling_revenue"](spark, sf001))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_revenue_share_window_over_compacted_relation(spark, sf001):
+    """r63's ratio-to-report window must run over the per-customer
+    aggregate, not the fact: the Window sits ABOVE the aggregate in the
+    plan, and the fact contributes only one aggregation exchange."""
+    plan = physical(registry.QUERIES["r63_revenue_share"](spark, sf001))
+    assert "Window" in plan
+    agg_pos = plan.index("HashAggregate")
+    win_pos = plan.index("Window")
+    assert win_pos < agg_pos  # window consumes the aggregate's output
