@@ -71,3 +71,18 @@ def cascade_delete(
         F.broadcast(delete_ids), emb[emb_fk] == delete_ids[key], "left_anti"
     )
     return docs2, emb2
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_col: str) -> None:
+    """Backfill-safe partitioned write: replace ONLY the partitions
+    present in ``df``, leaving every other partition untouched (dynamic
+    partition overwrite — the idempotent daily-rerun pattern; a plain
+    ``overwrite`` would truncate the whole table). Per-write option, so
+    no session-level config leaks to other writers.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

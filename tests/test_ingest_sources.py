@@ -330,3 +330,32 @@ def test_ingest_cli_end_to_end_and_idempotent(spark, cards_path, tmp_path, capsy
     second = capsys.readouterr().out
     assert "documents=0" in second
     assert "rejected=4" in second
+
+
+def test_overwrite_partitions_replaces_only_touched_days(spark, tmp_path):
+    """Dynamic partition overwrite: re-running one day's batch replaces
+    that day and leaves the others byte-identical."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.sources import sinks
+
+    path = str(tmp_path / "daily")
+    base = spark.createDataFrame(
+        [(d, i, float(i)) for d in (1, 2, 3) for i in range(10)],
+        ["day", "k", "v"],
+    )
+    sinks.overwrite_partitions(base, path, "day")
+    assert spark.read.parquet(path).count() == 30
+
+    redo = spark.createDataFrame(
+        [(2, i, float(i) * 10) for i in range(4)], ["day", "k", "v"]
+    )
+    sinks.overwrite_partitions(redo, path, "day")
+
+    out = spark.read.parquet(path)
+    assert out.filter(F.col("day") == 1).count() == 10  # untouched
+    assert out.filter(F.col("day") == 3).count() == 10  # untouched
+    assert out.filter(F.col("day") == 2).count() == 4   # replaced
+    assert (
+        out.filter(F.col("day") == 2).agg(F.sum("v")).head()[0] == 60.0
+    )
