@@ -384,3 +384,27 @@ def attribute_purchases(
         "purchase_ts",
         "click_ts",
     )
+
+
+def enrich_events_stream(
+    spark: SparkSession,
+    source_dir: str,
+    dim: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    schema: str = "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double",
+) -> DataStreamWriter:
+    """Stream-static enrichment: join each micro-batch against a static
+    dimension (broadcast — the dimension never shuffles the stream).
+    The static side is re-resolved per micro-batch, so a dimension
+    backed by a path picks up slowly-changing updates without restarts
+    — the standard fact-stream × dimension pattern.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    enriched = stream.join(F.broadcast(dim), "user_id", "left")
+    return (
+        enriched.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -351,3 +351,45 @@ def test_exactly_once_event_ingest_drops_replays(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == 150
     assert out.select("event_id").distinct().count() == 150
+
+
+def test_enrich_events_stream_joins_static_dim(spark, tmp_path):
+    """Stream-static join: every event lands enriched with its user's
+    segment; users missing from the dimension keep NULL (left join)."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.streaming.pipelines import enrich_events_stream
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (
+        spark.range(0, 60)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(1704067200_000000) + F.col("id") * F.lit(1_000_000)
+            ).alias("ts"),
+            (F.col("id") % 6).alias("user_id"),
+            F.lit("view").alias("event_type"),
+            F.lit(1.0).alias("value"),
+        )
+        .coalesce(1)
+        .write.parquet(str(src / "b1"))
+    )
+    dim = spark.createDataFrame(
+        [(0, "gold"), (1, "silver"), (2, "bronze")], ["user_id", "segment"]
+    )
+    q = (
+        enrich_events_stream(
+            spark, str(src) + "/*", dim, str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 60
+    assert out.filter(F.col("segment").isNotNull()).count() == 30
+    assert out.filter(F.col("user_id") == 0).select("segment").first()[0] == "gold"
