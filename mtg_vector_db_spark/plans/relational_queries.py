@@ -2635,6 +2635,67 @@ oracle(
 
 
 # ---------------------------------------------------------------------------
+# Referential-integrity audit (extension): orphan counts per FK
+# relationship — the nightly constraint check a schema with unenforced
+# FKs needs (SURVEY §1.2: Spark has no FK enforcement; this query IS
+# the enforcement). Each relationship is a left-anti join; the child
+# side ships only its FK column, and counts union into one report.
+# ---------------------------------------------------------------------------
+@query("r65_fk_integrity_audit")
+def r65_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, emb, docs = tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "embeddings", "documents"
+    )
+
+    def orphans(child: DataFrame, fk: str, parent: DataFrame, pk: str, rel: str):
+        n = (
+            child.select(fk)
+            .join(parent.select(pk), child[fk] == parent[pk], "left_anti")
+            .count()
+        )
+        total = child.count()
+        return spark.range(1).select(
+            F.lit(rel).alias("relationship"),
+            F.lit(n).cast("long").alias("n_orphans"),
+            F.lit(total).cast("long").alias("n_children"),
+        )
+
+    return (
+        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+        .unionByName(orphans(orders, "o_custkey", cust, "c_custkey",
+                             "orders->customer"))
+        .unionByName(orphans(emb, "vec_id", docs, "doc_id",
+                             "embeddings->documents"))
+        .orderBy("relationship")
+    )
+
+
+oracle(
+    "r65_fk_integrity_audit",
+    """
+    SELECT 'embeddings->documents' AS relationship,
+           (SELECT count(*) FROM embeddings e
+            WHERE NOT EXISTS (SELECT 1 FROM documents d
+                              WHERE d.doc_id = e.vec_id)) AS n_orphans,
+           (SELECT count(*) FROM embeddings) AS n_children
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)),
+           (SELECT count(*) FROM lineitem)
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           (SELECT count(*) FROM orders)
+    ORDER BY relationship
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Ratio-to-report window (extension): each customer's share of their
 # nation's revenue — aggregate once, then a partition-total window over
 # the compacted per-customer relation (window input is one row per
