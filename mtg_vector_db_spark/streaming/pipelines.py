@@ -408,3 +408,94 @@ def enrich_events_stream(
         .option("path", out_path)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def streaming_funnel(
+    events: DataFrame,
+    horizon_hours: int = 24,
+) -> DataFrame:
+    """Stateful sequence detection (streaming CEP): per user, first
+    'view', then first 'click' within the horizon of it, then first
+    'purchase' within the horizon of that — emit ONE conversion row the
+    moment the sequence completes. State is three timestamps per user,
+    evicted on processing-time timeout; batch r45_event_funnel counts
+    the same stages corpus-wide.
+
+    On a batch DataFrame, falls back to the equivalent join-chain and
+    returns all completed conversions (the testable equivalence — feed
+    the stream time-ordered batches, since state advances in ts order).
+    """
+    H = horizon_hours * 3_600_000_000  # micros
+
+    if not events.isStreaming:
+        v = (
+            events.filter(F.col("event_type") == "view")
+            .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+        )
+        c = (
+            events.filter(F.col("event_type") == "click")
+            .join(v, "user_id")
+            .filter(
+                (F.col("ts") > F.col("t_view"))
+                & (F.unix_micros("ts") <= F.unix_micros("t_view") + H)
+            )
+            .groupBy("user_id")
+            .agg(F.first("t_view").alias("t_view"), F.min("ts").alias("t_click"))
+        )
+        return (
+            events.filter(F.col("event_type") == "purchase")
+            .join(c, "user_id")
+            .filter(
+                (F.col("ts") > F.col("t_click"))
+                & (F.unix_micros("ts") <= F.unix_micros("t_click") + H)
+            )
+            .groupBy("user_id")
+            .agg(
+                F.first("t_view").alias("t_view"),
+                F.first("t_click").alias("t_click"),
+                F.min("ts").alias("t_purchase"),
+            )
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        tv, tc, tp = state.get if state.exists else (0, 0, 0)
+        out = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                if tp:
+                    break
+                t = int(row["ts"].value // 1000)  # pandas ns -> us
+                et = row["event_type"]
+                if et == "view" and not tv:
+                    tv = t
+                elif et == "click" and tv and not tc and tv < t <= tv + H:
+                    tc = t
+                elif et == "purchase" and tc and not tp and tc < t <= tc + H:
+                    tp = t
+                    out = pd.DataFrame(
+                        {
+                            "user_id": [key[0]],
+                            "t_view_us": [tv],
+                            "t_click_us": [tc],
+                            "t_purchase_us": [tp],
+                        }
+                    )
+        state.update((tv, tc, tp))
+        state.setTimeoutDuration(7 * 24 * 3600 * 1000)
+        if out is not None:
+            yield out
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, t_view_us long, t_click_us long, "
+        "t_purchase_us long",
+        stateStructType="tv long, tc long, tp long",
+        # each conversion is emitted exactly once — append semantics,
+        # which also lets the result feed file sinks directly.
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

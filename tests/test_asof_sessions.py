@@ -393,3 +393,92 @@ def test_enrich_events_stream_joins_static_dim(spark, tmp_path):
     assert out.count() == 60
     assert out.filter(F.col("segment").isNotNull()).count() == 30
     assert out.filter(F.col("user_id") == 0).select("segment").first()[0] == "gold"
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Stateful streaming funnel ≡ the batch join-chain when batches
+    arrive in time order, including a conversion SPLIT across batches
+    (view+click in batch 1, purchase in batch 2 — pure state carry)."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.streaming.pipelines import streaming_funnel
+
+    T0 = 1704067200_000000
+    MIN = 60_000_000
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, u, et)
+                for i, (u, et) in enumerate(rows)
+            ],
+            ["seq", "user_id", "event_type"],
+        ).select(
+            F.col("seq").alias("event_id"),
+            F.timestamp_micros(F.lit(T0) + F.col("seq") * F.lit(MIN)).alias("ts"),
+            "user_id",
+            "event_type",
+            F.lit(1.0).alias("value"),
+        )
+
+    # user 1 converts inside batch 1; user 2's purchase comes in batch 2;
+    # user 3 never clicks; user 4 purchases before clicking (no match).
+    b1 = [(1, "view"), (1, "click"), (1, "purchase"),
+          (2, "view"), (2, "click"), (3, "view"), (4, "view"), (4, "purchase")]
+    b2 = [(2, "purchase"), (3, "error"), (4, "click")]
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    mk(b1).coalesce(1).write.parquet(str(src / "b1"))
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+
+    def run():
+        q = (
+            streaming_funnel(stream)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # batch-2 events continue user 2's funnel from carried state
+    offset = len(b1)
+    mk([(u, et) for u, et in b2]).select(
+        (F.col("event_id") + offset).alias("event_id"),
+        F.timestamp_micros(
+            F.lit(T0) + (F.col("event_id") + offset) * F.lit(MIN)
+        ).alias("ts"),
+        "user_id", "event_type", "value",
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    run()
+
+    got = {
+        r["user_id"]: (r["t_view_us"], r["t_click_us"], r["t_purchase_us"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+
+    all_events = mk(b1).unionByName(
+        mk([(u, et) for u, et in b2]).select(
+            (F.col("event_id") + offset).alias("event_id"),
+            F.timestamp_micros(
+                F.lit(T0) + (F.col("event_id") + offset) * F.lit(MIN)
+            ).alias("ts"),
+            "user_id", "event_type", "value",
+        )
+    )
+    expect = {
+        r["user_id"]: (
+            r["t_view"].timestamp() * 1e6,
+            r["t_click"].timestamp() * 1e6,
+            r["t_purchase"].timestamp() * 1e6,
+        )
+        for r in streaming_funnel(all_events).collect()
+    }
+    assert set(got) == set(expect) == {1, 2}
+    for u in got:
+        assert got[u] == tuple(int(x) for x in expect[u])
