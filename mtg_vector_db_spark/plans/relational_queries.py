@@ -2635,6 +2635,53 @@ oracle(
 
 
 # ---------------------------------------------------------------------------
+# Null-safe equality join (extension): SQL's `=` drops NULL keys
+# silently — matching "unknown" groups requires IS NOT DISTINCT FROM
+# (Spark `eqNullSafe`, planned as an ordinary hash join on a
+# null-tolerant key). Nullable keys are derived deterministically
+# (props.k % 5 == 0 → NULL), and the self-join counts per-key pair
+# volume INCLUDING the NULL group a plain join would lose.
+# ---------------------------------------------------------------------------
+@query("r66_nullsafe_join")
+def r66_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    keyed = events.select(
+        "event_id",
+        F.when(k % 5 == 0, F.lit(None)).otherwise(k % 5).alias("grp"),
+    ).filter(F.col("event_id") < 2000)
+    a = keyed.select(F.col("grp").alias("g_a"), F.col("event_id").alias("id_a"))
+    b = keyed.select(F.col("grp").alias("g_b"), F.col("event_id").alias("id_b"))
+    return (
+        a.join(b, a.g_a.eqNullSafe(b.g_b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy(F.coalesce(F.col("g_a").cast("string"), F.lit("NULL")).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("grp")
+    )
+
+
+oracle(
+    "r66_nullsafe_join",
+    """
+    WITH keyed AS (
+      SELECT event_id,
+             CASE WHEN CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                       AS BIGINT) % 5 = 0 THEN NULL
+                  ELSE CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                       AS BIGINT) % 5 END AS grp
+      FROM events WHERE event_id < 2000
+    )
+    SELECT coalesce(CAST(a.grp AS VARCHAR), 'NULL') AS grp,
+           count(*) AS n_pairs
+    FROM keyed a JOIN keyed b
+      ON a.grp IS NOT DISTINCT FROM b.grp AND a.event_id < b.event_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Referential-integrity audit (extension): orphan counts per FK
 # relationship — the nightly constraint check a schema with unenforced
 # FKs needs (SURVEY §1.2: Spark has no FK enforcement; this query IS
