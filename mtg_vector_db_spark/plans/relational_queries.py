@@ -2635,6 +2635,52 @@ oracle(
 
 
 # ---------------------------------------------------------------------------
+# Top-k per group via AGGREGATION (extension — the physical twin of
+# r07's window formulation): fold each group to a k-slice of its sorted
+# struct array inside the hash aggregate. The window path sorts every
+# group's full partition; this path's map-side partial keeps only what
+# it has seen, and for small k over huge groups the shuffled state is
+# the partial arrays, not the rows. Same rows and ranks as r07 — the
+# oracle is the window formulation, pinning the strategies equal.
+# ---------------------------------------------------------------------------
+@query("r67_topk_per_group_agg")
+def r67_topk_per_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    # Sort key: price DESC then orderkey ASC ≡ ascending (-price, orderkey).
+    item = F.struct(
+        (-F.col("o_totalprice")).alias("neg_price"),
+        F.col("o_orderkey").alias("o_orderkey"),
+    )
+    topk = F.slice(F.array_sort(F.collect_list(item)), 1, 2)
+    return (
+        orders.filter(F.col("o_custkey") < 100)
+        .groupBy("o_custkey")
+        .agg(topk.alias("tk"))
+        .select("o_custkey", F.posexplode("tk").alias("pos", "t"))
+        .select(
+            "o_custkey",
+            F.col("t.o_orderkey").alias("o_orderkey"),
+            (-F.col("t.neg_price")).alias("o_totalprice"),
+            (F.col("pos") + 1).cast("long").alias("rank"),
+        )
+        .orderBy("o_custkey", "rank")
+    )
+
+
+oracle(
+    "r67_topk_per_group_agg",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+      FROM orders WHERE o_custkey < 100
+    ) WHERE rank <= 2 ORDER BY o_custkey, rank
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Null-safe equality join (extension): SQL's `=` drops NULL keys
 # silently — matching "unknown" groups requires IS NOT DISTINCT FROM
 # (Spark `eqNullSafe`, planned as an ordinary hash join on a
