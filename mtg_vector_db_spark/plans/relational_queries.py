@@ -2635,6 +2635,43 @@ oracle(
 
 
 # ---------------------------------------------------------------------------
+# Boolean aggregates (extension): bool_or / bool_and / count_if — the
+# EXISTS-per-group duality. "Has any failed order" as bool_or folds
+# map-side to one bit per group; the naive EXISTS formulation is a
+# correlated semi-join per flag. One aggregate, four flags.
+# ---------------------------------------------------------------------------
+@query("r68_customer_order_flags")
+def r68_customer_order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_custkey") < 200)
+        .groupBy("o_custkey")
+        .agg(
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_failed"),
+            F.bool_and(F.col("o_totalprice") > 5000).alias("all_above_5k"),
+            F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+oracle(
+    "r68_customer_order_flags",
+    """
+    SELECT o_custkey,
+           bool_or(o_orderstatus = 'F') AS any_failed,
+           bool_and(o_totalprice > 5000) AS all_above_5k,
+           CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT)
+             AS n_urgent,
+           count(*) AS n_orders
+    FROM orders WHERE o_custkey < 200
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Top-k per group via AGGREGATION (extension — the physical twin of
 # r07's window formulation): fold each group to a k-slice of its sorted
 # struct array inside the hash aggregate. The window path sorts every
