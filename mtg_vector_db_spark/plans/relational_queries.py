@@ -2635,6 +2635,77 @@ oracle(
 
 
 # ---------------------------------------------------------------------------
+# Sessionized conversion rate (extension): session_window aggregation
+# carrying a bool_or(purchase) flag, then conversion share by
+# session-length bucket — the product-analytics composition of gap
+# sessions (r17) and boolean aggregates (r68). Session assignment and
+# the flag fold in ONE aggregate over the user-keyed exchange; the
+# bucket rollup sees only session rows.
+# ---------------------------------------------------------------------------
+@query("r69_session_conversion")
+def r69_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    sessions = events.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.bool_or(F.col("event_type") == "purchase").alias("converted"),
+    )
+    bucket = (
+        F.when(F.col("n_events") <= 2, "1-2")
+        .when(F.col("n_events") <= 5, "3-5")
+        .otherwise("6+")
+    )
+    return (
+        sessions.groupBy(bucket.alias("session_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.col("converted").cast("long")).alias("n_converted"),
+        )
+        .select(
+            "session_size",
+            "n_sessions",
+            "n_converted",
+            F.round(F.col("n_converted") / F.col("n_sessions"), 6).alias(
+                "conversion_rate"
+            ),
+        )
+        .orderBy("session_size")
+    )
+
+
+oracle(
+    "r69_session_conversion",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ), sess AS (
+      SELECT user_id, sid, count(*) AS n_events,
+             bool_or(event_type = 'purchase') AS converted
+      FROM s GROUP BY 1, 2
+    )
+    SELECT CASE WHEN n_events <= 2 THEN '1-2'
+                WHEN n_events <= 5 THEN '3-5' ELSE '6+' END AS session_size,
+           count(*) AS n_sessions,
+           CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted,
+           round(sum(CASE WHEN converted THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS conversion_rate
+    FROM sess GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Boolean aggregates (extension): bool_or / bool_and / count_if — the
 # EXISTS-per-group duality. "Has any failed order" as bool_or folds
 # map-side to one bit per group; the naive EXISTS formulation is a
