@@ -72,3 +72,35 @@ def read_lines_excluding(
             "left_anti",
         )
     return lines
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """CSV source with malformed-row quarantine: PERMISSIVE parse into a
+    declared schema plus a corrupt-record column, split into (good,
+    corrupt-raw-lines). The D3 discipline (never throw per-row, route
+    rejects to a side channel) applied at the source boundary — at
+    scale a FAILFAST csv read dies on the first bad byte of 100 TB.
+    """
+    raw = (
+        spark.read.schema(schema + ", _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .option("header", "true")
+        .csv(path)
+    )
+    # Caching before the split is REQUIRED: Spark forbids filtering only
+    # the corrupt column off a lazy csv relation (SPARK-38523 guard).
+    raw = raw.cache()
+    good = raw.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    bad = raw.filter(F.col("_corrupt").isNotNull()).select(
+        F.col("_corrupt").alias("raw_line")
+    )
+    return good, bad
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — same columnar scan surface as parquet (pushdown,
+    pruning); exists so corpora delivered as ORC need no conversion."""
+    return spark.read.orc(path)

@@ -359,3 +359,35 @@ def test_overwrite_partitions_replaces_only_touched_days(spark, tmp_path):
     assert (
         out.filter(F.col("day") == 2).agg(F.sum("v")).head()[0] == 60.0
     )
+
+
+def test_read_csv_with_quarantine_splits_bad_rows(spark, tmp_path):
+    """Malformed CSV rows land in the quarantine side, not in the data
+    and not as an exception."""
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "doc_id,score,name\n"
+        "1,0.5,alpha\n"
+        "2,not_a_number,beta\n"     # bad double
+        "3,0.25,gamma\n"
+    )
+    from mtg_vector_db_spark.sources.readers import read_csv_with_quarantine
+
+    good, bad = read_csv_with_quarantine(
+        spark, str(p), "doc_id long, score double, name string"
+    )
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 3]
+    assert bad.count() == 1
+    assert "not_a_number" in bad.first()["raw_line"]
+
+
+def test_orc_round_trip_preserves_rows(spark, tmp_path):
+    """Parquet-sourced frame survives an ORC round trip byte-for-byte
+    on values (same scan surface, different container)."""
+    from mtg_vector_db_spark.sources.readers import read_orc
+
+    src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    path = str(tmp_path / "nation_orc")
+    src.write.orc(path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
