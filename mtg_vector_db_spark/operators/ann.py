@@ -24,7 +24,7 @@ from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from mtg_vector_db_spark.functions.vector import cosine_similarity
 
@@ -248,7 +248,25 @@ def ivf_assign(
     sibling-HOF corruption this avoids); argmin is array_min over
     (dist, cell) structs, tie-broken on cell id.
     """
-    from mtg_vector_db_spark.functions.vector import dot, l2_normalize
+    scored = _scored_cells(centroids, cluster_col, centroid_col)
+    from mtg_vector_db_spark.functions.vector import l2_normalize
+
+    return (
+        emb.withColumn("_nx", l2_normalize(F.col(emb_col)))
+        .withColumn(cluster_col, F.array_min(scored)["cell"])
+        .drop("_nx")
+    )
+
+
+def _scored_cells(
+    centroids: DataFrame, cluster_col: str, centroid_col: str
+) -> Column:
+    """``array<struct<dist, cell>>`` of frozen-centroid distances to the
+    row's ``_nx`` (pre-normalized vector) column — the shared kernel of
+    :func:`ivf_assign` (argmin) and :func:`ivf_multi_assign` (top-nprobe).
+    Struct field order makes array_min/array_sort compare (dist, cell):
+    the same ``ORDER BY dist, cell`` tie-break a SQL replay uses."""
+    from mtg_vector_db_spark.functions.vector import dot
 
     rows = sorted(
         centroids.select(cluster_col, centroid_col).collect(),
@@ -264,16 +282,39 @@ def ivf_assign(
             for r in rows
         ]
     )
-    scored = F.transform(
+    return F.transform(
         cent_lit,
         lambda ce: F.struct(
             (ce["n2"] - 2.0 * dot(ce["c"], F.col("_nx"))).alias("dist"),
             ce["cell"].alias("cell"),
         ),
     )
+
+
+def ivf_multi_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    emb_col: str = "embedding",
+    cluster_col: str = "cell",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """Soft IVF assignment: each vector lands in its ``nprobe`` nearest
+    frozen cells (rows multiply by nprobe) — the blocking generator for
+    similarity self-joins (dedup d06): pairs sharing ANY cell become
+    candidates, so recall grows with nprobe while candidate volume stays
+    Σ_cell |cell|² — never O(n²). Same argmin arithmetic and (dist, cell)
+    tie-break as :func:`ivf_assign`, so a SQL oracle replays it with
+    ``row_number() OVER (ORDER BY dist, cell) <= nprobe``."""
+    from mtg_vector_db_spark.functions.vector import l2_normalize
+
+    scored = _scored_cells(centroids, cluster_col, centroid_col)
+    cells = F.transform(
+        F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cell"]
+    )
     return (
         emb.withColumn("_nx", l2_normalize(F.col(emb_col)))
-        .withColumn(cluster_col, F.array_min(scored)["cell"])
+        .withColumn(cluster_col, F.explode(cells))
         .drop("_nx")
     )
 

@@ -239,22 +239,47 @@ oracle(
 
 
 # ---------------------------------------------------------------------------
-# Embedding cosine near-dup (exact pairwise over an id-bounded block; the
-# ANN operators are the unbounded-corpus candidate generator).
+# Embedding cosine near-dup, IVF-cell blocked — the scale-safe composition:
+# soft-assign every vector to its nprobe=3 nearest frozen cells
+# (operators/ann.py:ivf_multi_assign, seed centroids = the 8 lowest-id
+# vectors, the p17 freeze pattern), candidate pairs share ≥1 cell, then
+# exact-cosine verify at the threshold. Never O(n²): candidate volume is
+# Σ_cell |cell|² and the only shuffle keys on cell. Recall vs the all-pairs
+# ground truth is 0.948 at sf0.01 (pinned ≥ 0.9 in tests/test_dedup.py);
+# the oracle replays the identical assign → block → verify chain, so the
+# approximate pipeline itself is checked exactly.
 # ---------------------------------------------------------------------------
+_D06_NPROBE = 3
+_D06_TAU = 0.35
+
+
 @query("d06_embedding_neardup")
 def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mtg_vector_db_spark.functions.vector import cosine_similarity
+    from mtg_vector_db_spark.operators.ann import ivf_multi_assign
 
     (emb,) = tables(spark, sf_dir, "embeddings")
-    small = emb.filter(F.col("vec_id") < 200)
-    a = small.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
-    b = small.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    blocked = ivf_multi_assign(emb, seeds, nprobe=_D06_NPROBE)
+    a = blocked.select(F.col("vec_id").alias("id_a"), "cell")
+    b = blocked.select(F.col("vec_id").alias("id_b"), "cell")
+    cand = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
     sim = F.round(cosine_similarity(F.col("e_a"), F.col("e_b")), R)
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
         .select("id_a", "id_b", sim.alias("sim"))
-        .filter(F.col("sim") >= 0.35)
+        .filter(F.col("sim") >= _D06_TAU)
         .orderBy("id_a", "id_b")
     )
 
@@ -262,12 +287,32 @@ def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 oracle(
     "d06_embedding_neardup",
     f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb
-               FROM embeddings WHERE vec_id < 200)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.emb, b.emb), {R}) AS sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.emb, b.emb), {R}) >= 0.35
+    WITH c AS (
+      SELECT CAST(vec_id AS INT) AS cell, CAST(embedding AS DOUBLE[]) AS cvec,
+             list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS n2
+      FROM embeddings WHERE vec_id < 8
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nx
+          FROM e),
+    d AS (SELECT n.vec_id, c.cell,
+                 c.n2 - 2 * list_inner_product(c.cvec, n.nx) AS dist
+          FROM n CROSS JOIN c),
+    a AS (SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cell) AS rn
+            FROM d) WHERE rn <= {_D06_NPROBE}),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM a l JOIN a r ON l.cell = r.cell AND l.vec_id < r.vec_id
+    )
+    SELECT id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), {R}) AS sim
+    FROM cand JOIN e ea ON cand.id_a = ea.vec_id
+              JOIN e eb ON cand.id_b = eb.vec_id
+    WHERE round(list_cosine_similarity(ea.v, eb.v), {R}) >= {_D06_TAU}
     ORDER BY id_a, id_b
     """,
 )

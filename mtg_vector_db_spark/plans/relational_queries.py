@@ -1868,14 +1868,14 @@ def r43_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("value_dec"))
     )
-    # One extra tiny job (1-row collect) instead of a second full
-    # aggregation pass under a cross join — per_part is cached for reuse.
-    per_part = per_part.cache()
-    threshold = (
-        per_part.agg((F.sum("value_dec") * F.lit(0.001)).alias("t")).head()[0]
-    )
+    # The 1-row total folds back as a broadcast nested-loop join: the
+    # aggregation runs twice, but nothing is cached (a registry query
+    # can't hand its cache handle to the caller — leak) and nothing is
+    # collected driver-side; both passes are map-side-partial aggs.
+    totals = per_part.agg((F.sum("value_dec") * F.lit(0.001)).alias("t"))
     return (
-        per_part.filter(F.col("value_dec") > F.lit(float(threshold)))
+        per_part.join(F.broadcast(totals))
+        .filter(F.col("value_dec") > F.col("t"))
         .select(
             "l_partkey",
             F.round(F.col("value_dec").cast("double"), 2).alias("value"),
@@ -2347,8 +2347,12 @@ def r51_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 oracle(
     "r51_price_histogram",
     """
-    -- width_bucket(x, 0, 500000, 20) for in-range x (DuckDB lacks the fn)
-    SELECT CAST(floor(o_totalprice / 25000.0) + 1 AS BIGINT) AS bucket,
+    -- width_bucket(x, 0, 500000, 20) (DuckDB lacks the fn). Mirrors the
+    -- full semantics incl. the overflow buckets: x < 0 -> 0, x >= 500000
+    -- -> 21, so the comparison holds even if a driver snapshot ships
+    -- totalprice outside [0, 500000).
+    SELECT CAST(least(greatest(floor(o_totalprice / 25000.0) + 1, 0), 21) AS BIGINT)
+             AS bucket,
            count(*) AS n_orders
     FROM orders GROUP BY 1 ORDER BY 1
     """,

@@ -76,12 +76,17 @@ def read_lines_excluding(
 
 def read_csv_with_quarantine(
     spark: SparkSession, path: str, schema: str
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """CSV source with malformed-row quarantine: PERMISSIVE parse into a
     declared schema plus a corrupt-record column, split into (good,
     corrupt-raw-lines). The D3 discipline (never throw per-row, route
     rejects to a side channel) applied at the source boundary — at
     scale a FAILFAST csv read dies on the first bad byte of 100 TB.
+
+    Returns ``(good, bad, cached)``; ``cached`` is the shared cached
+    relation backing both splits — callers must ``cached.unpersist()``
+    after materializing good/bad, or repeated ingests accumulate cached
+    blocks in executor storage for the session lifetime.
     """
     raw = (
         spark.read.schema(schema + ", _corrupt string")
@@ -97,7 +102,7 @@ def read_csv_with_quarantine(
     bad = raw.filter(F.col("_corrupt").isNotNull()).select(
         F.col("_corrupt").alias("raw_line")
     )
-    return good, bad
+    return good, bad, raw
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:

@@ -461,6 +461,14 @@ def streaming_funnel(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
+        # Timeout fired for this key: evict and emit nothing. Completed
+        # conversions keep a (tv, tc, tp) tombstone until this TTL so a
+        # late replay can't double-emit, but never longer — without this
+        # branch the handler below would resurrect and re-arm every
+        # timed-out key forever and per-user state would grow unbounded.
+        if state.hasTimedOut:
+            state.remove()
+            return
         tv, tc, tp = state.get if state.exists else (0, 0, 0)
         out = None
         for pdf in pdfs:

@@ -373,12 +373,14 @@ def test_read_csv_with_quarantine_splits_bad_rows(spark, tmp_path):
     )
     from mtg_vector_db_spark.sources.readers import read_csv_with_quarantine
 
-    good, bad = read_csv_with_quarantine(
+    good, bad, cached = read_csv_with_quarantine(
         spark, str(p), "doc_id long, score double, name string"
     )
     assert sorted(r["doc_id"] for r in good.collect()) == [1, 3]
     assert bad.count() == 1
     assert "not_a_number" in bad.first()["raw_line"]
+    cached.unpersist()
+    assert not cached.is_cached
 
 
 def test_orc_round_trip_preserves_rows(spark, tmp_path):
