@@ -153,6 +153,105 @@ def knn_numpy(
     )
 
 
+RP_SEED = 7
+RP_TABLES = 4
+RP_BUCKET_LENGTH = 1.0
+
+
+def rp_planes(
+    dim: int, n_tables: int = RP_TABLES, seed: int = RP_SEED
+) -> list[list[float]]:
+    """Deterministic Gaussian projection planes (one per hash table).
+    ``RandomState`` is stream-stable across platforms, so the planes are a
+    pure function of (dim, n_tables, seed) — both the Spark plan and a SQL
+    oracle can embed the identical literals."""
+    rng = np.random.RandomState(seed)
+    return [[float(v) for v in row] for row in rng.standard_normal((n_tables, dim))]
+
+
+def _seq_dot(a: Sequence[float], b: Sequence[float]) -> float:
+    """Sequential float64 dot — bit-identical to the Catalyst fold in
+    functions/vector.py:dot and to a SQL engine's sequential inner
+    product, so driver-side bucket ids agree with both."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def rp_lsh_topk(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    n_tables: int = RP_TABLES,
+    bucket_length: float = RP_BUCKET_LENGTH,
+    seed: int = RP_SEED,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic random-projection LSH top-k (E2LSH scheme on the unit
+    sphere): bucket ``w`` of a vector is ``floor(round(<x̂, plane_w>/L, 9))``;
+    candidates match the query's bucket in ANY of the ``n_tables`` tables;
+    survivors get an exact-cosine rescore to the final top-k.
+
+    This is the oracle-able sibling of the MLlib BRP-LSH path
+    (:func:`lsh_index`): same bucketed-candidate structure, but the planes
+    are seeded literals instead of a fitted model's private state, so a SQL
+    engine replays bucketing, candidate union, and rescore exactly. The
+    9-digit rounding before ``floor`` pins the bucket id against last-ulp
+    float divergence between engines. At scale the candidate filter is a
+    map-side scan (no shuffle, no model broadcast beyond n_tables×dim
+    literals); persisting ``(table, bucket)`` as partition keys turns it
+    into a partition-pruned read. Tune recall/selectivity with
+    ``bucket_length`` (narrower = fewer candidates) and ``n_tables``.
+    Replaces the reference's HNSW query path (db/init.sql:50-53) as the
+    indexed approximate route.
+    """
+    import math as _math
+
+    from mtg_vector_db_spark.functions.vector import (
+        cosine_similarity,
+        dot,
+        l2_normalize,
+    )
+
+    planes = rp_planes(len(query_vec), n_tables, seed)
+    q = [float(x) for x in query_vec]
+    qn_norm = _math.sqrt(_seq_dot(q, q))
+    qn = [x / qn_norm for x in q]
+    q_buckets = [
+        int(_math.floor(round(_seq_dot(qn, p) / bucket_length, 9)))
+        for p in planes
+    ]
+
+    planes_lit = F.array(
+        *[F.array(*[F.lit(v) for v in p]) for p in planes]
+    )
+    qb_lit = F.array(*[F.lit(b).cast("long") for b in q_buckets])
+    nx = l2_normalize(F.col(emb_col))
+    # ONE nested HOF (not sibling lambda columns — see the corruption note
+    # on binary_signature): any-table bucket match.
+    hit = F.exists(
+        F.sequence(F.lit(1), F.lit(n_tables)),
+        lambda w: F.floor(
+            F.round(
+                dot(F.element_at(planes_lit, w.cast("int")), nx)
+                / F.lit(bucket_length),
+                9,
+            )
+        ).cast("long")
+        == F.element_at(qb_lit, w.cast("int")),
+    )
+    sim = F.round(cosine_similarity(F.col(emb_col), q), round_digits)
+    return (
+        emb.filter(hit)
+        .select(F.col(id_col).alias("doc_id"), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def lsh_index(emb: DataFrame, emb_col: str = "embedding",
               bucket_length: float = 2.0, num_tables: int = 3):
     """MLlib BucketedRandomProjectionLSH model + transformed (bucketed)
@@ -221,6 +320,93 @@ def kmeans_ivf_build(
         "cell int, centroid array<double>",
     )
     return centroids, assigned
+
+
+def lloyd_ivf_build(
+    emb: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 9,
+):
+    """Deterministic k-means (Lloyd) IVF build as pure DataFrame ops — the
+    oracle-able sibling of :func:`kmeans_ivf_build` (MLlib): init centroids
+    are the ``n_cells`` lowest-id normalized vectors (the p17 freeze
+    pattern), each iteration is one argmin assignment over centroid
+    literals (map-side, no shuffle) plus one narrow (cell, pos) mean
+    shuffle, and every float that feeds a comparison is rounded to
+    ``round_digits`` — distances before argmin, centroid means after
+    averaging — so a SQL engine unrolling the same iterations replays the
+    build bit-for-bit. Per iteration the corpus is re-scanned (standard
+    Lloyd); the collected state is n_cells×dim doubles, broadcast back as
+    literals.
+
+    Returns (centroids DataFrame (cell, centroid array<double>),
+    assignment DataFrame (id_col, cell)).
+    """
+    from mtg_vector_db_spark.functions.vector import l2_normalize
+
+    nxdf = emb.select(F.col(id_col), l2_normalize(F.col(emb_col)).alias("_nx"))
+    seed_rows = (
+        nxdf.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).cast("int").alias("cell"), "_nx")
+        .collect()
+    )
+    cents: dict[int, list[float]] = {
+        r["cell"]: [float(x) for x in r["_nx"]] for r in seed_rows
+    }
+
+    def assign(c: dict[int, list[float]]) -> DataFrame:
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(cell).alias("cell"),
+                    F.array(*[F.lit(v) for v in vec]).alias("c"),
+                    F.lit(float(_seq_dot(vec, vec))).alias("n2"),
+                )
+                for cell, vec in sorted(c.items())
+            ]
+        )
+        from mtg_vector_db_spark.functions.vector import dot
+
+        scored = F.transform(
+            cent_lit,
+            lambda ce: F.struct(
+                F.round(
+                    ce["n2"] - 2.0 * dot(ce["c"], F.col("_nx")), round_digits
+                ).alias("dist"),
+                ce["cell"].alias("cell"),
+            ),
+        )
+        return nxdf.withColumn("cell", F.array_min(scored)["cell"])
+
+    for _ in range(n_iter):
+        assigned = assign(cents)
+        means = (
+            assigned.select("cell", F.posexplode("_nx").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), round_digits).alias("c"))
+        )
+        rows = (
+            means.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        # cells that lost every member keep their previous centroid
+        for r in rows:
+            cents[r["cell"]] = [float(x) for x in r["centroid"]]
+
+    final = assign(cents).select(id_col, "cell")
+    centroids_df = emb.sparkSession.createDataFrame(
+        sorted(cents.items()), "cell int, centroid array<double>"
+    )
+    return centroids_df, final
 
 
 def ivf_assign(

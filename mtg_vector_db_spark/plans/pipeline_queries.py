@@ -190,45 +190,140 @@ oracle(
 
 
 # ---------------------------------------------------------------------------
-# §4.3 north star: MLlib BucketedRandomProjectionLSH index build + query
-# (the "batch vector index build" analog of the reference's HNSW,
-# db/init.sql:50-53). Approximate by construction — no SQL oracle exists,
-# so this is a rows-only entry; recall vs the exact KNN baseline is
-# asserted in tests/test_pipeline_queries.py.
+# §4.3 north star: LSH ANN index + query (the "batch vector index build"
+# analog of the reference's HNSW, db/init.sql:50-53) — the DETERMINISTIC
+# random-projection scheme (operators/ann.py:rp_lsh_topk): seeded Gaussian
+# planes as literals, bucket = floor(round(<x̂,plane>/L, 9)), any-table
+# candidate union, exact-cosine rescore. Fully oracle-able: the SQL replays
+# bucketing + union + rescore with the identical plane literals. The MLlib
+# BRP-LSH path (lsh_index/lsh_query) remains the fitted-model variant,
+# recall-checked in recall_report/tests.
 # ---------------------------------------------------------------------------
 @query("p06_lsh_ann_topk")
 def p06_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mtg_vector_db_spark.operators.ann import lsh_index, lsh_query
+    from mtg_vector_db_spark.operators.ann import rp_lsh_topk
 
     (emb,) = tables(spark, sf_dir, "embeddings")
-    model, indexed = lsh_index(emb)
     qv = query_vector(spark, sf_dir)
-    out = lsh_query(model, indexed, qv, k=10)
-    return out.select(
-        F.col("vec_id").alias("doc_id"),
-        F.round(F.lit(1.0) - F.col("distCol") * F.col("distCol") / F.lit(2.0), R)
-        .alias("sim"),  # Euclidean d on unit sphere ⇒ cos = 1 - d²/2
-    ).orderBy(F.desc("sim"), F.asc("doc_id"))
+    return rp_lsh_topk(emb, qv, k=10, round_digits=R).orderBy(
+        F.desc("sim"), F.asc("doc_id")
+    )
+
+
+def _p06_oracle() -> str:
+    from mtg_vector_db_spark.operators.ann import (
+        RP_BUCKET_LENGTH,
+        RP_TABLES,
+        rp_planes,
+    )
+
+    planes = rp_planes(64, RP_TABLES)
+    planes_sql = ", ".join(
+        f"({w + 1}, CAST([{', '.join(repr(v) for v in p)}] AS DOUBLE[]))"
+        for w, p in enumerate(planes)
+    )
+    bl = RP_BUCKET_LENGTH
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE vec_id = 0),
+    qn AS (SELECT list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+             AS nq FROM q),
+    planes(w, p) AS (VALUES {planes_sql}),
+    qb AS (SELECT w, CAST(floor(round(list_inner_product(p, nq) / {bl}, 9))
+                     AS BIGINT) AS b
+           FROM planes, qn),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nx
+          FROM e),
+    eb AS (SELECT n.vec_id, pl.w,
+                  CAST(floor(round(list_inner_product(pl.p, n.nx) / {bl}, 9))
+                    AS BIGINT) AS b
+           FROM n, planes pl),
+    cand AS (SELECT DISTINCT eb.vec_id
+             FROM eb JOIN qb ON eb.w = qb.w AND eb.b = qb.b)
+    SELECT e.vec_id AS doc_id,
+           round(list_cosine_similarity(e.v, (SELECT v FROM q)), {R}) AS sim
+    FROM cand JOIN e ON cand.vec_id = e.vec_id
+    ORDER BY sim DESC, doc_id ASC LIMIT 10
+    """
+
+
+oracle("p06_lsh_ann_topk", _p06_oracle())
 
 
 # ---------------------------------------------------------------------------
-# Full IVF index build: MLlib KMeans coarse quantizer + cell assignment
-# (operators/ann.py:kmeans_ivf_build). Iterative/ML — not SQL-expressible,
-# so rows-only: the output is the per-cell occupancy profile, whose
-# invariants (all vectors assigned, n_cells cells max) are asserted in
+# Full IVF index build — the DETERMINISTIC Lloyd k-means variant
+# (operators/ann.py:lloyd_ivf_build): seed centroids = the 8 lowest-id
+# normalized vectors, 2 Lloyd iterations with every comparison-feeding
+# float rounded to 9 digits (distances before argmin, means after
+# averaging). That freeze discipline makes the whole iterative build
+# SQL-replayable: the oracle unrolls both iterations as CTE chains. The
+# MLlib KMeans build (kmeans_ivf_build) remains the fitted-model variant
+# for recall_report; its invariants are pinned in
 # tests/test_pipeline_queries.py.
 # ---------------------------------------------------------------------------
+_P07_CELLS = 8
+_P07_ITER = 2
+
+
 @query("p07_kmeans_ivf_build")
 def p07_kmeans_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mtg_vector_db_spark.operators.ann import kmeans_ivf_build
+    from mtg_vector_db_spark.operators.ann import lloyd_ivf_build
 
     (emb,) = tables(spark, sf_dir, "embeddings")
-    _, assigned = kmeans_ivf_build(emb, n_cells=8)
+    _, assigned = lloyd_ivf_build(emb, n_cells=_P07_CELLS, n_iter=_P07_ITER)
     return (
         assigned.groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
         .orderBy("cell")
     )
+
+
+def _p07_oracle() -> str:
+    k, rd = _P07_CELLS, 9
+    sql = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nx
+          FROM e),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cell, nx AS cent FROM n
+           WHERE vec_id < {k})"""
+    prev = "c0"
+    for i in range(1, _P07_ITER + 1):
+        sql += f""",
+    a{i - 1} AS (SELECT vec_id, cell FROM (
+        SELECT n.vec_id, p.cell,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 round(list_inner_product(p.cent, p.cent)
+                       - 2 * list_inner_product(p.cent, n.nx), {rd}),
+                 p.cell) AS rn
+        FROM n CROSS JOIN {prev} p) WHERE rn = 1),
+    m{i} AS (SELECT a{i - 1}.cell, i, round(avg(n.nx[i]), {rd}) AS c
+             FROM a{i - 1} JOIN n USING (vec_id), range(1, 65) t(i)
+             GROUP BY a{i - 1}.cell, i),
+    cl{i} AS (SELECT cell, list(c ORDER BY i) AS cent FROM m{i} GROUP BY cell),
+    c{i} AS (SELECT p.cell, coalesce(cl{i}.cent, p.cent) AS cent
+             FROM {prev} p LEFT JOIN cl{i} ON p.cell = cl{i}.cell)"""
+        prev = f"c{i}"
+    sql += f""",
+    af AS (SELECT vec_id, cell FROM (
+        SELECT n.vec_id, p.cell,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 round(list_inner_product(p.cent, p.cent)
+                       - 2 * list_inner_product(p.cent, n.nx), {rd}),
+                 p.cell) AS rn
+        FROM n CROSS JOIN {prev} p) WHERE rn = 1)
+    SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+    FROM af GROUP BY cell ORDER BY cell
+    """
+    return sql
+
+
+oracle("p07_kmeans_ivf_build", _p07_oracle())
 
 
 # ---------------------------------------------------------------------------

@@ -127,6 +127,21 @@ def test_lsh_index_query(spark, sf001):
     assert rows[0]["vec_id"] == 0
 
 
+def test_rp_lsh_recall_vs_exact(spark, sf001):
+    """Deterministic RP-LSH (p06's engine) must recover ≥90% of the exact
+    top-10 at the default (n_tables, bucket_length) — measured 1.0 at
+    sf0.01 — and must never return a doc the exact rescore wouldn't rank."""
+    from mtg_vector_db_spark.operators.ann import rp_lsh_topk
+    from mtg_vector_db_spark.operators.knn import knn
+    from mtg_vector_db_spark.plans.vector_queries import query_vector
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    qv = query_vector(spark, sf001)
+    approx = {r["doc_id"] for r in rp_lsh_topk(emb, qv, 10).collect()}
+    exact = {r["vec_id"] for r in knn(emb, qv, 10, round_digits=6).collect()}
+    assert len(approx & exact) >= 9
+
+
 def test_kmeans_ivf_build_invariants(spark, sf001):
     from mtg_vector_db_spark.operators.ann import kmeans_ivf_build
 
