@@ -73,16 +73,28 @@ def mmr_rerank(
         norms = np.linalg.norm(V, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         V = V / norms
-        pair = V @ V.T
+        # Pairwise sims are rounded BEFORE the greedy loop so every float
+        # feeding a comparison is reproducible across engines: a SQL
+        # replay computing round(cosine, d) from the raw vectors lands on
+        # identical penalties (numpy GEMM vs sequential fold differ only
+        # past the rounding digit).
+        pair = np.round(V @ V.T, round_digits)
         picks = mmr_select(
             pdf[score_col].to_numpy(dtype=np.float64), pair, k, lam
         )
+        # Scores are emitted UNROUNDED: the objective 0.7·rel − 0.3·pen
+        # over 6-decimal inputs lands on exact 7th-decimal halves, where
+        # Python's correctly-rounded round() and a SQL engine's scaled
+        # round() disagree on the same double. The raw doubles are
+        # bit-identical across engines (identical rounded inputs,
+        # identical IEEE ops), so any downstream canonicalization rounds
+        # both sides the same way.
         return pd.DataFrame(
             {
                 query_col: [pdf[query_col].iloc[0]] * len(picks),
                 id_col: [int(pdf[id_col].iloc[i]) for i, _ in picks],
                 "mmr_rank": list(range(1, len(picks) + 1)),
-                "mmr_score": [round(v, round_digits) for _, v in picks],
+                "mmr_score": [v for _, v in picks],
             }
         )
 

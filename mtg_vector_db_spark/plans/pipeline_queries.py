@@ -622,9 +622,13 @@ oracle("p12_passage_maxp", _p12_oracle())
 # ---------------------------------------------------------------------------
 # MMR diversity re-ranking (operators/diversify.py): batch KNN candidates,
 # then per-query greedy maximal-marginal-relevance in one Arrow batch per
-# query (applyInPandas). Greedy argmax over float sums is not reasonably
-# SQL-expressible — rows-only gate; determinism and the exact selection
-# rule are pinned by a pure-Python model parity test instead.
+# query (applyInPandas). Oracle-exact: every float feeding a greedy
+# comparison is rounded (candidate sims and pairwise penalties to 6
+# digits), the objective 0.7·sim − (1−0.7)·max_pen is then identical
+# doubles on both engines, and the oracle unrolls the k=5 greedy steps as
+# a CTE chain with the kernel's exact tie-break (objective desc, sim desc,
+# doc_id asc). A pure-Python model parity test additionally pins the
+# kernel (tests/test_quantize.py).
 # ---------------------------------------------------------------------------
 @query("p13_mmr_diversify")
 def p13_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -643,6 +647,77 @@ def p13_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
     )
     return mmr_rerank(cand, k=5, lam=0.7).orderBy("query_id", "mmr_rank")
+
+
+def _p13_oracle() -> str:
+    # The objective literal matters: Python computes (1.0 - 0.7) in
+    # float64 (= 0.30000000000000004), so the SQL writes (1.0 - 0.7)
+    # rather than 0.3 to land on the identical double.
+    obj = "0.7 * sim - (1.0 - 0.7) * pen"
+    sql = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS doc_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv),
+                   {R}) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ), cand AS (
+      SELECT query_id, doc_id, sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, doc_id ASC) AS rnk
+        FROM scored) WHERE rnk <= 20
+    ), pair AS (
+      SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+             round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                          CAST(eb.embedding AS DOUBLE[])),
+                   {R}) AS ps
+      FROM cand a JOIN cand b ON a.query_id = b.query_id
+      JOIN embeddings ea ON ea.vec_id = a.doc_id
+      JOIN embeddings eb ON eb.vec_id = b.doc_id
+    ), sel1 AS (
+      SELECT query_id, doc_id, sim, 1 AS mmr_rank, 0.7 * sim AS v FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY 0.7 * sim DESC, sim DESC,
+                                              doc_id ASC) AS rn
+        FROM cand) WHERE rn = 1
+    )"""
+    for i in range(2, 6):
+        p = i - 1
+        sql += f""", rem{i} AS (
+      SELECT c.query_id, c.doc_id, c.sim
+      FROM cand c LEFT JOIN sel{p} s
+        ON c.query_id = s.query_id AND c.doc_id = s.doc_id
+      WHERE s.doc_id IS NULL
+    ), pen{i} AS (
+      SELECT r.query_id, r.doc_id, r.sim, max(p.ps) AS pen
+      FROM rem{i} r JOIN sel{p} s ON r.query_id = s.query_id
+      JOIN pair p ON p.query_id = r.query_id AND p.da = r.doc_id
+                 AND p.db = s.doc_id
+      GROUP BY r.query_id, r.doc_id, r.sim
+    ), sel{i} AS (
+      SELECT query_id, doc_id, sim, mmr_rank, v FROM sel{p}
+      UNION ALL
+      SELECT query_id, doc_id, sim, {i} AS mmr_rank, {obj} AS v FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY {obj} DESC, sim DESC,
+                                              doc_id ASC) AS rn
+        FROM pen{i}) WHERE rn = 1
+    )"""
+    # mmr_score stays UNROUNDED (see diversify.mmr_rerank): the raw
+    # doubles are bit-identical across engines; rounding a 7th-decimal
+    # half here would re-open the round-convention divergence.
+    sql += """
+    SELECT query_id, doc_id, CAST(mmr_rank AS BIGINT) AS mmr_rank,
+           v AS mmr_score
+    FROM sel5 ORDER BY query_id, mmr_rank
+    """
+    return sql
+
+
+oracle("p13_mmr_diversify", _p13_oracle())
 
 
 # ---------------------------------------------------------------------------
@@ -710,7 +785,11 @@ def p15_pointwise_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn(
             "blended",
-            F.round(0.5 * F.col("sim") + 0.5 * F.col("llm_score"), R),
+            # UNROUNDED: both engines blend identical 6-digit-rounded
+            # inputs with identical IEEE ops, so the doubles are
+            # bit-equal; rounding here would land on the exact
+            # 7th-decimal halves where round() conventions diverge.
+            0.5 * F.col("sim") + 0.5 * F.col("llm_score"),
         )
         .orderBy(F.desc("blended"), F.asc("doc_id"))
         .limit(10)
@@ -756,7 +835,7 @@ oracle(
       FROM reply
     )
     SELECT doc_id, sim, reply, llm_score,
-           round(0.5 * sim + 0.5 * llm_score, {R}) AS blended
+           0.5 * sim + 0.5 * llm_score AS blended
     FROM parsed
     ORDER BY blended DESC, doc_id ASC LIMIT 10
     """,

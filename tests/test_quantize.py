@@ -157,10 +157,10 @@ def test_mmr_matches_python_model_and_diversifies(spark, sf001):
         V = np.array([r["embedding"] for r in rows], dtype=np.float64)
         V = V / np.linalg.norm(V, axis=1, keepdims=True)
         picks = mmr_select(
-            np.array([r["sim"] for r in rows]), V @ V.T, 5, 0.7
+            np.array([r["sim"] for r in rows]), np.round(V @ V.T, 6), 5, 0.7
         )
         expect = [
-            (qid, rows[i]["vec_id"], rank + 1, round(v, 6))
+            (qid, rows[i]["vec_id"], rank + 1, v)
             for rank, (i, v) in enumerate(picks)
         ]
         got = [
