@@ -274,10 +274,53 @@ def pq_train(
     ]
 
 
+def seeded_pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks without training — the p17 freeze
+    pattern applied to PQ: codeword ``j`` of subspace ``s`` is the
+    L2-normalized vector with id ``j``, sliced to subspace ``s``. A pure
+    function of the corpus that a SQL engine replays exactly (normalize →
+    slice), which makes the full encode → ADC → rescore chain
+    oracle-able; :func:`pq_train`'s k-means codebooks remain the
+    quality/recall path (floors pinned in tests/test_quantize.py).
+
+    Normalization runs through the Catalyst fold (functions/vector.py:
+    l2_normalize), NOT numpy, so the collected codewords are bit-identical
+    to what a sequential-fold SQL engine computes from the same rows.
+    """
+    from mtg_vector_db_spark.functions.vector import l2_normalize
+
+    rows = sorted(
+        emb.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col), l2_normalize(F.col(emb_col)).alias("nx"))
+        .collect(),
+        key=lambda r: r[id_col],
+    )
+    if len(rows) < n_codes:
+        raise ValueError(f"corpus has fewer than {n_codes} seed vectors")
+    dim = len(rows[0]["nx"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    return [
+        [
+            [float(x) for x in r["nx"][s * d_sub : (s + 1) * d_sub]]
+            for r in rows
+        ]
+        for s in range(m)
+    ]
+
+
 def pq_encode(
     emb: DataFrame,
     codebooks: list[list[list[float]]],
     emb_col: str = "embedding",
+    tie_digits: int = 9,
 ) -> DataFrame:
     """Append ``codes: array<int>`` (length m) — each subvector's nearest
     codebook entry by squared L2, ties to the lowest code id.
@@ -285,6 +328,9 @@ def pq_encode(
     Arrow-batched numpy kernel (one (batch × n_codes) GEMM-ish distance per
     subspace), the same physical strategy as :func:`ann.knn_numpy`: encoding
     is the throughput-critical full-corpus pass, so it stays vectorized.
+    Distances are rounded to ``tie_digits`` before the argmin so the code
+    choice is reproducible against a sequential-fold SQL replay (numpy's
+    pairwise summation differs in the last ulp).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -307,7 +353,7 @@ def pq_encode(
                 - 2.0 * sub @ cbs[s].T
                 + (cbs[s] * cbs[s]).sum(1)
             )
-            codes[:, s] = np.argmin(d2, axis=1)
+            codes[:, s] = np.argmin(np.round(d2, tie_digits), axis=1)
         return pd.Series(list(codes))
 
     return emb.withColumn("codes", encode(F.col(emb_col)))

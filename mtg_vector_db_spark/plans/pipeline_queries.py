@@ -721,24 +721,88 @@ oracle("p13_mmr_diversify", _p13_oracle())
 
 
 # ---------------------------------------------------------------------------
-# Product-quantized ANN (operators/quantize.py pq_*): train per-subspace
-# codebooks, encode the corpus to m 4-bit-ish codes, search by ADC table
-# lookups, exact-cosine rescore of k·4 survivors — the IVF-PQ scan kernel
-# re-expressed on DataFrames. K-means training makes the codes
-# data-dependent in a way SQL can't replay — rows-only gate; encode/ADC
-# parity vs a pure-numpy model and recall floors vs exact KNN are pinned in
-# tests/test_quantize.py.
+# Product-quantized ANN (operators/quantize.py pq_*): per-subspace
+# codebooks, encode the corpus to m codes, search by ADC table lookups,
+# exact-cosine rescore of k·4 survivors — the IVF-PQ scan kernel
+# re-expressed on DataFrames. Registered with the DETERMINISTIC seeded
+# codebooks (seeded_pq_codebooks: codeword j of subspace s = normalized
+# vector j sliced to s), so the oracle replays the whole encode → ADC →
+# rescore chain: per-(vec, sub) argmin with distances rounded to 9 before
+# comparison, distance-table lookups summed and rounded to 6, candidate
+# top-40 by (adc, id), exact rescore top-10. The k-means-trained path
+# (pq_train) keeps its recall floors in tests/test_quantize.py.
 # ---------------------------------------------------------------------------
+_PQ_M = 8
+_PQ_CODES = 16
+_PQ_DSUB = 64 // _PQ_M
+
+
 @query("p14_pq_adc_search")
 def p14_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mtg_vector_db_spark.operators.quantize import pq_search, pq_train
+    from mtg_vector_db_spark.operators.quantize import (
+        pq_search,
+        seeded_pq_codebooks,
+    )
 
     (emb,) = tables(spark, sf_dir, "embeddings")
     qv = query_vector(spark, sf_dir)
-    cbs = pq_train(emb, m=8, n_codes=16)
+    cbs = seeded_pq_codebooks(emb, m=_PQ_M, n_codes=_PQ_CODES)
     return pq_search(emb, cbs, qv, k=10, oversample=4, round_digits=R).orderBy(
         F.desc("sim"), F.asc("doc_id")
     )
+
+
+# Shared CTE block: normalized corpus, seeded codewords, per-(vec, sub)
+# encoding, query distance table, per-vector ADC — parameterized on the
+# relation of vec_ids to encode (`{src}`) so p16 reuses it cell-pruned.
+def _pq_ctes(src: str) -> str:
+    d, m, nc = _PQ_DSUB, _PQ_M, _PQ_CODES
+    return f"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nx
+          FROM e),
+    cw AS (SELECT t.s, n.vec_id AS code,
+                  n.nx[t.s * {d} + 1 : t.s * {d} + {d}] AS w
+           FROM n, range(0, {m}) t(s) WHERE n.vec_id < {nc}),
+    sub AS (SELECT n.vec_id, t.s,
+                   n.nx[t.s * {d} + 1 : t.s * {d} + {d}] AS sv
+            FROM n, range(0, {m}) t(s)
+            WHERE n.vec_id IN ({src})),
+    enc AS (SELECT vec_id, s, code FROM (
+              SELECT sub.vec_id, sub.s, cw.code,
+                     row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                       ORDER BY round(list_inner_product(sub.sv, sub.sv)
+                                      - 2 * list_inner_product(sub.sv, cw.w)
+                                      + list_inner_product(cw.w, cw.w), 9),
+                                cw.code) AS rn
+              FROM sub JOIN cw ON sub.s = cw.s) WHERE rn = 1),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE vec_id = 0),
+    qn AS (SELECT list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+             AS nq FROM q),
+    dt AS (SELECT s, code, list_inner_product(diff, diff) AS dv FROM (
+             SELECT cw.s, cw.code,
+                    list_transform(range(1, {d + 1}),
+                                   i -> cw.w[i] - qn.nq[cw.s * {d} + i]) AS diff
+             FROM cw, qn)),
+    adc AS (SELECT enc.vec_id, round(sum(dt.dv), {R}) AS adc_dist
+            FROM enc JOIN dt ON enc.s = dt.s AND enc.code = dt.code
+            GROUP BY enc.vec_id)"""
+
+
+oracle(
+    "p14_pq_adc_search",
+    f"""
+    WITH {_pq_ctes("SELECT vec_id FROM embeddings")},
+    cand AS (SELECT vec_id, adc_dist FROM adc
+             ORDER BY adc_dist ASC, vec_id ASC LIMIT 40)
+    SELECT cand.vec_id AS doc_id, cand.adc_dist,
+           round(list_cosine_similarity(e.v, (SELECT v FROM q)), {R}) AS sim
+    FROM cand JOIN e USING (vec_id)
+    ORDER BY sim DESC, doc_id ASC LIMIT 10
+    """,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -843,25 +907,33 @@ oracle(
 
 
 # ---------------------------------------------------------------------------
-# IVF-PQ composition (operators/quantize.py:ivfpq_search): k-means coarse
-# quantizer (p07's index build — geometric cells, unlike the synthetic
-# `label` column p04 demonstrates pruning with), probe the 2 nearest cells,
-# PQ-ADC inside them, exact rescore — both prunings of the billion-scale
-# ANN stack in one plan. K-means makes it rows-only like p14; recall floor
-# vs same-cells exact KNN is pinned in test_quantize.py.
+# IVF-PQ composition (operators/quantize.py:ivfpq_search): coarse cells,
+# probe the 2 nearest, PQ-ADC inside them, exact rescore — both prunings
+# of the billion-scale ANN stack in one plan. Registered with frozen seed
+# cells (p17's ivf_assign over the 8 lowest-id vectors) and the seeded PQ
+# codebooks, so the oracle replays probe → assignment-prune → encode →
+# ADC → rescore end to end. The k-means-trained composition keeps its
+# recall floor in test_quantize.py.
 # ---------------------------------------------------------------------------
 @query("p16_ivfpq_search")
 def p16_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mtg_vector_db_spark.operators.ann import kmeans_ivf_build
-    from mtg_vector_db_spark.operators.quantize import ivfpq_search, pq_train
+    from mtg_vector_db_spark.operators.ann import ivf_assign
+    from mtg_vector_db_spark.operators.quantize import (
+        ivfpq_search,
+        seeded_pq_codebooks,
+    )
 
     (emb,) = tables(spark, sf_dir, "embeddings")
     qv = query_vector(spark, sf_dir)
-    centroids, assigned = kmeans_ivf_build(emb, n_cells=16)
-    cbs = pq_train(emb, m=8, n_codes=16)
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    assigned = ivf_assign(emb, seeds)
+    cbs = seeded_pq_codebooks(emb, m=_PQ_M, n_codes=_PQ_CODES)
     return ivfpq_search(
         assigned,
-        centroids,
+        seeds,
         cbs,
         qv,
         k=10,
@@ -870,6 +942,49 @@ def p16_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_col="cell",
         round_digits=R,
     ).orderBy(F.desc("sim"), F.asc("doc_id"))
+
+
+oracle(
+    "p16_ivfpq_search",
+    f"""
+    WITH c AS (
+      SELECT CAST(vec_id AS INT) AS cell, CAST(embedding AS DOUBLE[]) AS cvec,
+             list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS n2
+      FROM embeddings WHERE vec_id < 8
+    ),
+    probe AS (SELECT cell FROM (
+        SELECT c.cell,
+               row_number() OVER (ORDER BY
+                 list_cosine_similarity(c.cvec,
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                    WHERE vec_id = 0)) DESC, c.cell ASC) AS rn
+        FROM c) WHERE rn <= 2),
+    en AS (SELECT vec_id,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> x / sqrt(list_inner_product(
+                           CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[])))) AS anx
+           FROM embeddings),
+    dists AS (SELECT en.vec_id, c.cell,
+                     c.n2 - 2 * list_inner_product(c.cvec, en.anx) AS dist
+              FROM en CROSS JOIN c),
+    assign AS (SELECT vec_id, cell FROM (
+                 SELECT vec_id, cell,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cell) AS rn
+                 FROM dists) WHERE rn = 1),
+    pruned AS (SELECT vec_id FROM assign
+               WHERE cell IN (SELECT cell FROM probe)),
+    {_pq_ctes("SELECT vec_id FROM pruned")},
+    cand AS (SELECT vec_id, adc_dist FROM adc
+             ORDER BY adc_dist ASC, vec_id ASC LIMIT 40)
+    SELECT cand.vec_id AS doc_id, cand.adc_dist,
+           round(list_cosine_similarity(e.v, (SELECT v FROM q)), {R}) AS sim
+    FROM cand JOIN e USING (vec_id)
+    ORDER BY sim DESC, doc_id ASC LIMIT 10
+    """,
+)
 
 
 # ---------------------------------------------------------------------------

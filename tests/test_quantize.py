@@ -200,7 +200,9 @@ def test_pq_encode_matches_numpy_model(spark, sf001):
         for s in range(8):
             sub = x[row_i, s * 8 : (s + 1) * 8]
             cb = np.asarray(cbs[s])
-            expect.append(int(np.argmin(((cb - sub) ** 2).sum(1))))
+            expect.append(
+                int(np.argmin(np.round(((cb - sub) ** 2).sum(1), 9)))
+            )
         assert got[vid] == expect, vid
     assert all(0 <= c < 16 for codes in got.values() for c in codes)
 
@@ -230,7 +232,9 @@ def test_pq_adc_matches_numpy_dtable(spark, sf001):
         for s in range(8):
             sub = x[row_i, s * 8 : (s + 1) * 8]
             cb = np.asarray(cbs[s])
-            expect += dtable[s][int(np.argmin(((cb - sub) ** 2).sum(1)))]
+            expect += dtable[s][
+                int(np.argmin(np.round(((cb - sub) ** 2).sum(1), 9)))
+            ]
         assert abs(got[vid] - expect) < 1e-9, vid
 
 
