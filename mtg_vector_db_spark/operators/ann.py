@@ -252,6 +252,75 @@ def rp_lsh_topk(
     )
 
 
+def knn_numpy_join(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """:func:`knn_numpy` with the query set flowing through the PLAN
+    instead of a driver-side matrix: the query table is collapsed to one
+    ``collect_list`` row and broadcast-nested-loop-joined onto every
+    corpus partition, so the registry query contains no ``collect()`` and
+    the same plan serves a query table read from disk. Physical strategy
+    is unchanged — per-partition numpy GEMM with a rounded (sim DESC, id
+    ASC) tie-break, then a tiny global top-k reduce."""
+    qagg = queries.agg(
+        F.collect_list(F.struct(query_id_col, query_vec_col)).alias("_qs")
+    )
+
+    def part(it):
+        qids = qn = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            if qn is None:
+                qs = pdf["_qs"].iloc[0]
+                qids = np.array([q[query_id_col] for q in qs])
+                qm = np.array(
+                    [q[query_vec_col] for q in qs], dtype=np.float64
+                )
+                qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+            m = np.array(list(pdf[emb_col]), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ qn.T
+            if round_digits is not None:
+                sims = np.round(sims, round_digits)
+            kk = min(k, sims.shape[0])
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for j in range(qn.shape[0]):
+                top = np.lexsort((ids, -sims[:, j]))[:kk]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[j],
+                            id_col: ids[top],
+                            "sim": sims[top, j],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    from mtg_vector_db_spark.session import widen
+
+    joined = widen(emb.select(id_col, emb_col)).join(F.broadcast(qagg))
+    partial = joined.mapInPandas(
+        part, schema=f"query_id long, {id_col} long, sim double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_index(emb: DataFrame, emb_col: str = "embedding",
               bucket_length: float = 2.0, num_tables: int = 3):
     """MLlib BucketedRandomProjectionLSH model + transformed (bucketed)

@@ -134,24 +134,22 @@ oracle(
 
 
 # ---------------------------------------------------------------------------
-# Batch KNN via the Arrow/numpy GEMM kernel (operators/ann.py:knn_numpy) —
-# identical semantics to v03's expression path minus the self-exclusion,
-# different physical strategy (mapInPandas partition GEMM + global reduce).
-# Registering both proves the kernels agree with the declarative plan.
+# Batch KNN via the Arrow/numpy GEMM kernel (operators/ann.py:
+# knn_numpy_join) — identical semantics to v03's expression path minus the
+# self-exclusion, different physical strategy (broadcast query table →
+# mapInPandas partition GEMM → global reduce). Registering both proves the
+# kernels agree with the declarative plan; the query table flows through
+# the plan, so the registry body contains no driver-side collect.
 # ---------------------------------------------------------------------------
 @query("v05_knn_numpy_batch")
 def v05_knn_numpy_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
-    from mtg_vector_db_spark.operators.ann import knn_numpy
+    from mtg_vector_db_spark.operators.ann import knn_numpy_join
 
     (emb,) = tables(spark, sf_dir, "embeddings")
-    qrows = (
-        emb.filter(F.col("vec_id") < 5).orderBy("vec_id").select("embedding").collect()
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    qm = np.array([[float(x) for x in r[0]] for r in qrows])
-    # query vec_ids are 0..4, so positional query_id == vec_id here.
-    out = knn_numpy(emb, qm, k=5, round_digits=R)
+    out = knn_numpy_join(emb, queries_df, k=5, round_digits=R)
     return out.select(
         "query_id",
         F.col("vec_id").alias("doc_id"),
