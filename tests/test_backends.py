@@ -1,0 +1,165 @@
+"""Integration tests for the HTTP embed/rerank backends against an
+in-process HTTP fake — exercising the retry/backoff path the reference
+has (db/db_utils.py:116-133) and the executor-side UDF → HTTP hop.
+Skips cleanly if the sandbox forbids binding localhost."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from mtg_vector_db_spark.functions.backends import (
+    BackendError,
+    http_embed_backend,
+    http_rerank_backend,
+)
+from mtg_vector_db_spark.functions.embedding import hash_embed_np
+
+
+class _Fake(BaseHTTPRequestHandler):
+    """Programmable fake model service: fails the first
+    ``server.fail_first`` requests with HTTP 500, then answers embed or
+    rerank payloads deterministically (embeddings via hash_embed_np, so
+    the Spark integration test can assert exact values)."""
+
+    def do_POST(self):  # noqa: N802 (http.server API)
+        srv = self.server
+        srv.n_requests += 1
+        if srv.n_requests <= srv.fail_first:
+            self.send_response(500)
+            self.end_headers()
+            return
+        body = json.loads(
+            self.rfile.read(int(self.headers["Content-Length"]))
+        )
+        if "texts" in body:
+            out = {
+                "embeddings": hash_embed_np(body["texts"], dim=8).tolist()
+            }
+        else:
+            n = len(body["documents"])
+            # reverse order, 1-based — the reference's reply format
+            out = {"ranking": " ".join(str(i) for i in range(n, 0, -1))}
+        data = json.dumps(out).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, *a):  # silence
+        pass
+
+
+@pytest.fixture()
+def fake_server():
+    try:
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), _Fake)
+    except OSError:
+        pytest.skip("cannot bind localhost in this environment")
+    srv.n_requests = 0
+    srv.fail_first = 0
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def _url(srv):
+    return f"http://127.0.0.1:{srv.server_address[1]}/"
+
+
+def test_embed_retries_with_backoff_then_succeeds(fake_server):
+    fake_server.fail_first = 2
+    slept = []
+    be = http_embed_backend(
+        _url(fake_server), dim=8, max_retries=3, sleep=slept.append
+    )
+    got = be(["alpha", "beta"])
+    assert got.shape == (2, 8)
+    assert np.allclose(got, hash_embed_np(["alpha", "beta"], dim=8))
+    assert fake_server.n_requests == 3
+    # the reference's 2**attempt schedule, no sleep after success
+    assert slept == [1.0, 2.0]
+
+
+def test_embed_raises_after_retry_budget(fake_server):
+    fake_server.fail_first = 10**6
+    slept = []
+    be = http_embed_backend(
+        _url(fake_server), dim=8, max_retries=3, sleep=slept.append
+    )
+    with pytest.raises(BackendError):
+        be(["alpha"])
+    assert fake_server.n_requests == 3
+    assert slept == [1.0, 2.0]  # no sleep after the final attempt
+
+
+def test_embed_shape_check_counts_as_failure(fake_server):
+    # service answers dim=8; declaring dim=16 must burn the retry budget
+    be = http_embed_backend(
+        _url(fake_server), dim=16, max_retries=2, sleep=lambda s: None
+    )
+    with pytest.raises(BackendError):
+        be(["alpha"])
+    assert fake_server.n_requests == 2
+
+
+def test_rerank_parses_reference_reply(fake_server):
+    rk = http_rerank_backend(_url(fake_server), sleep=lambda s: None)
+    assert rk(["a", "b", "c", "d"]) == [3, 2, 1, 0]
+
+
+def test_rerank_falls_back_to_identity(fake_server):
+    fake_server.fail_first = 10**6
+    rk = http_rerank_backend(
+        _url(fake_server), max_retries=3, sleep=lambda s: None
+    )
+    assert rk(["a", "b", "c"]) == [0, 1, 2]
+    assert fake_server.n_requests == 3
+
+
+def test_embedder_udf_through_http_backend(spark, fake_server):
+    """End-to-end: the pandas_udf embed path calls the HTTP backend from
+    executor context and lands exact service-produced vectors."""
+    from pyspark.sql import functions as F
+
+    from mtg_vector_db_spark.functions.embedding import make_embedder
+
+    embed = make_embedder(
+        backend=http_embed_backend(_url(fake_server), dim=8), dim=8
+    )
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(5)], "id long, text string"
+    )
+    rows = df.select("id", embed(F.col("text")).alias("emb")).collect()
+    expect = hash_embed_np([f"doc {i}" for i in range(5)], dim=8)
+    got = np.array([r["emb"] for r in sorted(rows, key=lambda r: r["id"])])
+    assert np.allclose(got, expect, atol=1e-6)
+
+
+def test_rerank_with_http_ranker_through_spark(spark, fake_server):
+    """rerank_with + HTTP ranker: the reversed permutation from the
+    service reorders each query group, scores 1 - i/n reference-style."""
+    from mtg_vector_db_spark.operators.rerank import rerank_with
+
+    cand = spark.createDataFrame(
+        [
+            (0, 10, 0.9, "d10"),
+            (0, 11, 0.8, "d11"),
+            (0, 12, 0.7, "d12"),
+            (1, 20, 0.9, "d20"),
+            (1, 21, 0.8, "d21"),
+        ],
+        "query_id long, doc_id long, sim double, text string",
+    )
+    rk = http_rerank_backend(_url(fake_server), sleep=lambda s: None)
+    out = rerank_with(cand, rk, final_k=3).collect()
+    by_q = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["doc_id"])
+    # service reverses the sim-desc order within each query group
+    assert by_q == {0: [12, 11, 10], 1: [21, 20]}
