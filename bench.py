@@ -55,6 +55,12 @@ HEADLINE = [
     "c03_split_contamination",  # corpus-pipeline contamination check
     "p19_corpus_build_e2e",     # dedup + quality gate + split, one lineage
     "t15_fuzzy_name_join",      # trigram set-similarity entity-resolution join
+    "r46_retention_cohorts",    # cohort × month retention matrix
+    "r62_sequence_pattern",     # funnel sequence-match over event windows
+    "p21_entity_resolution",    # blocked fuzzy-join entity resolution chain
+    "t17_vocab_coverage",       # corpus vocab coverage / OOV profile
+    "d06_embedding_neardup",    # IVF-cell-blocked embedding near-dup
+    "p16_ivfpq_search",         # IVF-PQ composed ANN search
 ]
 
 
@@ -117,13 +123,42 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
-    print(json.dumps({
+    out = {
         "metric": "headline_total_wall_clock",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+
+    # Round-over-round delta: compare against the most recent committed
+    # BENCH_r{N}.json so each round's verdict can answer "which queries
+    # regressed" mechanically. Only queries present in both runs compare.
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if prev_files:
+        try:
+            with open(prev_files[-1]) as fh:
+                prev = json.load(fh)
+            # driver-recorded files wrap the bench line under "parsed"
+            if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+                prev = prev["parsed"]
+            prev_q = prev.get("queries", {})
+            if prev.get("sf") == sf:  # deltas across sf are meaningless
+                delta = {
+                    n: round(timings[n] - prev_q[n], 3)
+                    for n in timings
+                    if n in prev_q
+                }
+                out["delta_vs"] = os.path.basename(prev_files[-1])
+                out["delta"] = delta
+                out["delta_total"] = round(sum(delta.values()), 3)
+        except (OSError, ValueError, KeyError):
+            pass
+
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -13,7 +13,7 @@ flagged extensions that let the same logical plans run incrementally:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
 
@@ -71,6 +71,91 @@ def sessionize(
             key_col,
             F.unix_micros(F.col("w.start")).alias("session_start_us"),
             F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_chunked(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    chunk: str = "day",
+) -> DataFrame:
+    """Skew-hardened two-phase sessionization, result-identical to
+    :func:`sessionize` (pinned by tests/test_asof_sessions.py).
+
+    ``session_window`` clusters EVERY event of a key into one reducer
+    task; a monster key — bot traffic that is 30% of a 100 TB day —
+    serializes that task, and AQE cannot split it (skew-split applies to
+    joins, and gap-sessionization is not an algebraic partial agg).
+    Phase 1 sessionizes within ``(key, date_trunc(chunk))`` via
+    gaps-and-islands, bounding every task by events-per-key-per-chunk.
+    Phase 2 re-runs gaps-and-islands per key over the per-chunk SESSION
+    rows — orders of magnitude fewer than events for any realistic hot
+    key — merging sessions that span chunk borders (a session ending
+    within ``gap`` of midnight continues into the next day's first
+    session). Correctness argument: within a chunk, output sessions are
+    ≥ gap apart by construction, so phase 2's merge relation exactly
+    reproduces the single-pass islands; chunking by event time keeps
+    ``last_ts`` monotone in session-start order, so one lag() suffices.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    w1 = Window.partitionBy(key_col, "_chunk").orderBy(ts_col)
+    phase1 = (
+        events.withColumn("_chunk", F.date_trunc(chunk, F.col(ts_col)))
+        .withColumn("_prev", F.lag(us).over(w1))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (us - F.col("_prev") >= gap_us), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_sid",
+            F.sum("_new").over(
+                w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(key_col, "_chunk", "_sid")
+        .agg(
+            F.min(us).alias("_first_us"),
+            F.max(us).alias("_last_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_val"),
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy("_first_us")
+    return (
+        phase1.withColumn("_prev_last", F.lag("_last_us").over(w2))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev_last").isNull()
+                | (F.col("_first_us") - F.col("_prev_last") >= gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_new").over(
+                w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(key_col, "_island")
+        .agg(
+            F.min("_first_us").alias("session_start_us"),
+            (F.max("_last_us") + gap_us).alias("session_end_us"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("_val").cast("double").alias("total_value"),
+        )
+        .select(
+            key_col,
+            "session_start_us",
+            "session_end_us",
             "n_events",
             "total_value",
         )

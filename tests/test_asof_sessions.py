@@ -63,6 +63,67 @@ def test_sessionize_gap_splits(spark):
     assert first["session_end_us"] - first["session_start_us"] == (10 + 30) * 60_000_000
 
 
+def _session_tuples(df):
+    return sorted(
+        (
+            r["user_id"],
+            r["session_start_us"],
+            r["session_end_us"],
+            r["n_events"],
+            round(r["total_value"], 6),
+        )
+        for r in df.collect()
+    )
+
+
+def test_sessionize_chunked_equals_single_pass_on_sf(spark, sf001):
+    """The skew-hardened two-phase sessionization is result-identical to
+    session_window on the real events table."""
+    from mtg_vector_db_spark.plans.registry import events_df
+    from mtg_vector_db_spark.streaming.pipelines import sessionize_chunked
+
+    events = events_df(spark, sf001)
+    assert _session_tuples(
+        sessionize_chunked(events, gap_minutes=30)
+    ) == _session_tuples(sessionize(events, gap="30 minutes"))
+
+
+def test_sessionize_chunked_merges_chunk_boundary_sessions(spark):
+    """A monster key with activity crossing midnight: phase-1 chunking
+    splits at the day border, phase 2 must stitch the halves back into
+    the exact session_window result (incl. a session that spans the
+    border within the gap, and one that genuinely breaks there)."""
+    import datetime as dtm
+
+    from mtg_vector_db_spark.streaming.pipelines import sessionize_chunked
+
+    base = dtm.datetime(2024, 3, 1, 23, 0, 0)
+    rows = []
+    # hot user 1: events every 10 min from 23:00 through 01:00 (crosses
+    # midnight inside the gap — ONE session end to end)
+    for i in range(13):
+        rows.append((1, base + dtm.timedelta(minutes=10 * i), 1.0))
+    # hot user 1 again: a second burst well past the gap
+    rows.append((1, base + dtm.timedelta(hours=5), 2.0))
+    # user 2: one event just before midnight, next one 31 min later
+    # (crosses the border OUTSIDE the gap — two sessions)
+    rows.append((2, dtm.datetime(2024, 3, 1, 23, 58, 0), 1.0))
+    rows.append((2, dtm.datetime(2024, 3, 2, 0, 29, 0), 1.0))
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    got = _session_tuples(sessionize_chunked(events, gap_minutes=30))
+    want = _session_tuples(sessionize(events, gap="30 minutes"))
+    assert got == want
+    # shape sanity: user 1 -> 2 sessions (13-event span + burst),
+    # user 2 -> 2 sessions
+    by_user = {}
+    for u, *_rest, n, _v in [(t[0], t[1], t[2], t[3], t[4]) for t in got]:
+        by_user.setdefault(u, []).append(n)
+    assert sorted(by_user[1]) == [1, 13]
+    assert by_user[2] == [1, 1]
+
+
 def test_sessionize_streaming_matches_batch_for_closed_sessions(spark, tmp_path):
     """sessionize shares one plan across runners: the streaming run (append
     mode, watermark-driven eviction) emits exactly the batch result for
