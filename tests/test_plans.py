@@ -183,3 +183,38 @@ def test_revenue_share_window_over_compacted_relation(spark, sf001):
     agg_pos = plan.index("HashAggregate")
     win_pos = plan.index("Window")
     assert win_pos < agg_pos  # window consumes the aggregate's output
+
+
+def test_rp_lsh_candidate_filter_is_scan_side(spark, sf0001, qvec):
+    """p06's deterministic LSH candidate stage must be a map-side Filter
+    over the scan (plane literals folded into the predicate — no join, no
+    shuffle, no model broadcast) followed by a TakeOrderedAndProject
+    rescore: the plan that stays O(scan) on a 100 TB corpus."""
+    from mtg_vector_db_spark.operators.ann import rp_lsh_topk
+
+    emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
+    plan = physical(rp_lsh_topk(emb, qvec, 10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan  # candidate stage: 0 shuffles
+    assert "Join" not in plan
+
+
+def test_d06_blocked_neardup_has_no_cartesian(spark, sf0001):
+    """The embedding near-dup pipeline must never plan a cartesian
+    product: candidates come from the cell-keyed equi-join, verification
+    joins are id-keyed."""
+    plan = physical(registry.QUERIES["d06_embedding_neardup"](spark, sf0001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_chunked_two_exchanges(spark, sf001):
+    """The skew-hardened sessionization pays exactly its two designed
+    exchanges: (key, chunk) for phase 1 and key for phase 2 — no hidden
+    extra shuffle from the island windows (they reuse the phase
+    partitioning)."""
+    from mtg_vector_db_spark.plans.registry import events_df
+    from mtg_vector_db_spark.streaming.pipelines import sessionize_chunked
+
+    plan = physical(sessionize_chunked(events_df(spark, sf001)))
+    assert plan.count("Exchange hashpartitioning") == 2
