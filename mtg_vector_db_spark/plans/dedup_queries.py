@@ -276,6 +276,9 @@ def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (n·cost), so pair similarity is a plain dot — 3× fewer interpreted
     # HOF folds than cosine per pair, and still bit-identical to the
     # oracle, which replays the same normalize-then-inner-product.
+    # (Measured alternative: unrolling the fold into 64 element_at
+    # products blows the codegen method limit and runs 3× SLOWER as a
+    # giant interpreted tree — the HOF fold is the right form here.)
     nx = emb.select(
         "vec_id", l2_normalize(F.col("embedding")).alias("nx")
     )
