@@ -378,3 +378,167 @@ def simhash_neardup_pairs(
         cand.select("id_a", "id_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def positional_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams WITH start positions: array of ``(pos, gram)`` structs,
+    pos 0-based over the token stream. Unlike :func:`word_shingles` this
+    keeps duplicates and positions — the carrier for span-level dedup.
+
+    Same zip-with-shifted-slices construction (O(tokens) array ops per
+    row); ``posexplode`` downstream yields the position for free, so the
+    column is just the gram array sliced to the valid window count.
+    """
+    toks = tokens(F.lower(text))
+    sz = F.size(toks)
+    grams = toks
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, F.greatest(sz - j, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(
+        sz >= n, F.slice(grams, 1, F.greatest(sz - (n - 1), F.lit(0)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated n-gram span detection — the batch analogue
+    of suffix-array exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): find every word
+    ``n``-gram occurring in ≥ ``min_docs`` distinct documents and report,
+    per document, how much of its token stream those repeated spans cover.
+
+    Scale shape: positional grams explode to one row per window; each
+    gram is folded to a 60-bit md5 int so the duplicate-detection shuffle
+    moves fixed-width keys, not strings. The dup-hash set and the join
+    back both key on that hash — Catalyst reuses one Exchange for the
+    aggregate and the join probe. Coverage then reduces per document:
+    overlapping spans are merged by exploding each dup window to its
+    ``n`` token positions and counting distinct positions (bounded ×n
+    blow-up on *duplicated* windows only).
+
+    Returns docs with any repeated span: ``(doc_id, n_tokens, n_grams,
+    n_dup_grams, covered_tokens, covered_ratio)``.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.lower(F.col(text_col)))).alias("n_tokens"),
+        positional_ngrams(F.col(text_col), n).alias("grams"),
+    )
+    g = base.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode("grams").alias("pos", "gram"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint")
+    )
+    dup = (
+        g.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    dup_windows = g.join(dup, "h")
+    covered = (
+        dup_windows.select(
+            "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("p")
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("p").alias("covered_tokens"))
+    )
+    per_doc = dup_windows.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_dup_grams")
+    )
+    totals = base.select(
+        "doc_id", F.size("grams").alias("n_grams")
+    )
+    return (
+        per_doc.join(covered, "doc_id")
+        .join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_grams",
+            "n_dup_grams",
+            "covered_tokens",
+            F.round(F.col("covered_tokens") / F.col("n_tokens"), 6).alias(
+                "covered_ratio"
+            ),
+        )
+    )
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    by: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    df_ratio: float = 0.5,
+) -> DataFrame:
+    """Per-group boilerplate profile (the CCNet/Gopher repeated-content
+    rule, shingle-granular because this corpus has no line structure):
+    a shingle is boilerplate within its ``by`` group when it appears in
+    ≥ ``df_ratio`` of the group's documents; report per group how much of
+    each document's shingle set is boilerplate.
+
+    Scale shape: one explode + one (group, shingle) aggregate; group
+    document totals are a tiny aggregate broadcast back; the per-document
+    reduction rides the same (group, shingle) partitioning. No step is
+    ever keyed on anything wider than a shingle.
+
+    Returns ``(group, n_docs, n_boiler_shingles, avg_boiler_ratio)``.
+    """
+    sh = docs.select(
+        F.col(by).alias("grp"),
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    grp_docs = docs.groupBy(F.col(by).alias("grp")).agg(
+        F.count_distinct(id_col).alias("n_docs")
+    )
+    sh_df = sh.groupBy("grp", "sh").agg(F.count_distinct("doc_id").alias("df"))
+    boiler = (
+        sh_df.join(F.broadcast(grp_docs), "grp")
+        .filter(F.col("df") >= F.col("n_docs") * df_ratio)
+        .select("grp", "sh")
+    )
+    doc_ratio = (
+        sh.join(boiler.withColumn("is_b", F.lit(1)), ["grp", "sh"], "left")
+        .groupBy("grp", "doc_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("is_b"), F.lit(0)))
+                / F.count(F.lit(1)),
+                9,
+            ).alias("ratio")
+        )
+    )
+    return (
+        doc_ratio.groupBy("grp")
+        .agg(F.round(F.avg("ratio"), 6).alias("avg_boiler_ratio"))
+        .join(F.broadcast(grp_docs), "grp")
+        .join(
+            F.broadcast(
+                boiler.groupBy("grp").agg(
+                    F.count(F.lit(1)).alias("n_boiler_shingles")
+                )
+            ),
+            "grp",
+            "left",
+        )
+        .select(
+            F.col("grp").alias(by),
+            "n_docs",
+            F.coalesce("n_boiler_shingles", F.lit(0)).alias("n_boiler_shingles"),
+            "avg_boiler_ratio",
+        )
+    )

@@ -423,3 +423,78 @@ oracle(
     GROUP BY f.source ORDER BY f.source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# C10 (extension): Bloom-filter decontamination (operators/bloom.py) — the
+# zero-corpus-shuffle variant of c03's semi-join contamination check. The
+# benchmark side (eval+test splits) builds a 2^20-bit filter (≤16384
+# packed longs, always broadcastable); train documents probe it map-side.
+# The oracle replays the EXACT filter — same md5 base hash, same affine
+# position mixes — as position-set membership (a bit is set iff some build
+# shingle hashed there), so false positives reproduce bit-for-bit.
+# ---------------------------------------------------------------------------
+from mtg_vector_db_spark.operators import bloom as B  # noqa: E402
+from mtg_vector_db_spark.operators.corpus import _split  # noqa: E402
+from mtg_vector_db_spark.functions.text import hash_fraction  # noqa: E402
+
+
+@query("c10_bloom_decontaminate")
+def c10_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    split = _split(hash_fraction(F.col("doc_id")))
+    bench = docs.filter(split != "train")
+    train = docs.filter(split == "train")
+    return B.bloom_decontaminate(train, bench).orderBy("doc_id")
+
+
+_BLOOM_COEFFS = [(506952114, 506992625), (1520856342, 507033128), (387276923, 507073631)]
+_BLOOM_P = 2147483647
+_BLOOM_NB = 1 << 20
+_SH_H60 = (
+    "list_reduce(list_transform(range(1, 16), i -> "
+    "CAST(strpos('0123456789abcdef', substring(md5(sh), i, 1)) AS BIGINT) - 1), "
+    "(x, y) -> x * 16 + y)"
+)
+_BLOOM_POS = (
+    "["
+    + ", ".join(
+        f"(({a} * hh + {b}) % {_BLOOM_P}) % {_BLOOM_NB}" for a, b in _BLOOM_COEFFS
+    )
+    + "]"
+)
+
+oracle(
+    "c10_bloom_decontaminate",
+    f"""
+    WITH f AS (SELECT doc_id, {_hash_frac("CAST(doc_id AS VARCHAR)")} AS frac,
+                      {_SHINGLES} AS shingles
+               FROM documents),
+    sp AS (SELECT doc_id,
+                  CASE WHEN frac < 0.8 THEN 'train'
+                       WHEN frac < 0.9 THEN 'eval' ELSE 'test' END AS split,
+                  shingles
+           FROM f),
+    bench_sh AS (SELECT DISTINCT unnest(shingles) AS sh
+                 FROM sp WHERE split <> 'train'),
+    bench_h AS (SELECT {_SH_H60} % {_BLOOM_P} AS hh FROM bench_sh),
+    build_pos AS (SELECT DISTINCT unnest({_BLOOM_POS}) AS pos FROM bench_h),
+    probe AS (SELECT doc_id, unnest(shingles) AS sh
+              FROM sp WHERE split = 'train'),
+    probe_h AS (SELECT doc_id, sh, {_SH_H60} % {_BLOOM_P} AS hh FROM probe),
+    probe_pos AS (SELECT DISTINCT doc_id, sh, pos
+                  FROM (SELECT doc_id, sh, unnest({_BLOOM_POS}) AS pos
+                        FROM probe_h)),
+    tested AS (SELECT p.doc_id, p.sh,
+                      min(CASE WHEN bp.pos IS NOT NULL THEN 1 ELSE 0 END) AS hit
+               FROM probe_pos p LEFT JOIN build_pos bp USING (pos)
+               GROUP BY p.doc_id, p.sh),
+    per_doc AS (SELECT doc_id, count(*) AS n_shingles,
+                       CAST(sum(hit) AS BIGINT) AS n_hits
+                FROM tested GROUP BY doc_id)
+    SELECT doc_id, n_shingles, n_hits,
+           round(n_hits * 1.0 / n_shingles, 6) AS hit_ratio
+    FROM per_doc WHERE n_hits > 0
+    ORDER BY doc_id
+    """,
+)

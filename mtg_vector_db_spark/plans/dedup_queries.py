@@ -326,3 +326,95 @@ oracle(
     ORDER BY id_a, id_b
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# D7 (extension): cross-document repeated n-gram spans — batch analogue of
+# suffix-array exact-substring dedup (Lee et al. 2022). The reference's
+# dedup surface stops at whole-record keys (db/ingest_cards.py:240-258);
+# span-level duplication is what 100 TB web corpora actually contain.
+# Oracle replays the identical positional windows, 60-bit md5 gram hash,
+# distinct-document threshold, and merged-position coverage.
+# ---------------------------------------------------------------------------
+_D07_N = 5
+
+
+@query("d07_repeated_ngram_spans")
+def d07_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.repeated_ngram_spans(docs, n=_D07_N, min_docs=2).orderBy("doc_id")
+
+
+_H60 = (
+    "list_reduce(list_transform(range(1, 16), i -> "
+    "CAST(strpos('0123456789abcdef', substring(md5(gram), i, 1)) AS BIGINT) - 1), "
+    "(x, y) -> x * 16 + y)"
+)
+
+oracle(
+    "d07_repeated_ngram_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_L} AS toks FROM documents),
+    base AS (SELECT doc_id, len(toks) AS n_tokens,
+                    greatest(len(toks) - {_D07_N - 1}, 0) AS n_grams, toks
+             FROM t),
+    w AS (SELECT doc_id, n_tokens, i - 1 AS pos,
+                 array_to_string(toks[i:i + {_D07_N - 1}], ' ') AS gram
+          FROM base, unnest(range(1, greatest(len(toks) - {_D07_N} + 2, 1))) AS u(i)),
+    h AS (SELECT doc_id, n_tokens, pos, {_H60} AS hh FROM w),
+    dup AS (SELECT hh FROM h GROUP BY hh HAVING count(DISTINCT doc_id) >= 2),
+    dw AS (SELECT h.* FROM h JOIN dup USING (hh)),
+    cov AS (SELECT doc_id, count(DISTINCT p) AS covered_tokens
+            FROM (SELECT doc_id, unnest(range(pos, pos + {_D07_N})) AS p FROM dw)
+            GROUP BY doc_id),
+    pd AS (SELECT doc_id, any_value(n_tokens) AS n_tokens,
+                  count(*) AS n_dup_grams
+           FROM dw GROUP BY doc_id)
+    SELECT pd.doc_id, pd.n_tokens, base.n_grams, pd.n_dup_grams,
+           cov.covered_tokens,
+           round(cov.covered_tokens * 1.0 / pd.n_tokens, 6) AS covered_ratio
+    FROM pd JOIN cov USING (doc_id) JOIN base USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# D8 (extension): per-source boilerplate profile — the CCNet/Gopher
+# repeated-content rule at shingle granularity (this corpus has no line
+# structure). A shingle is boilerplate within its source when ≥50% of the
+# source's documents contain it.
+# ---------------------------------------------------------------------------
+@query("d08_boilerplate_profile")
+def d08_boilerplate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.boilerplate_stats(docs, by="source", df_ratio=0.5).orderBy("source")
+
+
+oracle(
+    "d08_boilerplate_profile",
+    f"""
+    WITH shl AS (SELECT source, doc_id, {_SHINGLES} AS shingles FROM documents),
+    sh AS (SELECT source, doc_id, unnest(shingles) AS sh FROM shl),
+    gd AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+           FROM documents GROUP BY source),
+    dfq AS (SELECT source, sh, count(DISTINCT doc_id) AS df
+            FROM sh GROUP BY source, sh),
+    b AS (SELECT dfq.source, dfq.sh
+          FROM dfq JOIN gd USING (source)
+          WHERE dfq.df >= gd.n_docs * 0.5),
+    dr AS (SELECT s.source, s.doc_id,
+                  round(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                        / count(*), 9) AS ratio
+           FROM sh s LEFT JOIN b ON s.source = b.source AND s.sh = b.sh
+           GROUP BY s.source, s.doc_id),
+    agg AS (SELECT source, round(avg(ratio), 6) AS avg_boiler_ratio
+            FROM dr GROUP BY source),
+    nb AS (SELECT source, count(*) AS n_boiler_shingles FROM b GROUP BY source)
+    SELECT agg.source, gd.n_docs,
+           coalesce(nb.n_boiler_shingles, 0) AS n_boiler_shingles,
+           agg.avg_boiler_ratio
+    FROM agg JOIN gd USING (source) LEFT JOIN nb USING (source)
+    ORDER BY source
+    """,
+)

@@ -3316,3 +3316,85 @@ oracle(
     FROM s ORDER BY n_name
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 adapted (no partsupp table in this corpus): suppliers whose
+# 1995 share of all-time shipped quantity of red-named parts exceeds 1.5×
+# the average supplier's 1995 share — the "excess stock movement" probe,
+# completing the 22-query TPC-H decision-support surface. The absolute
+# Q20 threshold (0.5·qty) can't bind when shipments spread over 7 years,
+# so the cutoff is data-adaptive, Q11/Q15-style.
+#
+# Plan shape: part is filtered FIRST (LIKE on the 2k-row dim) and
+# broadcast into the lineitem scan, so the fact table shuffles once, on
+# l_suppkey, already reduced to the matching parts; the year split rides
+# that single aggregate as conditional sums. The global average share is
+# a one-row aggregate of the per-supplier aggregate, folded back as a
+# broadcast scalar (r33's shape) — no driver collect. supplier⋈nation
+# broadcast after the filter. At 100 TB: one fact shuffle keyed on
+# suppkey (bounded cardinality), everything else broadcast.
+# ---------------------------------------------------------------------------
+@query("r70_excess_shipment_suppliers")
+def r70_excess_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part, supplier, nation = tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation"
+    )
+    red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    per_supp = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.when(F.year("l_shipdate") == 1995, F.col("l_quantity")).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("qty_1995"),
+            F.sum("l_quantity").alias("qty_total"),
+        )
+        .withColumn("share_raw", F.col("qty_1995") / F.col("qty_total"))
+    )
+    avg_share = per_supp.agg(F.avg("share_raw").alias("avg_share"))
+    excess = per_supp.crossJoin(F.broadcast(avg_share)).filter(
+        F.col("share_raw") > F.col("avg_share") * 1.5
+    )
+    return (
+        excess.join(
+            F.broadcast(supplier), excess.l_suppkey == supplier.s_suppkey
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_name",
+            "n_name",
+            F.round("qty_1995", 6).alias("qty_1995"),
+            F.round("qty_total", 6).alias("qty_total"),
+            F.round(F.col("qty_1995") / F.col("qty_total"), 6).alias("share_1995"),
+        )
+        .orderBy("s_name")
+    )
+
+
+oracle(
+    "r70_excess_shipment_suppliers",
+    """
+    WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    per_supp AS (
+      SELECT l_suppkey,
+             sum(CASE WHEN year(l_shipdate) = 1995 THEN l_quantity ELSE 0 END)
+               AS qty_1995,
+             sum(l_quantity) AS qty_total
+      FROM lineitem JOIN red ON l_partkey = p_partkey
+      GROUP BY l_suppkey
+    ),
+    thresh AS (SELECT avg(qty_1995 / qty_total) * 1.5 AS t FROM per_supp)
+    SELECT s_name, n_name,
+           round(qty_1995, 6) AS qty_1995,
+           round(qty_total, 6) AS qty_total,
+           round(qty_1995 / qty_total, 6) AS share_1995
+    FROM per_supp, thresh
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE qty_1995 / qty_total > thresh.t
+    ORDER BY s_name
+    """,
+)
