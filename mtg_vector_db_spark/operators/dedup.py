@@ -193,6 +193,52 @@ def bucket_pairs(
     return pairs
 
 
+def banded_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH front end: ``(shingled, banded)`` where ``shingled`` is
+    ``(id, shingles)`` and ``banded`` is ``(id, band, band_key)``.
+
+    No persist: shingling is a cheap narrow projection (zip_with, one
+    pass) and recomputing it for the verify join is the scale-correct
+    trade — caching the shingled corpus at 100 TB is not an option, and
+    a lazily-shared cache under a self-join proved flaky (lost candidate
+    pairs when cache fill raced the join's two sides). Base hashes get
+    their own projection so the md5 fold runs once per shingle; the
+    ``bands`` band keys are emitted by a single ``inline`` explode, so
+    the signature columns are never recomputed per band.
+    """
+    rows_per_band = num_hashes // bands
+    sh = widen(docs).select(
+        F.col(id_col), word_shingles(F.col(text_col)).alias("shingles")
+    )
+    hv = sh.select(id_col, minhash_hash_values(F.col("shingles")).alias("hv"))
+    sig = hv.select(
+        id_col, minhash_signature(F.col("hv"), num_hashes).alias("sig")
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.get(F.col("sig"), b * rows_per_band + r).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.inline(band_structs))
+    return sh, banded
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -213,38 +259,7 @@ def minhash_lsh_pairs(
     sets. No full cross join anywhere. ``max_bucket_size`` is the skew
     guard (see :func:`bucket_pairs`).
     """
-    rows_per_band = num_hashes // bands
-    # No persist: shingling is a cheap narrow projection (zip_with, one
-    # pass) and recomputing it for the verify join is the scale-correct
-    # trade — caching the shingled corpus at 100 TB is not an option, and
-    # a lazily-shared cache under a self-join proved flaky (lost candidate
-    # pairs when cache fill raced the join's two sides).
-    sh = widen(docs).select(
-        F.col(id_col), word_shingles(F.col(text_col)).alias("shingles")
-    )
-    # Base hashes materialized in their own projection so the md5 fold runs
-    # once per shingle; the signature projection then only does int mixes.
-    hv = sh.select(id_col, minhash_hash_values(F.col("shingles")).alias("hv"))
-    sig = hv.select(
-        id_col, minhash_signature(F.col("hv"), num_hashes).alias("sig")
-    )
-
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.get(F.col("sig"), b * rows_per_band + r).cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(F.col(id_col), F.inline(band_structs))
+    sh, banded = banded_signatures(docs, id_col, text_col, num_hashes, bands)
     cand = bucket_pairs(banded, ["band", "band_key"], max_bucket_size)
 
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
@@ -541,4 +556,58 @@ def boilerplate_stats(
             F.coalesce("n_boiler_shingles", F.lit(0)).alias("n_boiler_shingles"),
             "avg_boiler_ratio",
         )
+    )
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Incremental near-dup: which NEW documents near-duplicate something
+    already in the corpus — the weekly-ingest shape, where re-running
+    all-pairs LSH over corpus+batch would redo work proportional to the
+    full corpus every time.
+
+    Scale shape: the existing side's ``(id, band, band_key)`` index is a
+    narrow projection computed once (in production: stored and reused —
+    the band keys are deterministic md5 arithmetic, so an index written
+    at ingest time never needs recomputation); the new batch, typically
+    orders of magnitude smaller, builds its band keys and joins. The only
+    data-sized shuffle keys on the band key; the exact-Jaccard verify
+    touches only candidate pairs. Returns ``(id_new, id_existing,
+    jaccard)`` for verified pairs.
+    """
+    sh_new, banded_new = banded_signatures(
+        new_docs, id_col, text_col, num_hashes, bands
+    )
+    sh_old, banded_old = banded_signatures(
+        existing, id_col, text_col, num_hashes, bands
+    )
+    cand = (
+        banded_new.withColumnRenamed(id_col, "id_new")
+        .join(
+            banded_old.withColumnRenamed(id_col, "id_existing"),
+            ["band", "band_key"],
+        )
+        .select("id_new", "id_existing")
+        .distinct()
+    )
+    sa = sh_new.select(F.col(id_col).alias("id_new"), F.col("shingles").alias("sh_a"))
+    sb = sh_old.select(
+        F.col(id_col).alias("id_existing"), F.col("shingles").alias("sh_b")
+    )
+    j = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        cand.join(sa, "id_new")
+        .join(sb, "id_existing")
+        .select(
+            "id_new", "id_existing", F.round(j, round_digits).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
     )

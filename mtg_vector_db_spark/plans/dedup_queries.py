@@ -418,3 +418,68 @@ oracle(
     ORDER BY source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# D9 (extension): incremental near-dup — a ~20% "new batch" (deterministic
+# md5 split, scale-proportional) probed against the remaining 80%
+# "existing corpus" via the asymmetric LSH band join. The weekly-ingest
+# shape: work proportional to batch + index, never corpus².
+# ---------------------------------------------------------------------------
+_INC_FRAC = (
+    "list_sum(list_transform(range(1, 9), i -> "
+    "(strpos('0123456789abcdef', "
+    "substring(md5(CAST(doc_id AS VARCHAR) || ':inc'), i, 1)) - 1)"
+    " * power(16, 8 - i))) / 4294967296.0"
+)
+
+
+@query("d09_incremental_neardup")
+def d09_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.text import hash_fraction
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    u = hash_fraction(F.concat(F.col("doc_id").cast("string"), F.lit(":inc")))
+    batch = docs.filter(u < 0.2)
+    corpus = docs.filter(u >= 0.2)
+    return D.incremental_neardup(batch, corpus, verify_threshold=0.5).orderBy(
+        "id_new", "id_existing"
+    )
+
+
+oracle(
+    "d09_incremental_neardup",
+    f"""
+    WITH split AS (SELECT doc_id, {_SHINGLES} AS shingles,
+                          CASE WHEN {_INC_FRAC} < 0.2 THEN 1 ELSE 0 END AS is_new
+                   FROM documents),
+    hv AS (SELECT doc_id, shingles, is_new, {_MH_HV} AS hv FROM split),
+    sig AS (
+      SELECT doc_id, shingles, is_new,
+             list_transform(range(0, 16), k ->
+               list_aggregate(list_transform(hv,
+                 h -> (({_MH_A})[k+1] * h + ({_MH_B})[k+1]) % {_MH_P}),
+                 'min')) AS sig
+      FROM hv
+    ),
+    banded AS (
+      SELECT doc_id, is_new, b AS band,
+             CAST(sig[b*4+1] AS VARCHAR) || '|' || CAST(sig[b*4+2] AS VARCHAR)
+               || '|' || CAST(sig[b*4+3] AS VARCHAR) || '|' || CAST(sig[b*4+4] AS VARCHAR)
+               AS band_key
+      FROM sig, range(0, 4) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_new, r.doc_id AS id_existing
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.band_key = r.band_key
+      WHERE l.is_new = 1 AND r.is_new = 0
+    )
+    SELECT id_new, id_existing, {_JACC} AS jaccard
+    FROM cand
+    JOIN split a ON cand.id_new = a.doc_id
+    JOIN split b ON cand.id_existing = b.doc_id
+    WHERE {_JACC} >= 0.5
+    ORDER BY id_new, id_existing
+    """,
+)

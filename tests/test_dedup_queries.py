@@ -98,3 +98,28 @@ def test_bucket_cap_guards_skew_but_keeps_planted_pairs(spark, sf001):
         for r in simhash_neardup_pairs(fps, max_bucket_size=50).collect()
     }
     assert cp <= un and cp
+
+def test_incremental_neardup_consistent_with_full_lsh(spark, sf001):
+    """d09 (batch-vs-corpus asymmetric LSH) must find exactly the d03
+    (full all-pairs LSH) pairs that cross the batch/corpus split — the
+    incremental formulation changes the work shape, not the answer."""
+    from pyspark.sql import functions as F
+
+    from mtg_vector_db_spark.functions.text import hash_fraction
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    u = hash_fraction(F.concat(F.col("doc_id").cast("string"), F.lit(":inc")))
+    new_ids = {r["doc_id"] for r in docs.filter(u < 0.2).select("doc_id").collect()}
+
+    full = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in registry.QUERIES["d03_minhash_lsh_pairs"](spark, sf001).collect()
+        if (r["id_a"] in new_ids) != (r["id_b"] in new_ids)
+    }
+    inc = {
+        frozenset((r["id_new"], r["id_existing"]))
+        for r in registry.QUERIES["d09_incremental_neardup"](spark, sf001).collect()
+    }
+    assert inc == full
