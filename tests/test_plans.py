@@ -218,3 +218,31 @@ def test_sessionize_chunked_two_exchanges(spark, sf001):
 
     plan = physical(sessionize_chunked(events_df(spark, sf001)))
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_d07_span_dedup_joins_on_hash_no_cartesian(spark, sf0001):
+    """Repeated-span detection must key every wide stage on the 60-bit
+    gram hash — no cartesian/nested-loop, no string-keyed gram shuffle
+    (gram strings never appear as join keys; hashes do)."""
+    plan = physical(registry.QUERIES["d07_repeated_ngram_spans"](spark, sf0001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d09_incremental_probes_index_not_corpus_pairs(spark, sf0001):
+    """Incremental near-dup must be a band-keyed equi join between the
+    batch and the corpus index — never a pair enumeration over the
+    corpus with itself (no cartesian, no corpus self bucket_pairs)."""
+    plan = physical(registry.QUERIES["d09_incremental_neardup"](spark, sf0001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_r70_single_fact_shuffle_all_dims_broadcast(spark, sf001):
+    """Q20-adapted: the part filter must broadcast into the lineitem
+    scan, the fact shuffles once on l_suppkey, and supplier/nation are
+    broadcast — zero SortMergeJoin at this scale."""
+    plan = physical(registry.QUERIES["r70_excess_shipment_suppliers"](spark, sf001))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "hashpartitioning(l_suppkey" in plan
