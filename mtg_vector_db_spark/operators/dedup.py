@@ -91,13 +91,29 @@ def minhash_coeffs(num_hashes: int = 16) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_hash_values(shingle_col: Column) -> Column:
-    """Per-shingle 31-bit base hash: fold the first 15 hex chars of
-    md5(shingle) into a 60-bit int (``conv``), reduce mod MINHASH_P.
-    Computed ONCE per shingle — the num_hashes seed variants are cheap
-    integer mixes of this value (see :func:`minhash_signature`), which is
-    what keeps MinHash at one md5 per shingle instead of num_hashes of
-    them (measured ~10× on the signature stage)."""
+def minhash_hash_values(shingle_col: Column, hash_fn: str = "md5") -> Column:
+    """Per-shingle 31-bit base hash. Computed ONCE per shingle — the
+    num_hashes seed variants are cheap integer mixes of this value (see
+    :func:`minhash_signature`), which is what keeps MinHash at one hash
+    per shingle instead of num_hashes of them (measured ~10× on the
+    signature stage).
+
+    ``hash_fn``:
+    * ``"md5"`` (default) — fold the first 15 hex chars of md5(shingle)
+      into a 60-bit int (``conv``), reduce mod MINHASH_P. Engine-portable:
+      the DuckDB oracles replay it digit-for-digit.
+    * ``"xxhash64"`` — Spark's native 64-bit xxHash, pmod MINHASH_P. The
+      production fast path: no hex round-trip, codegen'd JVM hashing
+      (measured speedup on the signature stage in SCALE.md). NOT
+      oracle-replayable — use when throughput matters more than
+      cross-engine replay; candidate quality is equivalent (any uniform
+      hash family works for MinHash) and the exact-Jaccard verify step
+      is identical, so output pairs are true pairs either way.
+    """
+    if hash_fn == "xxhash64":
+        return F.transform(
+            shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_P))
+        )
     return F.transform(
         shingle_col,
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
@@ -199,6 +215,7 @@ def banded_signatures(
     text_col: str = "text",
     num_hashes: int = 16,
     bands: int = 4,
+    hash_fn: str = "md5",
 ) -> tuple[DataFrame, DataFrame]:
     """Shared LSH front end: ``(shingled, banded)`` where ``shingled`` is
     ``(id, shingles)`` and ``banded`` is ``(id, band, band_key)``.
@@ -216,7 +233,9 @@ def banded_signatures(
     sh = widen(docs).select(
         F.col(id_col), word_shingles(F.col(text_col)).alias("shingles")
     )
-    hv = sh.select(id_col, minhash_hash_values(F.col("shingles")).alias("hv"))
+    hv = sh.select(
+        id_col, minhash_hash_values(F.col("shingles"), hash_fn).alias("hv")
+    )
     sig = hv.select(
         id_col, minhash_signature(F.col("hv"), num_hashes).alias("sig")
     )
@@ -248,6 +267,7 @@ def minhash_lsh_pairs(
     verify_threshold: float = 0.5,
     round_digits: int = 6,
     max_bucket_size: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding + exact-Jaccard verify.
 
@@ -259,7 +279,9 @@ def minhash_lsh_pairs(
     sets. No full cross join anywhere. ``max_bucket_size`` is the skew
     guard (see :func:`bucket_pairs`).
     """
-    sh, banded = banded_signatures(docs, id_col, text_col, num_hashes, bands)
+    sh, banded = banded_signatures(
+        docs, id_col, text_col, num_hashes, bands, hash_fn
+    )
     cand = bucket_pairs(banded, ["band", "band_key"], max_bucket_size)
 
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))

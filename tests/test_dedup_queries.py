@@ -123,3 +123,30 @@ def test_incremental_neardup_consistent_with_full_lsh(spark, sf001):
         for r in registry.QUERIES["d09_incremental_neardup"](spark, sf001).collect()
     }
     assert inc == full
+
+
+def test_xxhash_fast_path_equivalent_candidates(spark, sf001):
+    """The xxhash64 production hash family must find the same verified
+    near-dup pairs as the oracle-replayable md5 family (both end with
+    the identical exact-Jaccard verify, so differences could only come
+    from candidate recall — any uniform hash family should surface the
+    same high-similarity pairs through 4 bands)."""
+    from mtg_vector_db_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    md5_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(docs, verify_threshold=0.5).collect()
+    }
+    xx_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(
+            docs, verify_threshold=0.5, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert md5_pairs, "expected planted near-duplicates"
+    # Identical verify threshold → both sets contain only true pairs;
+    # candidate recall may differ slightly per family, never collapse.
+    inter = len(md5_pairs & xx_pairs)
+    assert inter / len(md5_pairs) >= 0.9
+    assert inter / len(xx_pairs) >= 0.9
