@@ -86,3 +86,45 @@ def overwrite_partitions(df: DataFrame, path: str, partition_col: str) -> None:
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    salt: str = "",
+) -> None:
+    """Deterministic trainer-facing shard layout (the webdataset/
+    Megatron-style output stage): every row goes to shard
+    ``md5(key ⊕ salt) % n_shards``, rows within a shard are ordered by a
+    second independent md5 — so the full layout (shard membership AND
+    intra-shard order) is a pure function of the data, reproducible
+    across reruns, clusters, and engines, with no rand()/monotonic-id
+    nondeterminism.
+
+    Scale shape: ONE shuffle — ``repartition(n_shards, shard)`` keyed on
+    the shard id — then a partition-local sort; ``partitionBy`` emits one
+    ``shard=K`` directory per shard with one file each (each shard lands
+    wholly in one task). Shard balance follows from the uniform hash;
+    pick ``n_shards`` so a shard fits a trainer worker's read budget.
+    A skewed *key distribution* cannot skew shards (the hash is over the
+    unique key), only duplicate keys can — dedup first.
+    """
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.col(key_col), F.lit(salt))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % n_shards
+    ).alias("shard")
+    order = F.md5(F.concat_ws("|", F.col(key_col), F.lit(salt), F.lit("order")))
+    (
+        df.select("*", shard)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions(order)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -393,3 +393,58 @@ def test_orc_round_trip_preserves_rows(spark, tmp_path):
     src.write.orc(path)
     back = read_orc(spark, path)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_write_training_shards_deterministic_layout(spark, sf001, tmp_path):
+    """Shard membership and intra-shard order must be pure functions of
+    the data: two writes produce byte-identical row sequences per shard;
+    shard ids match the md5 formula; every shard directory has one file."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from mtg_vector_db_spark.sources.sinks import write_training_shards
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(docs, p1, "doc_id", n_shards=8)
+    write_training_shards(docs, p2, "doc_id", n_shards=8)
+
+    dirs = sorted(glob.glob(f"{p1}/shard=*"))
+    assert len(dirs) == 8
+    for d in dirs:
+        assert len(glob.glob(f"{d}/part-*.parquet")) == 1
+
+    import pandas as pd
+
+    for k in range(8):
+        a = pd.read_parquet(f"{p1}/shard={k}")
+        b = pd.read_parquet(f"{p2}/shard={k}")
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+    # shard assignment formula replayed independently
+    expected = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id",
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws("|", F.col("doc_id"), F.lit(""))), 1, 15),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 8
+            ).alias("s"),
+        ).collect()
+    }
+    got = spark.read.parquet(p1).select("doc_id", "shard").collect()
+    assert all(expected[r["doc_id"]] == int(r["shard"]) for r in got)
+
+    # different salt reshuffles membership (epoch re-sharding knob)
+    p3 = str(tmp_path / "c")
+    write_training_shards(docs, p3, "doc_id", n_shards=8, salt="epoch1")
+    moved = {
+        r["doc_id"]: int(r["shard"])
+        for r in spark.read.parquet(p3).select("doc_id", "shard").collect()
+    }
+    assert any(moved[d] != s for d, s in expected.items())
