@@ -61,6 +61,9 @@ HEADLINE = [
     "t17_vocab_coverage",       # corpus vocab coverage / OOV profile
     "d06_embedding_neardup",    # IVF-cell-blocked embedding near-dup
     "p16_ivfpq_search",         # IVF-PQ composed ANN search
+    "d07_repeated_ngram_spans",  # cross-doc repeated-span dedup (hash-keyed)
+    "d09_incremental_neardup",  # batch-vs-corpus asymmetric LSH probe
+    "c10_bloom_decontaminate",  # broadcast Bloom bitset decontamination
 ]
 
 

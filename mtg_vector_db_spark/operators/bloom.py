@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from mtg_vector_db_spark.operators.dedup import (
     MINHASH_P,
     minhash_coeffs,
+    widen,
     word_shingles,
 )
 
@@ -67,7 +68,7 @@ def build_bloom(
     broadcastable no matter how large the benchmark corpus is.
     """
     pos = (
-        docs.select(
+        widen(docs).select(
             F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
         )
         .select(F.explode(bloom_positions(F.col("sh"), n_bits, k)).alias("pos"))
@@ -97,7 +98,7 @@ def probe_bloom(
     document id the rows were already keyed by. Returns
     ``(doc_id, n_shingles, n_hits, hit_ratio)``.
     """
-    sh = docs.select(
+    sh = widen(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
     )

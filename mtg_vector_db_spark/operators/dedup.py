@@ -465,17 +465,15 @@ def repeated_ngram_spans(
     Returns docs with any repeated span: ``(doc_id, n_tokens, n_grams,
     n_dup_grams, covered_tokens, covered_ratio)``.
     """
-    base = docs.select(
+    g = widen(docs).select(
         F.col(id_col).alias("doc_id"),
         F.size(tokens(F.lower(F.col(text_col)))).alias("n_tokens"),
-        positional_ngrams(F.col(text_col), n).alias("grams"),
-    )
-    g = base.select(
+        F.posexplode(positional_ngrams(F.col(text_col), n)).alias("pos", "gram"),
+    ).select(
         "doc_id",
         "n_tokens",
-        F.posexplode("grams").alias("pos", "gram"),
-    ).withColumn(
-        "h", F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint")
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint").alias("h"),
     )
     dup = (
         g.groupBy("h")
@@ -483,27 +481,27 @@ def repeated_ngram_spans(
         .filter(F.col("nd") >= min_docs)
         .select("h")
     )
-    dup_windows = g.join(dup, "h")
-    covered = (
-        dup_windows.select(
-            "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("p")
-        )
-        .groupBy("doc_id")
-        .agg(F.count_distinct("p").alias("covered_tokens"))
-    )
-    per_doc = dup_windows.groupBy("doc_id", "n_tokens").agg(
-        F.count(F.lit(1)).alias("n_dup_grams")
-    )
-    totals = base.select(
-        "doc_id", F.size("grams").alias("n_grams")
+    # ONE reduction computes both per-doc metrics: window starts (pos) are
+    # unique within a doc, so countDistinct(pos) is the dup-window count,
+    # and countDistinct(p) over the exploded n positions is the merged
+    # coverage; n_grams derives from n_tokens — no second gram projection,
+    # no extra join-back against the corpus.
+    exploded = g.join(dup, "h").select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("p"),
     )
     return (
-        per_doc.join(covered, "doc_id")
-        .join(totals, "doc_id")
+        exploded.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count_distinct("pos").alias("n_dup_grams"),
+            F.count_distinct("p").alias("covered_tokens"),
+        )
         .select(
             "doc_id",
             "n_tokens",
-            "n_grams",
+            F.greatest(F.col("n_tokens") - (n - 1), F.lit(0)).alias("n_grams"),
             "n_dup_grams",
             "covered_tokens",
             F.round(F.col("covered_tokens") / F.col("n_tokens"), 6).alias(
@@ -534,7 +532,7 @@ def boilerplate_stats(
 
     Returns ``(group, n_docs, n_boiler_shingles, avg_boiler_ratio)``.
     """
-    sh = docs.select(
+    sh = widen(docs).select(
         F.col(by).alias("grp"),
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
