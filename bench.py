@@ -64,6 +64,7 @@ HEADLINE = [
     "d07_repeated_ngram_spans",  # cross-doc repeated-span dedup (hash-keyed)
     "d09_incremental_neardup",  # batch-vs-corpus asymmetric LSH probe
     "c10_bloom_decontaminate",  # broadcast Bloom bitset decontamination
+    "p24_decontaminated_corpus_build",  # full decontaminated-build lineage
 ]
 
 

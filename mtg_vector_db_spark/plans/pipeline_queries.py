@@ -1473,3 +1473,164 @@ oracle(
     FROM agg ORDER BY threshold
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# P24 (extension): the DECONTAMINATED corpus build — p19's end-to-end DAG
+# upgraded with the round-2 operators, as one lineage:
+#   exact dedup → repeated-span gate (d07: drop docs ≥80% covered by
+#   cross-document 5-gram spans) → quality gate → md5 split → Bloom
+#   decontamination (c10: drop train docs whose shingle hit-ratio against
+#   the eval/test filter ≥ 0.3) → per-(split, lang) report.
+# Everything stays the operators' own plan shapes: one text-keyed window
+# for dedup, hash-keyed span shuffles, a broadcast bitset for the
+# contamination probe, and a tiny final aggregate. Oracle replays the
+# whole chain CTE-for-CTE from the proven p19/d07/c10 pieces.
+# ---------------------------------------------------------------------------
+_P24_SPAN_TAU = 0.8
+_P24_CONTAM_TAU = 0.3
+
+
+@query("p24_decontaminated_corpus_build")
+def p24_decontaminated_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions import textstats as TS
+    from mtg_vector_db_spark.functions.text import hash_fraction
+    from mtg_vector_db_spark.operators import bloom as B, dedup as D
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        docs.select("doc_id", "lang", "text")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    spans = D.repeated_ngram_spans(deduped, n=5, min_docs=2).select(
+        "doc_id", "covered_ratio"
+    )
+    span_kept = (
+        deduped.join(spans, "doc_id", "left")
+        .filter(
+            F.col("covered_ratio").isNull()
+            | (F.col("covered_ratio") < _P24_SPAN_TAU)
+        )
+        .drop("covered_ratio")
+    )
+    scored = span_kept.select(
+        "doc_id",
+        "lang",
+        "text",
+        TS.token_count(F.col("text")).alias("n_tokens"),
+        TS.quality_score(F.col("text")).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+    frac = hash_fraction(F.col("doc_id"))
+    split = F.when(frac < 0.8, "train").when(frac < 0.9, "eval").otherwise("test")
+    sp = scored.withColumn("split", split)
+    bench = sp.filter(F.col("split") != "train")
+    train = sp.filter(F.col("split") == "train")
+    flagged = (
+        B.bloom_decontaminate(train, bench)
+        .filter(F.col("hit_ratio") >= _P24_CONTAM_TAU)
+        .select("doc_id")
+    )
+    clean = train.join(flagged, "doc_id", "left_anti").unionByName(bench)
+    return (
+        clean.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def _p24_oracle() -> str:
+    from mtg_vector_db_spark.plans.corpus_queries import (
+        _BLOOM_P,
+        _BLOOM_POS,
+        _SH_H60,
+    )
+    from mtg_vector_db_spark.plans.dedup_queries import _H60, _SHINGLES, _TOKS_L
+    from mtg_vector_db_spark.plans.text_queries import _NOISE, _NTOK, _SW_RATIO
+
+    hash_frac = (
+        "list_sum(list_transform(range(1, 9),"
+        " i -> (strpos('0123456789abcdef',"
+        " substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)"
+        " * power(16, 8 - i))) / 4294967296.0"
+    )
+    return f"""
+    WITH dedup AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1
+    ),
+    dtok AS (SELECT doc_id, {_TOKS_L} AS toks FROM dedup),
+    dwnd AS (SELECT doc_id, i - 1 AS pos, len(toks) AS n_tokens,
+                    array_to_string(toks[i:i + 4], ' ') AS gram
+             FROM dtok, unnest(range(1, greatest(len(toks) - 3, 1))) AS u(i)),
+    dh AS (SELECT doc_id, pos, n_tokens, {_H60} AS hh FROM dwnd),
+    ddup AS (SELECT hh FROM dh GROUP BY hh HAVING count(DISTINCT doc_id) >= 2),
+    dcov AS (SELECT doc_id,
+                    round(count(DISTINCT p) * 1.0 / any_value(n_tokens), 6)
+                      AS covered_ratio
+             FROM (SELECT doc_id, n_tokens, unnest(range(pos, pos + 5)) AS p
+                   FROM dh JOIN ddup USING (hh))
+             GROUP BY doc_id),
+    span_kept AS (
+      SELECT d.* FROM dedup d LEFT JOIN dcov USING (doc_id)
+      WHERE dcov.covered_ratio IS NULL OR dcov.covered_ratio < {_P24_SPAN_TAU}
+    ),
+    scored AS (
+      SELECT doc_id, lang, text, {_NTOK} AS n_tokens,
+             round(least(1.0, 0.3 + 0.4 * least(1.0, ({_SW_RATIO}) * 4)
+                   + 0.3 * least(1.0, ({_NTOK}) / 100.0)
+                   - 0.5 * ({_NOISE})), 6) AS quality
+      FROM span_kept
+    ),
+    sp AS (
+      SELECT *, CASE WHEN frac < 0.8 THEN 'train'
+                     WHEN frac < 0.9 THEN 'eval' ELSE 'test' END AS split
+      FROM (SELECT *, {hash_frac} AS frac FROM scored WHERE quality >= 0.5)
+    ),
+    bench_sh AS (SELECT DISTINCT unnest({_SHINGLES}) AS sh
+                 FROM sp WHERE split <> 'train'),
+    bench_h AS (SELECT {_SH_H60} % {_BLOOM_P} AS hh FROM bench_sh),
+    build_pos AS (SELECT DISTINCT unnest({_BLOOM_POS}) AS pos FROM bench_h),
+    probe AS (SELECT doc_id, unnest({_SHINGLES}) AS sh
+              FROM sp WHERE split = 'train'),
+    probe_h AS (SELECT doc_id, sh, {_SH_H60} % {_BLOOM_P} AS hh FROM probe),
+    probe_pos AS (SELECT DISTINCT doc_id, sh, pos
+                  FROM (SELECT doc_id, sh, unnest({_BLOOM_POS}) AS pos
+                        FROM probe_h)),
+    tested AS (SELECT p.doc_id, p.sh,
+                      min(CASE WHEN bp.pos IS NOT NULL THEN 1 ELSE 0 END) AS hit
+               FROM probe_pos p LEFT JOIN build_pos bp USING (pos)
+               GROUP BY p.doc_id, p.sh),
+    flagged AS (SELECT doc_id FROM (
+                  SELECT doc_id,
+                         round(sum(hit) * 1.0 / count(*), 6) AS hit_ratio
+                  FROM tested GROUP BY doc_id)
+                WHERE hit_ratio >= {_P24_CONTAM_TAU}),
+    clean AS (
+      SELECT * FROM sp
+      WHERE split <> 'train'
+         OR doc_id NOT IN (SELECT doc_id FROM flagged)
+    )
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_quality
+    FROM clean GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+oracle("p24_decontaminated_corpus_build", _p24_oracle())
