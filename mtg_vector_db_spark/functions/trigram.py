@@ -46,12 +46,29 @@ def trigram_set(s: Column | str) -> Column:
 
 def trigram_similarity(a: Column | str, b: Column | str) -> Column:
     """pg_trgm ``similarity()``: |A∩B| / |A∪B| as double (0.0 when either
-    side has no trigrams, matching pg_trgm's 0 result for empty strings)."""
+    side has no trigrams, matching pg_trgm's 0 result for empty strings).
+
+    Both trigram sets are bound ONCE per row through a singleton-array
+    lambda variable (same interpreted-HOF discipline as
+    vector.l2_normalize): referencing ``trigram_set`` directly in both
+    the intersection and the union would re-derive each set twice per
+    row. Same arithmetic, same results; a literal side still constant-
+    folds to an array literal before this wrapper matters.
+    """
     ta = trigram_set(a)
     tb = trigram_set(b)
-    inter = F.size(F.array_intersect(ta, tb))
-    union = F.size(F.array_distinct(F.concat(ta, tb)))
-    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+    def sim(s: Column) -> Column:
+        inter = F.size(F.array_intersect(s["ta"], s["tb"]))
+        union = F.size(F.array_distinct(F.concat(s["ta"], s["tb"])))
+        return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+    return F.get(
+        F.transform(
+            F.array(F.struct(ta.alias("ta"), tb.alias("tb"))), lambda s: sim(s)
+        ),
+        0,
+    )
 
 
 def trigram_distance(a: Column | str, b: Column | str) -> Column:
