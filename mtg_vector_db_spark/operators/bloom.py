@@ -154,3 +154,37 @@ def bloom_decontaminate(
     return probe_bloom(docs, bloom, id_col, text_col, shingle_n, n_bits, k).filter(
         F.col("n_hits") > 0
     )
+
+
+def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two packed bitsets built with the same (n_bits, k) config:
+    ``bit_or`` per word. Bloom filters are mergeable sketches — union is
+    associative, commutative, and idempotent — so benchmark suites can be
+    filtered INCREMENTALLY: build a bitset per new benchmark drop, merge
+    into the serving filter, never rebuild over the full history. Exactly
+    equivalent to building over the concatenated corpora (pinned by
+    test_bloom.py).
+    """
+    return (
+        a.unionByName(b)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+
+
+def bloom_fill_stats(bloom: DataFrame, n_bits: int = BLOOM_N_BITS, k: int = BLOOM_K) -> DataFrame:
+    """One-row filter diagnostic: bits set, fill ratio, and the standard
+    expected false-positive rate ``(bits_set/m)^k`` at the current load.
+    The operational knob: when expected_fpr drifts above budget, rebuild
+    with a larger ``n_bits`` (the build is one cheap pass over the
+    benchmark corpus).
+    """
+    return bloom.agg(
+        F.sum(F.bit_count("word")).alias("bits_set"),
+    ).select(
+        "bits_set",
+        F.round(F.col("bits_set") / F.lit(float(n_bits)), 9).alias("fill_ratio"),
+        F.round(
+            F.pow(F.col("bits_set") / F.lit(float(n_bits)), float(k)), 9
+        ).alias("expected_fpr"),
+    )

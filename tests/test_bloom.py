@@ -97,3 +97,42 @@ def test_bloom_build_is_bounded_and_broadcast(spark, sf001):
     assert bloom.count() <= B.BLOOM_N_BITS // 64
     plan = B.probe_bloom(docs, bloom)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_merge_blooms_equals_build_on_union(spark):
+    """bit_or merge of two filters ≡ one filter over the concatenated
+    corpora — the mergeable-sketch property incremental benchmark drops
+    rely on."""
+    d1 = _docs(spark, [(1, "alpha beta gamma delta epsilon")])
+    d2 = _docs(spark, [(2, "one two three four five six")])
+    merged = B.merge_blooms(B.build_bloom(d1), B.build_bloom(d2))
+    full = B.build_bloom(d1.unionByName(d2))
+    m = {(r["word_idx"], r["word"]) for r in merged.collect()}
+    f = {(r["word_idx"], r["word"]) for r in full.collect()}
+    assert m == f
+
+
+def test_merge_blooms_idempotent(spark):
+    d1 = _docs(spark, [(1, "alpha beta gamma delta epsilon")])
+    bl = B.build_bloom(d1)
+    twice = B.merge_blooms(bl, bl)
+    assert {(r["word_idx"], r["word"]) for r in twice.collect()} == {
+        (r["word_idx"], r["word"]) for r in bl.collect()
+    }
+
+
+def test_bloom_fill_stats_counts_every_set_bit(spark, sf001):
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    bloom = B.build_bloom(docs)
+    row = B.bloom_fill_stats(bloom).collect()[0]
+    from pyspark.sql import functions as F
+
+    n_pos = (
+        docs.select(F.explode(word_shingles(F.col("text"))).alias("sh"))
+        .select(F.explode(B.bloom_positions(F.col("sh"))).alias("pos"))
+        .distinct()
+        .count()
+    )
+    assert row["bits_set"] == n_pos
+    assert 0.0 < row["fill_ratio"] < 1.0
+    assert abs(row["expected_fpr"] - row["fill_ratio"] ** 3) < 1e-9
