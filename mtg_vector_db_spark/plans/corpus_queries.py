@@ -498,3 +498,70 @@ oracle(
     ORDER BY doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# C11 (extension): temporal train/eval split with leakage audit — the
+# time-based alternative to the md5 row split (r23/c03): train on events
+# before the boundary, evaluate after, and report how many users straddle
+# it (user-level leakage a purely temporal split permits — the number a
+# user-grouped split would drive to zero). One user-keyed shuffle:
+# per-user boolean flags, then a scalar aggregate.
+# ---------------------------------------------------------------------------
+_C11_BOUNDARY = "2024-01-22 00:00:00"
+
+
+@query("c11_temporal_split")
+def c11_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    is_train = F.col("ts") < F.lit(_C11_BOUNDARY).cast("timestamp")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(is_train.cast("long")).alias("n_train_ev"),
+        F.sum((~is_train).cast("long")).alias("n_eval_ev"),
+    )
+    return per_user.agg(
+        F.sum("n_train_ev").alias("n_train_events"),
+        F.sum("n_eval_ev").alias("n_eval_events"),
+        F.sum((F.col("n_train_ev") > 0).cast("long")).alias("n_train_users"),
+        F.sum((F.col("n_eval_ev") > 0).cast("long")).alias("n_eval_users"),
+        F.sum(
+            ((F.col("n_train_ev") > 0) & (F.col("n_eval_ev") > 0)).cast("long")
+        ).alias("n_overlap_users"),
+        F.round(
+            F.sum(
+                ((F.col("n_train_ev") > 0) & (F.col("n_eval_ev") > 0)).cast(
+                    "long"
+                )
+            )
+            / F.sum((F.col("n_eval_ev") > 0).cast("long")),
+            6,
+        ).alias("overlap_ratio"),
+    )
+
+
+oracle(
+    "c11_temporal_split",
+    f"""
+    WITH pu AS (
+      SELECT user_id,
+             sum(CASE WHEN ts < TIMESTAMP '{_C11_BOUNDARY}' THEN 1 ELSE 0 END)
+               AS n_train_ev,
+             sum(CASE WHEN ts >= TIMESTAMP '{_C11_BOUNDARY}' THEN 1 ELSE 0 END)
+               AS n_eval_ev
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(sum(n_train_ev) AS BIGINT) AS n_train_events,
+           CAST(sum(n_eval_ev) AS BIGINT) AS n_eval_events,
+           CAST(sum(CASE WHEN n_train_ev > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train_users,
+           CAST(sum(CASE WHEN n_eval_ev > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_eval_users,
+           CAST(sum(CASE WHEN n_train_ev > 0 AND n_eval_ev > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap_users,
+           round(sum(CASE WHEN n_train_ev > 0 AND n_eval_ev > 0 THEN 1 ELSE 0 END)
+                 * 1.0
+                 / sum(CASE WHEN n_eval_ev > 0 THEN 1 ELSE 0 END), 6)
+             AS overlap_ratio
+    FROM pu
+    """,
+)

@@ -1634,3 +1634,59 @@ def _p24_oracle() -> str:
 
 
 oracle("p24_decontaminated_corpus_build", _p24_oracle())
+
+
+# ---------------------------------------------------------------------------
+# P25 (extension): binary-payload exact dedup — the store-by-content-hash
+# step every multimodal lake runs before feature extraction (payloads are
+# opaque bytes; dedup keys on md5 of the bytes, never on decoded
+# content). Media rows are synthesized from documents (payload = UTF-8
+# bytes of the first 40 chars, so collisions exist by construction);
+# the real-codec path would feed actual image/audio bytes through the
+# same shape. One hash-keyed shuffle; byte savings = total − distinct.
+# ---------------------------------------------------------------------------
+@query("p25_payload_dedup")
+def p25_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    media = docs.select(
+        F.encode(F.substring(F.col("text"), 1, 40), "UTF-8").alias("payload")
+    )
+    hashed = media.select(
+        F.md5(F.col("payload")).alias("h"),
+        F.octet_length(F.col("payload")).alias("nbytes"),
+    )
+    groups = hashed.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("nbytes").alias("nbytes"),
+        F.sum("nbytes").alias("bytes_all"),
+    )
+    return groups.agg(
+        F.sum("n").alias("n_payloads"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.max("n").alias("max_group_size"),
+        F.sum("bytes_all").alias("bytes_total"),
+        F.sum("nbytes").alias("bytes_deduped"),
+    )
+
+
+oracle(
+    "p25_payload_dedup",
+    """
+    WITH g AS (
+      SELECT md5(substring(text, 1, 40)) AS h, count(*) AS n,
+             max(octet_length(encode(substring(text, 1, 40)))) AS nbytes,
+             CAST(sum(octet_length(encode(substring(text, 1, 40)))) AS BIGINT)
+               AS bytes_all
+      FROM documents GROUP BY 1
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_payloads,
+           count(*) AS n_distinct,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_groups,
+           max(n) AS max_group_size,
+           CAST(sum(bytes_all) AS BIGINT) AS bytes_total,
+           CAST(sum(nbytes) AS BIGINT) AS bytes_deduped
+    FROM g
+    """,
+)
