@@ -625,3 +625,52 @@ def recall_report(
         [(m, k, h, h / k) for m, h in rows],
         "method string, k int, hits int, recall double",
     )
+
+
+def pair_cosine_gemm(
+    pairs: DataFrame,
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Arrow fast-path pair verification: cosine similarity for an
+    explicit ``(id_a, id_b)`` candidate list — the production kernel for
+    the verify stage of blocked embedding near-dup (d06's shape), where
+    candidate volume, not corpus size, dominates.
+
+    Physical strategy: both endpoint vectors join onto the pair rows
+    (id-keyed equi joins), then ONE vectorized numpy pass per Arrow batch
+    computes all row-wise dots — versus one interpreted HOF fold per pair
+    on the Catalyst path. Same normalize-then-dot arithmetic in float64;
+    numpy's pairwise summation can differ from the sequential fold in the
+    last ulp, so the fold (``functions.vector.dot``) remains the
+    oracle-replayable default and this is the opt-in throughput variant
+    (equivalence on real data pinned in tests, like the xxhash64 MinHash
+    family).
+
+    Returns ``(id_a, id_b, sim)`` with ``sim`` rounded to
+    ``round_digits``.
+    """
+    va = emb.select(F.col(id_col).alias(id_a), F.col(emb_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias(id_b), F.col(emb_col).alias("_vb"))
+    joined = pairs.join(va, id_a).join(vb, id_b).select(id_a, id_b, "_va", "_vb")
+
+    def part(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            a = np.array(list(pdf["_va"]), dtype=np.float64)
+            b = np.array(list(pdf["_vb"]), dtype=np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            b /= np.linalg.norm(b, axis=1, keepdims=True)
+            sims = np.round(np.einsum("ij,ij->i", a, b), round_digits)
+            yield pd.DataFrame(
+                {id_a: pdf[id_a], id_b: pdf[id_b], "sim": sims}
+            )
+
+    return joined.mapInPandas(
+        part, schema=f"{id_a} long, {id_b} long, sim double"
+    )

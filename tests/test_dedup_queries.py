@@ -150,3 +150,49 @@ def test_xxhash_fast_path_equivalent_candidates(spark, sf001):
     inter = len(md5_pairs & xx_pairs)
     assert inter / len(md5_pairs) >= 0.9
     assert inter / len(xx_pairs) >= 0.9
+
+
+def test_gemm_pair_verify_matches_fold(spark, sf001):
+    """The Arrow-GEMM pair-cosine kernel must agree with the sequential
+    HOF fold (the oracle-replayable default) after 6-digit rounding on
+    the d06 candidate set — the same fast-family discipline as xxhash64
+    MinHash."""
+    from pyspark.sql import functions as F
+
+    from mtg_vector_db_spark.functions.vector import dot, l2_normalize
+    from mtg_vector_db_spark.operators.ann import ivf_multi_assign, pair_cosine_gemm
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    blocked = ivf_multi_assign(emb, seeds, nprobe=3)
+    a = blocked.select(F.col("vec_id").alias("id_a"), "cell")
+    b = blocked.select(F.col("vec_id").alias("id_b"), "cell")
+    cand = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    nx = emb.select("vec_id", l2_normalize(F.col("embedding")).alias("nx"))
+    ea = nx.select(F.col("vec_id").alias("id_a"), F.col("nx").alias("nx_a"))
+    eb = nx.select(F.col("vec_id").alias("id_b"), F.col("nx").alias("nx_b"))
+    fold = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(dot(F.col("nx_a"), F.col("nx_b")), 6).alias("sim")
+        )
+        .collect()
+    }
+    gemm = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in pair_cosine_gemm(cand, emb).collect()
+    }
+    assert fold.keys() == gemm.keys()
+    diffs = [k for k in fold if fold[k] != gemm[k]]
+    assert not diffs, f"{len(diffs)} pair sims differ, e.g. {diffs[:3]}"
