@@ -592,3 +592,48 @@ def streaming_funnel(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def streaming_bloom_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    filter_path: str,
+    checkpoint: str,
+    schema: str = "doc_id long, text string",
+) -> "DataStreamWriter":
+    """Incremental decontamination-filter maintenance: benchmark documents
+    arriving on a stream are folded into the persisted Bloom bitset
+    (operators/bloom.py) by ``bit_or`` merge — never a rebuild over the
+    accumulated history.
+
+    Per batch: build a bitset over the batch's shingles (O(batch)), merge
+    with the stored filter (≤ n_bits/64 rows — the merge is driver-cheap
+    regardless of how much history the filter summarizes), and atomically
+    replace the store. The serving side (probe_bloom over the training
+    corpus) picks up new benchmark content on its next read. This is the
+    filter-structure analogue of streaming_ivf_ingest: frozen geometry,
+    monotone accumulation, periodic re-size (bigger n_bits) as a batch
+    job when bloom_fill_stats drifts above the FPR budget.
+    """
+    from mtg_vector_db_spark.operators.bloom import build_bloom, merge_blooms
+
+    stream = spark.readStream.schema(schema).json(source_dir)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        new = build_bloom(batch_df)
+        try:
+            # Detach the old store from its files (collect: bounded by
+            # n_bits/64 rows) so the overwrite below can't read-own-input.
+            old_rows = s.read.parquet(filter_path).collect()
+        except Exception:
+            old_rows = []
+        if old_rows:
+            old = s.createDataFrame(old_rows, "word_idx bigint, word bigint")
+            new = merge_blooms(old, new)
+        new.write.mode("overwrite").parquet(filter_path)
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -543,3 +543,45 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     assert set(got) == set(expect) == {1, 2}
     for u in got:
         assert got[u] == tuple(int(x) for x in expect[u])
+
+
+def test_streaming_bloom_maintenance_accumulates(spark, tmp_path):
+    """The persisted filter after two micro-batches equals a one-shot
+    build over both batches' documents, and every ingested document
+    probes fully positive (no false negatives across batches)."""
+    import json
+
+    from mtg_vector_db_spark.operators.bloom import build_bloom, probe_bloom
+    from mtg_vector_db_spark.streaming.pipelines import streaming_bloom_maintenance
+
+    t1 = "held out benchmark question about shipping priority revenue"
+    t2 = "another eval prompt concerning vector similarity search quality"
+
+    src = tmp_path / "bench"
+    src.mkdir()
+    (src / "b1.json").write_text(json.dumps({"doc_id": 1, "text": t1}))
+
+    def run():
+        q = (
+            streaming_bloom_maintenance(
+                spark, str(src), str(tmp_path / "filter"), str(tmp_path / "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    (src / "b2.json").write_text(json.dumps({"doc_id": 2, "text": t2}))
+    run()
+
+    stored = spark.read.parquet(str(tmp_path / "filter"))
+    both = spark.createDataFrame([(1, t1), (2, t2)], "doc_id long, text string")
+    oneshot = {
+        (r["word_idx"], r["word"]) for r in build_bloom(both).collect()
+    }
+    assert {(r["word_idx"], r["word"]) for r in stored.collect()} == oneshot
+
+    probed = probe_bloom(both, stored).collect()
+    assert len(probed) == 2
+    assert all(r["n_hits"] == r["n_shingles"] for r in probed)
