@@ -370,3 +370,41 @@ def test_latest_state_matches_python_model_on_random_log(spark):
         ).collect()
     )
     assert got == model(rows)
+
+
+def test_bloom_positions_match_hashlib_model(spark):
+    """Every shingle's k bit positions equal the pure-Python md5 model —
+    the determinism pin that lets the c10 oracle (and any other engine)
+    replay the filter bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from mtg_vector_db_spark.operators.bloom import (
+        BLOOM_K,
+        BLOOM_N_BITS,
+        bloom_positions,
+    )
+    from mtg_vector_db_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    shingles = [
+        "the quick brown",
+        "quick brown fox",
+        "a b c",
+        "x" * 50,
+        "unicode café touché",
+        "1 2 3",
+    ]
+
+    def py_positions(s: str) -> list:
+        h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P
+        return [
+            ((a * h + b) % MINHASH_P) % BLOOM_N_BITS
+            for a, b in minhash_coeffs(BLOOM_K)
+        ]
+
+    df = spark.createDataFrame([(s,) for s in shingles], "sh string")
+    got = {
+        r["sh"]: list(r["pos"])
+        for r in df.select("sh", bloom_positions(F.col("sh")).alias("pos")).collect()
+    }
+    for s in shingles:
+        assert got[s] == py_positions(s), s
