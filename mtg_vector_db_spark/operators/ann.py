@@ -527,6 +527,12 @@ def _scored_cells(
         centroids.select(cluster_col, centroid_col).collect(),
         key=lambda r: r[cluster_col],
     )
+    if not rows:
+        # Typed empty literal: an untyped F.array() can't host the struct
+        # field extraction below, and an empty centroid table (index not
+        # built yet / empty micro-batch) must mean "no assignments", not a
+        # plan-time AnalysisException.
+        return F.array().cast("array<struct<dist:double,cell:int>>")
     cent_lit = F.array(
         *[
             F.struct(

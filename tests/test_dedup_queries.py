@@ -196,3 +196,32 @@ def test_gemm_pair_verify_matches_fold(spark, sf001):
     assert fold.keys() == gemm.keys()
     diffs = [k for k in fold if fold[k] != gemm[k]]
     assert not diffs, f"{len(diffs)} pair sims differ, e.g. {diffs[:3]}"
+
+
+def test_dedup_corpus_families_total_on_empty_tables(spark, tmp_path):
+    """Every dedup/corpus/text/pipeline query must be TOTAL on empty
+    inputs — an empty corpus (or an index not yet built) yields an empty
+    (or zero-valued) result, never a plan-time exception. Guards the
+    empty-centroid-literal class of failure (ann._scored_cells)."""
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "empty")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        spark.read.parquet(f"{src}/{t}.parquet").limit(0).write.parquet(
+            f"{d}/{t}.parquet"
+        )
+    names = [
+        n
+        for n in registry.QUERIES
+        if n[0] in "dc"
+        or n.startswith("t0")
+        or n in ("p19_corpus_build_e2e", "p24_decontaminated_corpus_build",
+                 "p25_payload_dedup")
+    ]
+    for n in sorted(names):
+        registry.QUERIES[n](spark, d).count()  # must not raise
