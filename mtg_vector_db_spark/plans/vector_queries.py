@@ -24,8 +24,18 @@ R = 6  # float rounding digits for oracle hash parity
 
 
 def query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """The probe vector the search queries use (the corpus vector with
+    ``vec_id``). Search/build queries derive their probe from the corpus
+    by contract — an empty or id-sparse corpus is a caller error, so fail
+    with a message naming the contract rather than a downstream
+    ``NoneType`` TypeError."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     row = emb.filter(F.col("vec_id") == vec_id).select("embedding").first()
+    if row is None:
+        raise ValueError(
+            f"no embedding with vec_id={vec_id} in {sf_dir}/embeddings.parquet"
+            " — search queries require a non-empty embeddings corpus"
+        )
     return [float(x) for x in row[0]]
 
 
