@@ -3,6 +3,7 @@ registered query.
 
     python -m mtg_vector_db_spark.explain v01_knn_topk
     python -m mtg_vector_db_spark.explain p11_bq_rerank_search --executed
+    python -m mtg_vector_db_spark.explain r01_pricing_summary --run
     python -m mtg_vector_db_spark.explain --list
 
 The per-operator plan contracts asserted in tests/test_plans.py were
@@ -26,6 +27,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--executed",
         action="store_true",
         help="run the query and show the final (AQE-resolved) plan",
+    )
+    p.add_argument(
+        "--run",
+        action="store_true",
+        help="execute the query and print result rows as JSON lines",
+    )
+    p.add_argument(
+        "--limit", type=int, default=50, help="max rows printed with --run"
     )
     p.add_argument(
         "--sf-dir",
@@ -65,6 +74,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         spark.sparkContext.setLogLevel("ERROR")
     try:
         df = registry.QUERIES[args.query](spark, args.sf_dir)
+        if args.run:
+            for line in df.limit(args.limit).toJSON().collect():
+                print(line)
+            return 0
         if args.executed:
             df.collect()
         print(_tidy(df._jdf.queryExecution().executedPlan().toString()))

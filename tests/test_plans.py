@@ -130,6 +130,16 @@ def test_explain_tool_lists_and_prints(spark, sf0001, capsys):
     plan = capsys.readouterr().out
     assert "TakeOrderedAndProject" in plan and "#x" in plan
     assert explain.main(["nope", "--sf-dir", sf0001], spark=spark) == 2
+    assert (
+        explain.main(
+            ["r13_corpus_stats", "--run", "--sf-dir", sf0001], spark=spark
+        )
+        == 0
+    )
+    import json
+
+    rows = [json.loads(x) for x in capsys.readouterr().out.splitlines() if x]
+    assert rows and all(isinstance(r, dict) for r in rows)
 
 
 def test_q21_single_fact_shuffle_no_expand(spark, sf001):
