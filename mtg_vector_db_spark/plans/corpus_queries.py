@@ -565,3 +565,74 @@ oracle(
     FROM pu
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# C12 (extension): deterministic weighted sampling (A-ES / exponential
+# sort): pick k docs per language with probability proportional to a
+# quality weight, reproducibly — key = -ln(u)/w with the same md5-derived
+# u the unweighted splits use, bottom-k per group. The importance-sampling
+# step of curriculum/quality-weighted corpus construction; one window
+# shuffle on the group key. Keys are rounded to 9 digits before ranking
+# (with a doc_id tie-break) so both engines order identically.
+# ---------------------------------------------------------------------------
+_C12_K = 5
+
+
+@query("c12_weighted_sample")
+def c12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions import textstats as TS
+    from mtg_vector_db_spark.functions.text import hash_fraction
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    w = F.greatest(TS.quality_score(F.col("text")), F.lit(0.01))
+    u = hash_fraction(F.concat(F.col("doc_id").cast("string"), F.lit(":ws")))
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.round(-F.log(F.lit(1.0) - u) / w, 9).alias("es_key"),
+    )
+    win = Window.partitionBy("lang").orderBy(F.asc("es_key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= _C12_K)
+        .select("lang", "doc_id", "es_key", F.col("rn").alias("rank"))
+        .orderBy("lang", "rank")
+    )
+
+
+def _c12_oracle() -> str:
+    from mtg_vector_db_spark.plans.text_queries import _NOISE, _NTOK, _SW_RATIO
+
+    u = (
+        "list_sum(list_transform(range(1, 9),"
+        " i -> (strpos('0123456789abcdef',"
+        " substring(md5(CAST(doc_id AS VARCHAR) || ':ws'), i, 1)) - 1)"
+        " * power(16, 8 - i))) / 4294967296.0"
+    )
+    quality = (
+        f"round(least(1.0, 0.3 + 0.4 * least(1.0, ({_SW_RATIO}) * 4)"
+        f" + 0.3 * least(1.0, ({_NTOK}) / 100.0)"
+        f" - 0.5 * ({_NOISE})), 6)"
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             round(-ln(1.0 - ({u})) / greatest({quality}, 0.01), 9) AS es_key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, doc_id, es_key,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY es_key ASC, doc_id ASC) AS rank
+      FROM keyed
+    )
+    SELECT lang, doc_id, es_key, rank FROM ranked
+    WHERE rank <= {_C12_K}
+    ORDER BY lang, rank
+    """
+
+
+oracle("c12_weighted_sample", _c12_oracle())
