@@ -31,13 +31,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from mtg_vector_db_spark.session import widen
 from mtg_vector_db_spark.functions.trigram import trigram_set
 
 
 def _postings(
     df: DataFrame, id_col: str, text_col: str, side: str
 ) -> DataFrame:
-    tris = df.select(
+    # widen(): the trigram fold is CPU-bound per row; a single-split
+    # parquet scan would serialize it onto one core (no-op at real scale).
+    tris = widen(df).select(
         F.col(id_col).alias(f"id_{side}"), trigram_set(text_col).alias("tris")
     )
     return tris.select(

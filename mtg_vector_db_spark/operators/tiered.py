@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from mtg_vector_db_spark.session import widen
 from mtg_vector_db_spark.functions.trigram import trigram_similarity
 
 
@@ -44,6 +45,9 @@ def tiered_name_search(
     ``tiebreak`` columns make top-k cuts deterministic when names repeat.
     """
     name = F.col(name_col)
+    # The fuzzy tier's trigram fold is CPU-bound per row; widen() guards
+    # the single-split small-scan case (no-op on real multi-split scans).
+    names = widen(names)
     sim = F.round(trigram_similarity(name, F.lit(q)), round_digits)
     order = [F.desc("sim"), F.asc(name_col), *[F.asc(c) for c in tiebreak]]
 
