@@ -1486,6 +1486,13 @@ oracle(
 # for dedup, hash-keyed span shuffles, a broadcast bitset for the
 # contamination probe, and a tiny final aggregate. Oracle replays the
 # whole chain CTE-for-CTE from the proven p19/d07/c10 pieces.
+#
+# Accepted trade: the single-lineage DAG re-derives the shared
+# dedup+span prefix in each split branch (Catalyst can't reuse subtrees
+# that differ by pushed-down split filters), ~1.7× the sum of the
+# component queries. The one-DAG form is what the oracle can replay
+# end-to-end; a production run materializes between stages (write the
+# gated corpus, then decontaminate), which is exactly the p19 pattern.
 # ---------------------------------------------------------------------------
 _P24_SPAN_TAU = 0.8
 _P24_CONTAM_TAU = 0.3
