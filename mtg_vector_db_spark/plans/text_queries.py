@@ -699,3 +699,134 @@ oracle(
     FROM flagged GROUP BY 1 ORDER BY lang
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# T19 (extension): character-bigram LM cross-entropy — the CCNet-style
+# perplexity filter with a self-trained model instead of an external LM:
+# train add-1-smoothed bigram probabilities on the train split, score the
+# eval split per language. Model size is bounded by the normalized
+# alphabet (≤38² bigrams), so it broadcasts at ANY corpus size; scoring
+# is one bigram explode + two broadcast joins + an exact DECIMAL
+# aggregation (log₂ values rounded to 12 digits, then summed exactly —
+# partition-order-independent, hence oracle-hashable).
+# ---------------------------------------------------------------------------
+_T19_V = 38  # alphabet: a-z, 0-9, space, '_' (everything else folds to '_')
+
+
+@query("t19_charlm_crossentropy")
+def t19_charlm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.text import hash_fraction
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "_")
+    base = docs.select(
+        "lang",
+        (hash_fraction(F.col("doc_id")) < 0.8).alias("is_train"),
+        norm.alias("s"),
+    )
+    bigrams = base.select(
+        "lang",
+        "is_train",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("s") - 1),
+                lambda i: F.col("s").substr(i, F.lit(2)),
+            )
+        ).alias("big"),
+    )
+    cnt = bigrams.groupBy("is_train", "lang", "big").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    model_big = (
+        cnt.filter("is_train")
+        .groupBy("big")
+        .agg(F.sum("n").alias("c"))
+    )
+    model_pre = model_big.groupBy(F.substring("big", 1, 1).alias("pre")).agg(
+        F.sum("c").alias("cp")
+    )
+    ev = (
+        cnt.filter(~F.col("is_train"))
+        .groupBy("lang", "big")
+        .agg(F.sum("n").alias("e"))
+        .withColumn("pre", F.substring("big", 1, 1))
+    )
+    scored = (
+        ev.join(F.broadcast(model_big), "big", "left")
+        .join(F.broadcast(model_pre), "pre", "left")
+        .withColumn(
+            "logp",
+            F.round(
+                F.log2(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    / (F.coalesce(F.col("cp"), F.lit(0)) + _T19_V)
+                ),
+                12,
+            ),
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.sum("e").alias("n_bigrams"),
+            F.sum(
+                (F.col("logp").cast("decimal(28,12)") * F.col("e")).cast(
+                    "decimal(38,12)"
+                )
+            ).alias("_bits"),
+        )
+        .select(
+            "lang",
+            "n_bigrams",
+            F.round(-F.col("_bits").cast("double") / F.col("n_bigrams"), 6).alias(
+                "bits_per_char"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_T19_FRAC = (
+    "list_sum(list_transform(range(1, 9),"
+    " i -> (strpos('0123456789abcdef',"
+    " substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)"
+    " * power(16, 8 - i))) / 4294967296.0"
+)
+
+oracle(
+    "t19_charlm_crossentropy",
+    f"""
+    WITH base AS (
+      SELECT lang, ({_T19_FRAC}) < 0.8 AS is_train,
+             regexp_replace(lower(text), '[^a-z0-9 ]', '_', 'g') AS s
+      FROM documents
+    ),
+    bg AS (
+      SELECT lang, is_train, unnest(list_transform(range(1, len(s)),
+             i -> substring(s, i, 2))) AS big
+      FROM base
+    ),
+    cnt AS (SELECT is_train, lang, big, count(*) AS n
+            FROM bg GROUP BY 1, 2, 3),
+    model_big AS (SELECT big, CAST(sum(n) AS BIGINT) AS c
+                  FROM cnt WHERE is_train GROUP BY big),
+    model_pre AS (SELECT substring(big, 1, 1) AS pre,
+                         CAST(sum(c) AS BIGINT) AS cp
+                  FROM model_big GROUP BY 1),
+    ev AS (SELECT lang, big, substring(big, 1, 1) AS pre,
+                  CAST(sum(n) AS BIGINT) AS e
+           FROM cnt WHERE NOT is_train GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT ev.lang, ev.e,
+             round(log2((coalesce(mb.c, 0) + 1) * 1.0
+                        / (coalesce(mp.cp, 0) + {_T19_V})), 12) AS logp
+      FROM ev LEFT JOIN model_big mb USING (big)
+              LEFT JOIN model_pre mp USING (pre)
+    )
+    SELECT lang, CAST(sum(e) AS BIGINT) AS n_bigrams,
+           round(-CAST(sum(CAST(logp AS DECIMAL(28,12)) * e) AS DOUBLE)
+                 / sum(e), 6) AS bits_per_char
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
