@@ -1697,3 +1697,105 @@ oracle(
     FROM g
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# P26 (extension): semi-hard negative mining for contrastive training —
+# for each anchor, the k most-similar candidates inside a similarity band
+# (below the positive threshold, above the trivial floor), drawn from the
+# IVF-cell-blocked candidate space (d06's blocking, never O(n²)). The
+# data-prep step behind embedding-model fine-tuning: positives come from
+# near-dup pairs, negatives from this query. Per-anchor rank windows see
+# only blocked candidates; the anchor set is batch-bounded by contract.
+# ---------------------------------------------------------------------------
+_P26_HI = 0.5   # sim >= HI is a positive, not a negative
+_P26_LO = 0.15  # sim < LO is a trivial negative (uninformative)
+_P26_K = 5
+_P26_ANCHORS = 20
+_P26_NPROBE = 3
+
+
+@query("p26_hard_negatives")
+def p26_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions.vector import dot, l2_normalize
+    from mtg_vector_db_spark.operators.ann import ivf_multi_assign
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    blocked = ivf_multi_assign(emb, seeds, nprobe=_P26_NPROBE)
+    anchors = blocked.filter(F.col("vec_id") < _P26_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"), "cell"
+    )
+    partners = blocked.select(F.col("vec_id").alias("neg_id"), "cell")
+    cand = (
+        anchors.join(partners, "cell")
+        .filter(F.col("anchor_id") != F.col("neg_id"))
+        .select("anchor_id", "neg_id")
+        .distinct()
+    )
+    nx = emb.select("vec_id", l2_normalize(F.col("embedding")).alias("nx"))
+    na = nx.select(F.col("vec_id").alias("anchor_id"), F.col("nx").alias("nx_a"))
+    nb = nx.select(F.col("vec_id").alias("neg_id"), F.col("nx").alias("nx_b"))
+    sim = F.round(dot(F.col("nx_a"), F.col("nx_b")), 6)
+    banded = (
+        cand.join(na, "anchor_id")
+        .join(nb, "neg_id")
+        .select("anchor_id", "neg_id", sim.alias("sim"))
+        .filter((F.col("sim") >= _P26_LO) & (F.col("sim") < _P26_HI))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("neg_id"))
+    return (
+        banded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _P26_K)
+        .orderBy("anchor_id", "rank")
+    )
+
+
+oracle(
+    "p26_hard_negatives",
+    f"""
+    WITH c AS (
+      SELECT CAST(vec_id AS INT) AS cell, CAST(embedding AS DOUBLE[]) AS cvec,
+             list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS n2
+      FROM embeddings WHERE vec_id < 8
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nx
+          FROM e),
+    d AS (SELECT n.vec_id, c.cell,
+                 c.n2 - 2 * list_inner_product(c.cvec, n.nx) AS dist
+          FROM n CROSS JOIN c),
+    a AS (SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cell) AS rn
+            FROM d) WHERE rn <= {_P26_NPROBE}),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS anchor_id, r.vec_id AS neg_id
+      FROM a l JOIN a r ON l.cell = r.cell AND l.vec_id <> r.vec_id
+      WHERE l.vec_id < {_P26_ANCHORS}
+    ),
+    banded AS (
+      SELECT anchor_id, neg_id,
+             round(list_inner_product(na.nx, nb.nx), 6) AS sim
+      FROM cand JOIN n na ON cand.anchor_id = na.vec_id
+                JOIN n nb ON cand.neg_id = nb.vec_id
+      WHERE round(list_inner_product(na.nx, nb.nx), 6) >= {_P26_LO}
+        AND round(list_inner_product(na.nx, nb.nx), 6) < {_P26_HI}
+    )
+    SELECT anchor_id, neg_id, sim, rank FROM (
+      SELECT anchor_id, neg_id, sim,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY sim DESC, neg_id ASC) AS rank
+      FROM banded)
+    WHERE rank <= {_P26_K}
+    ORDER BY anchor_id, rank
+    """,
+)
