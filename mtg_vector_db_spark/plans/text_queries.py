@@ -830,3 +830,89 @@ oracle(
     FROM scored GROUP BY lang ORDER BY lang
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# T20 (extension): token-distribution drift between splits — Jensen-
+# Shannon divergence of train-vs-eval token frequencies per language,
+# the monitoring metric a corpus refresh pipeline gates on. One (lang,
+# token) aggregation, then a lang-keyed exact-DECIMAL reduction over
+# rounded log terms (t19's determinism discipline), so the float math is
+# partition-order-independent and oracle-hashable.
+# ---------------------------------------------------------------------------
+@query("t20_token_drift")
+def t20_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.text import hash_fraction, tokens
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        (hash_fraction(F.col("doc_id")) < 0.8).alias("is_train"),
+        F.explode(tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    cnt = base.groupBy("lang", "tok").agg(
+        F.sum(F.col("is_train").cast("long")).alias("a"),
+        F.sum((~F.col("is_train")).cast("long")).alias("b"),
+    )
+    totals = cnt.groupBy("lang").agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    j = cnt.join(F.broadcast(totals), "lang")
+    p = F.col("a") / F.col("ta")
+    q = F.col("b") / F.col("tb")
+    m = (p + q) / 2
+    term = (
+        F.when(F.col("a") > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("b") > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
+    )
+    return (
+        j.select("lang", "ta", "tb", F.round(term, 12).alias("t"))
+        .groupBy("lang", "ta", "tb")
+        .agg(
+            F.sum(F.col("t").cast("decimal(28,12)")).alias("_s"),
+        )
+        .select(
+            "lang",
+            F.col("ta").alias("n_tokens_train"),
+            F.col("tb").alias("n_tokens_eval"),
+            F.round(F.col("_s").cast("double") / 2, 6).alias("js_divergence"),
+        )
+        .orderBy("lang")
+    )
+
+
+oracle(
+    "t20_token_drift",
+    f"""
+    WITH base AS (
+      SELECT lang, ({_T19_FRAC}) < 0.8 AS is_train,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                t -> len(t) > 0)) AS tok
+      FROM documents
+    ),
+    cnt AS (
+      SELECT lang, tok,
+             CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS b
+      FROM base GROUP BY 1, 2
+    ),
+    totals AS (SELECT lang, CAST(sum(a) AS BIGINT) AS ta,
+                      CAST(sum(b) AS BIGINT) AS tb
+               FROM cnt GROUP BY lang),
+    terms AS (
+      SELECT cnt.lang, ta, tb,
+             round(
+               (CASE WHEN a > 0 THEN (a * 1.0 / ta)
+                 * log2((a * 1.0 / ta) / (((a * 1.0 / ta) + (b * 1.0 / tb)) / 2))
+                 ELSE 0.0 END)
+               + (CASE WHEN b > 0 THEN (b * 1.0 / tb)
+                 * log2((b * 1.0 / tb) / (((a * 1.0 / ta) + (b * 1.0 / tb)) / 2))
+                 ELSE 0.0 END), 12) AS t
+      FROM cnt JOIN totals USING (lang)
+    )
+    SELECT lang, ta AS n_tokens_train, tb AS n_tokens_eval,
+           round(CAST(sum(CAST(t AS DECIMAL(28,12))) AS DOUBLE) / 2, 6)
+             AS js_divergence
+    FROM terms GROUP BY lang, ta, tb ORDER BY lang
+    """,
+)
