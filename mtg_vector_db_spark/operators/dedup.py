@@ -631,3 +631,80 @@ def incremental_neardup(
         )
         .filter(F.col("jaccard") >= verify_threshold)
     )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The APPLY step of span-level dedup (Lee et al. remove the
+    duplicated substrings, not the documents): reconstruct each document
+    from the token positions NOT covered by any cross-document repeated
+    ``n``-gram. Documents with no repeated spans pass through unchanged.
+
+    Scale shape: shares :func:`repeated_ngram_spans`' hash-keyed stages;
+    the reconstruction is a per-document sort of kept positions inside
+    an aggregation (collect_list → array_sort → re-join) — grouped by
+    the id the rows already carry, one shuffle. Returns ``(doc_id,
+    n_tokens, kept_tokens, cleaned_text)``.
+    """
+    g = widen(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.lower(F.col(text_col)))).alias("n_tokens"),
+        F.posexplode(positional_ngrams(F.col(text_col), n)).alias("pos", "gram"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
+    dup = (
+        g.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    covered = (
+        g.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("p"),
+        )
+        .distinct()
+    )
+    toks = widen(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("p", "tok"),
+    )
+    kept = toks.join(covered, ["doc_id", "p"], "left_anti")
+    per_doc_tokens = widen(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.lower(F.col(text_col)))).alias("n_tokens"),
+    )
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("p"), F.col("tok")))
+            ).alias("ps")
+        )
+        .select(
+            "doc_id",
+            F.size("ps").alias("kept_tokens"),
+            F.array_join(F.transform("ps", lambda s: s["tok"]), " ").alias(
+                "cleaned_text"
+            ),
+        )
+    )
+    return (
+        per_doc_tokens.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -483,3 +483,51 @@ oracle(
     ORDER BY id_new, id_existing
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# D10 (extension): span-removal APPLY — d07's detection turned into the
+# cleaning step (Lee et al. remove the duplicated substrings; documents
+# survive minus their repeated spans). Output is md5-compacted so the
+# oracle row stays narrow; the full cleaned text is covered by the md5.
+# ---------------------------------------------------------------------------
+@query("d10_span_dedup_apply")
+def d10_span_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    out = D.remove_repeated_spans(docs, n=_D07_N, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "kept_tokens",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+    ).orderBy("doc_id")
+
+
+oracle(
+    "d10_span_dedup_apply",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_L} AS toks FROM documents),
+    w AS (SELECT doc_id, i - 1 AS pos,
+                 array_to_string(toks[i:i + {_D07_N - 1}], ' ') AS gram
+          FROM t, unnest(range(1, greatest(len(toks) - {_D07_N} + 2, 1))) AS u(i)),
+    h AS (SELECT doc_id, pos, {_H60} AS hh FROM w),
+    dup AS (SELECT hh FROM h GROUP BY hh HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + {_D07_N})) AS p
+            FROM h JOIN dup USING (hh)),
+    tok AS (SELECT doc_id, i - 1 AS p, toks[i] AS tok
+            FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+    kept AS (SELECT tok.doc_id, tok.p, tok.tok
+             FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+             WHERE cov.p IS NULL),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS kept_tokens,
+             string_agg(tok, ' ' ORDER BY p) AS cleaned_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, len(t.toks) AS n_tokens,
+           coalesce(rebuilt.kept_tokens, 0) AS kept_tokens,
+           md5(coalesce(rebuilt.cleaned_text, '')) AS cleaned_md5
+    FROM t LEFT JOIN rebuilt USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
