@@ -1799,3 +1799,147 @@ oracle(
     ORDER BY anchor_id, rank
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# P27 (extension): driver-checked ANN recall — recall@10 of the IVF path
+# against exact KNN for query vectors 0..9, as a QUERY with a DuckDB
+# oracle rather than a committed artifact (RECALL.md holds the broader
+# sweep; this row makes the headline claim machine-verified every
+# round). Both arms share the broadcast query table; the IVF arm prunes
+# to nprobe=3 cells via the same frozen assignment d06/p04 use.
+# ---------------------------------------------------------------------------
+_P27_K = 10
+_P27_NPROBE = 3
+
+
+@query("p27_ivf_recall_report")
+def p27_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions.vector import cosine_similarity
+    from mtg_vector_db_spark.operators.ann import ivf_assign, ivf_multi_assign
+    from mtg_vector_db_spark.operators.knn import knn_join
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_join(emb, queries_df, k=_P27_K, round_digits=R).select(
+        "query_id", "vec_id"
+    )
+
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    assigned = ivf_assign(emb, seeds)
+    probe = ivf_multi_assign(
+        queries_df.select(
+            F.col("query_id").alias("vec_id"),
+            F.col("query_vec").alias("embedding"),
+        ),
+        seeds,
+        nprobe=_P27_NPROBE,
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    sim = F.round(
+        cosine_similarity(F.col("embedding"), F.col("query_vec")), R
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    ivf_topk = (
+        assigned.join(probe, "cell")
+        .join(F.broadcast(queries_df), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _P27_K)
+        .select("query_id", "vec_id")
+    )
+    overlap = (
+        exact.join(ivf_topk, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        queries_df.select("query_id")
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)) / F.lit(float(_P27_K)), 6
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+oracle(
+    "p27_ivf_recall_report",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    exact AS (
+      SELECT query_id, doc_id FROM (
+        SELECT q.query_id, e.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              q.qv), {R}) DESC,
+                 e.vec_id ASC) AS rank
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+      ) WHERE rank <= {_P27_K}
+    ),
+    c AS (
+      SELECT CAST(vec_id AS INT) AS cell, CAST(embedding AS DOUBLE[]) AS cvec,
+             list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS n2
+      FROM embeddings WHERE vec_id < 8
+    ),
+    n AS (SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                    CAST(embedding AS DOUBLE[])))) AS nx
+          FROM embeddings),
+    d AS (SELECT n.vec_id, c.cell,
+                 c.n2 - 2 * list_inner_product(c.cvec, n.nx) AS dist
+          FROM n CROSS JOIN c),
+    assigned AS (SELECT vec_id, cell FROM (
+                   SELECT vec_id, cell,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY dist, cell) AS rn
+                   FROM d) WHERE rn = 1),
+    probe AS (SELECT vec_id AS query_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cell) AS rn
+                FROM d WHERE vec_id < 10) WHERE rn <= {_P27_NPROBE}),
+    ivf_topk AS (
+      SELECT query_id, doc_id FROM (
+        SELECT p.query_id, a.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY
+                 round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              q.qv), {R}) DESC,
+                 a.vec_id ASC) AS rank
+        FROM assigned a
+        JOIN probe p USING (cell)
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN q ON q.query_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+      ) WHERE rank <= {_P27_K}
+    ),
+    ov AS (
+      SELECT exact.query_id, count(*) AS n_overlap
+      FROM exact JOIN ivf_topk
+        ON exact.query_id = ivf_topk.query_id
+       AND exact.doc_id = ivf_topk.doc_id
+      GROUP BY exact.query_id
+    )
+    SELECT q.query_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+           round(coalesce(ov.n_overlap, 0) / {float(_P27_K)}, 6) AS recall_at_10
+    FROM q LEFT JOIN ov ON q.query_id = ov.query_id
+    ORDER BY q.query_id
+    """,
+)
