@@ -636,3 +636,53 @@ def _c12_oracle() -> str:
 
 
 oracle("c12_weighted_sample", _c12_oracle())
+
+
+# ---------------------------------------------------------------------------
+# C13 (extension): domain-balanced interleave order — the training-order
+# variant of c08 that guarantees local source balance: rank documents
+# within each source by md5 (one source-keyed window), then order
+# globally by (stripe_rank, source) so consecutive stream positions
+# round-robin across sources instead of clumping. The order key is
+# map-side after one bounded window; the preview is TakeOrdered, and a
+# full materialization is a range-partitioned sort on the same key.
+# ---------------------------------------------------------------------------
+@query("c13_interleave_order")
+def c13_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions.text import hash_fraction
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    u = hash_fraction(F.concat(F.col("doc_id").cast("string"), F.lit(":il")))
+    w = Window.partitionBy("source").orderBy(F.asc("u"), F.asc("doc_id"))
+    keyed = docs.select("source", "doc_id", u.alias("u")).withColumn(
+        "stripe", F.row_number().over(w)
+    )
+    return (
+        keyed.select("stripe", "source", "doc_id")
+        .orderBy("stripe", "source")
+        .limit(20)
+    )
+
+
+_C13_FRAC = (
+    "list_sum(list_transform(range(1, 9),"
+    " i -> (strpos('0123456789abcdef',"
+    " substring(md5(CAST(doc_id AS VARCHAR) || ':il'), i, 1)) - 1)"
+    " * power(16, 8 - i))) / 4294967296.0"
+)
+
+oracle(
+    "c13_interleave_order",
+    f"""
+    WITH keyed AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {_C13_FRAC} ASC, doc_id ASC) AS stripe
+      FROM documents
+    )
+    SELECT stripe, source, doc_id FROM keyed
+    ORDER BY stripe, source LIMIT 20
+    """,
+)
