@@ -3398,3 +3398,66 @@ oracle(
     ORDER BY s_name
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection (extension): per-nation median/MAD of customer
+# balances and the count of |robust z| > 3 customers — the
+# quantile-based anomaly screen that survives heavy tails where
+# mean/stddev z-scores don't. Two nation-keyed exact-percentile
+# aggregates (tiny outputs, broadcast back); deviations use the ROUNDED
+# median so both engines derive identical doubles (r21's parity
+# convention). At scale: two shuffles keyed on the bounded nation key.
+# ---------------------------------------------------------------------------
+@query("r71_balance_outliers")
+def r71_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, nation = tables(spark, sf_dir, "customer", "nation")
+    cust = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("n_name", "c_acctbal")
+    med = cust.groupBy("n_name").agg(
+        F.round(F.percentile(F.col("c_acctbal"), F.lit(0.5)), 4).alias("med")
+    )
+    dev = cust.join(F.broadcast(med), "n_name").withColumn(
+        "d", F.abs(F.col("c_acctbal") - F.col("med"))
+    )
+    mad = dev.groupBy("n_name").agg(
+        F.round(F.percentile(F.col("d"), F.lit(0.5)), 4).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "n_name")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.max("med").alias("median_bal"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                (F.col("d") > 3 * 1.4826 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+oracle(
+    "r71_balance_outliers",
+    """
+    WITH cust AS (
+      SELECT n_name, c_acctbal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ),
+    med AS (SELECT n_name, round(quantile_cont(c_acctbal, 0.5), 4) AS med
+            FROM cust GROUP BY n_name),
+    dev AS (SELECT cust.n_name, c_acctbal, med,
+                   abs(c_acctbal - med) AS d
+            FROM cust JOIN med USING (n_name)),
+    mad AS (SELECT n_name, round(quantile_cont(d, 0.5), 4) AS mad
+            FROM dev GROUP BY n_name)
+    SELECT dev.n_name, count(*) AS n_customers,
+           max(med) AS median_bal, max(mad.mad) AS mad,
+           CAST(sum(CASE WHEN d > 3 * 1.4826 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (n_name)
+    GROUP BY dev.n_name ORDER BY dev.n_name
+    """,
+)
