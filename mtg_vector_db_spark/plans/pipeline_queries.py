@@ -1943,3 +1943,136 @@ oracle(
     ORDER BY q.query_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# P28 (extension): machine-verified recall for the binary-quantization
+# arm — recall@10 of sign-bit Hamming candidates (oversample 4) + exact
+# rescore against exact KNN, for query vectors 0..9 (p27's pattern
+# applied to p11's index structure). The Hamming stage is a batch
+# formulation: queries broadcast, one zip_with sign-mismatch fold per
+# (vector, query), per-query TakeOrdered windows.
+# ---------------------------------------------------------------------------
+_P28_K = 10
+_P28_OS = 4
+
+
+@query("p28_bq_recall_report")
+def p28_bq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions.vector import cosine_similarity
+    from mtg_vector_db_spark.operators.knn import knn_join
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_join(emb, queries_df, k=_P28_K, round_digits=R).select(
+        "query_id", "vec_id"
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("query_vec"),
+            lambda a, b: ((a > 0) != (b > 0)).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        emb.join(F.broadcast(queries_df))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "embedding",
+            "query_vec",
+            ham.alias("hamming"),
+        )
+    )
+    wh = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    cand = pairs.withColumn("hrank", F.row_number().over(wh)).filter(
+        F.col("hrank") <= _P28_K * _P28_OS
+    )
+    sim = F.round(cosine_similarity(F.col("embedding"), F.col("query_vec")), R)
+    ws = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    bq_topk = (
+        cand.select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(ws))
+        .filter(F.col("rank") <= _P28_K)
+        .select("query_id", "vec_id")
+    )
+    overlap = (
+        exact.join(bq_topk, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        queries_df.select("query_id")
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)) / F.lit(float(_P28_K)), 6
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+oracle(
+    "p28_bq_recall_report",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    exact AS (
+      SELECT query_id, doc_id FROM (
+        SELECT q.query_id, e.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              q.qv), {R}) DESC,
+                 e.vec_id ASC) AS rank
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+      ) WHERE rank <= {_P28_K}
+    ),
+    h AS (
+      SELECT q.query_id, e.vec_id AS doc_id, e.embedding,  q.qv,
+             CAST(list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN (e.embedding[i] > 0) <> (q.qe[i] > 0)
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    cand AS (SELECT * FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY hamming ASC, doc_id ASC) AS hrank
+               FROM h) WHERE hrank <= {_P28_K * _P28_OS}),
+    bq_topk AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY
+                 round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                              qv), {R}) DESC,
+                 doc_id ASC) AS rank
+        FROM cand
+      ) WHERE rank <= {_P28_K}
+    ),
+    ov AS (
+      SELECT exact.query_id, count(*) AS n_overlap
+      FROM exact JOIN bq_topk
+        ON exact.query_id = bq_topk.query_id
+       AND exact.doc_id = bq_topk.doc_id
+      GROUP BY exact.query_id
+    )
+    SELECT q.query_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+           round(coalesce(ov.n_overlap, 0) / {float(_P28_K)}, 6) AS recall_at_10
+    FROM q LEFT JOIN ov ON q.query_id = ov.query_id
+    ORDER BY q.query_id
+    """,
+)
