@@ -162,7 +162,7 @@ oracle(
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5,
            hex(encode(substring(text, 1, 8))) AS feature_hex
-    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    FROM documents WHERE doc_id < 1000 ORDER BY doc_id
     """,
 )
 
@@ -2074,5 +2074,97 @@ oracle(
            round(coalesce(ov.n_overlap, 0) / {float(_P28_K)}, 6) AS recall_at_10
     FROM q LEFT JOIN ov ON q.query_id = ov.query_id
     ORDER BY q.query_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# P29 (extension): frame-level video dedup — frame-sample plan (p08's
+# explode) → per-frame content hash (deterministic stand-in for a
+# perceptual hash; the real phash slots in behind the same column) →
+# cross-video duplicate-frame detection, reported per video. The
+# multimodal composition of d07's span idea: dup detection keys one
+# shuffle on the 16-hex frame hash; frame content is a timestamp-scaled
+# window of the source text so near-dup videos share frames by
+# construction.
+# ---------------------------------------------------------------------------
+@query("p29_frame_dedup")
+def p29_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.multimodal import frame_sample_plan
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    media = docs.filter(F.col("doc_id") < 1000).select(
+        "doc_id",
+        F.lit("video").alias("media_type"),
+        F.col("text"),
+        (F.octet_length(F.col("text")) * 10).cast("int").alias("duration_ms"),
+    )
+    frames = frame_sample_plan(media, every_ms=1000).join(
+        media.select("doc_id", "text"), "doc_id"
+    )
+    hashed = frames.select(
+        "doc_id",
+        "frame_ts_ms",
+        F.substring(
+            F.md5(F.substring(F.col("text"), (F.col("frame_ts_ms") / 10 + 1).cast("int"), 20)),
+            1,
+            16,
+        ).alias("phash"),
+    )
+    dup = (
+        hashed.groupBy("phash")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("phash")
+    )
+    per_doc = (
+        hashed.join(dup, "phash")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_frames"))
+    )
+    totals = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    return (
+        totals.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_dup_frames",
+            F.round(F.col("n_dup_frames") / F.col("n_frames"), 6).alias(
+                "dup_frame_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+oracle(
+    "p29_frame_dedup",
+    """
+    WITH media AS (
+      SELECT doc_id, text, octet_length(encode(text)) * 10 AS duration_ms
+      FROM documents WHERE doc_id < 1000
+    ),
+    frames AS (
+      SELECT doc_id, text,
+             unnest(range(0, greatest(duration_ms - 1, 0) + 1, 1000))
+               AS frame_ts_ms
+      FROM media
+    ),
+    hashed AS (
+      SELECT doc_id, frame_ts_ms,
+             substring(md5(substring(text,
+               CAST(frame_ts_ms / 10 + 1 AS INT), 20)), 1, 16) AS phash
+      FROM frames
+    ),
+    dup AS (SELECT phash FROM hashed
+            GROUP BY phash HAVING count(DISTINCT doc_id) >= 2),
+    per_doc AS (SELECT doc_id, count(*) AS n_dup_frames
+                FROM hashed JOIN dup USING (phash) GROUP BY doc_id),
+    totals AS (SELECT doc_id, count(*) AS n_frames FROM hashed GROUP BY doc_id)
+    SELECT totals.doc_id, totals.n_frames, per_doc.n_dup_frames,
+           round(per_doc.n_dup_frames * 1.0 / totals.n_frames, 6)
+             AS dup_frame_ratio
+    FROM totals JOIN per_doc USING (doc_id)
+    ORDER BY totals.doc_id
     """,
 )
