@@ -65,6 +65,7 @@ HEADLINE = [
     "d09_incremental_neardup",  # batch-vs-corpus asymmetric LSH probe
     "c10_bloom_decontaminate",  # broadcast Bloom bitset decontamination
     "p24_decontaminated_corpus_build",  # full decontaminated-build lineage
+    "p27_ivf_recall_report",    # machine-verified ANN recall row
 ]
 
 

@@ -14,11 +14,11 @@ from tests.oracle_utils import assert_matches_oracle
 
 registry.load_all()
 
-CORPUS_QUERIES = [n for n in registry.QUERIES if n.startswith("c0")]
+CORPUS_QUERIES = [n for n in registry.QUERIES if n.startswith("c")]
 
 
 def test_family_registered():
-    assert len(CORPUS_QUERIES) == 9
+    assert len(CORPUS_QUERIES) == 13
     assert all(n in registry.ORACLES for n in CORPUS_QUERIES)
 
 
