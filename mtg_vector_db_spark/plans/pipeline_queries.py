@@ -162,7 +162,7 @@ oracle(
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5,
            hex(encode(substring(text, 1, 8))) AS feature_hex
-    FROM documents WHERE doc_id < 1000 ORDER BY doc_id
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
     """,
 )
 
