@@ -686,3 +686,67 @@ oracle(
     ORDER BY stripe, source LIMIT 20
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# C14 (extension): deterministic k-fold assignment — the cross-validation
+# layout: fold = md5-bucket(doc_id) mod k, stable under corpus growth
+# (a document's fold never changes when other documents arrive, unlike
+# ntile/row_number folds). Map-side assignment, one tiny aggregate for
+# the balance report.
+# ---------------------------------------------------------------------------
+_C14_K = 5
+
+
+@query("c14_kfold_split")
+def c14_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions import textstats as TS
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":fold"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _C14_K
+    )
+    return (
+        docs.select(
+            fold.alias("fold"),
+            "lang",
+            TS.token_count(F.col("text")).alias("n_tokens"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .orderBy("fold")
+    )
+
+
+oracle(
+    "c14_kfold_split",
+    f"""
+    WITH f AS (
+      SELECT list_reduce(list_transform(range(1, 16), i ->
+               CAST(strpos('0123456789abcdef',
+                 substring(md5(CAST(doc_id AS VARCHAR) || ':fold'), i, 1))
+                 AS BIGINT) - 1),
+               (x, y) -> x * 16 + y) % {_C14_K} AS fold,
+             lang,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> len(t) > 0)) AS n_tokens
+      FROM documents
+    )
+    SELECT fold, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           count(DISTINCT lang) AS n_langs
+    FROM f GROUP BY fold ORDER BY fold
+    """,
+)
