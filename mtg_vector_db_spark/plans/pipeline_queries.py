@@ -2168,3 +2168,72 @@ oracle(
     ORDER BY totals.doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# P30 (extension): dataset card — the datasheet emitted alongside a
+# corpus snapshot: per-language (plus ALL, via rollup's one Expand pass)
+# document/token counts, quality, and exact-duplicate rate. Single
+# aggregation over one scan; averages ride the exact-DECIMAL sum so the
+# row hashes are partitioning-independent.
+# ---------------------------------------------------------------------------
+@query("p30_dataset_report")
+def p30_dataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions import textstats as TS
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        TS.token_count(F.col("text")).alias("n_tokens"),
+        TS.quality_score(F.col("text")).alias("quality"),
+        F.md5("text").alias("content"),
+    )
+    return (
+        base.rollup("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
+            F.round(
+                1 - F.count_distinct("content") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "n_tokens",
+            "avg_quality",
+            "dup_rate",
+        )
+        .orderBy("lang")
+    )
+
+
+def _p30_oracle() -> str:
+    from mtg_vector_db_spark.plans.text_queries import _NOISE, _NTOK, _SW_RATIO
+
+    quality = (
+        f"round(least(1.0, 0.3 + 0.4 * least(1.0, ({_SW_RATIO}) * 4)"
+        f" + 0.3 * least(1.0, ({_NTOK}) / 100.0)"
+        f" - 0.5 * ({_NOISE})), 6)"
+    )
+    return f"""
+    WITH base AS (
+      SELECT lang, {_NTOK} AS n_tokens, {quality} AS quality,
+             md5(text) AS content
+      FROM documents
+    )
+    SELECT coalesce(lang, 'ALL') AS lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_quality,
+           round(1 - count(DISTINCT content) * 1.0 / count(*), 6) AS dup_rate
+    FROM base GROUP BY ROLLUP (lang) ORDER BY lang
+    """
+
+
+oracle("p30_dataset_report", _p30_oracle())
