@@ -256,3 +256,18 @@ def test_r70_single_fact_shuffle_all_dims_broadcast(spark, sf001):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
     assert "hashpartitioning(l_suppkey" in plan
+
+
+def test_no_cartesian_in_any_registered_query(spark, sf0001):
+    """GLOBAL plan hygiene: no registered query may plan a
+    CartesianProduct — the one join shape that cannot survive scale.
+    (BroadcastNestedLoopJoin is permitted: Spark only plans it with a
+    broadcast side, and every occurrence in the inventory is a 1-row
+    scalar fold, a broadcast query table, or d02's intentionally bounded
+    exact baseline — see PLAN_AUDIT.md.)"""
+    offenders = []
+    for name in sorted(registry.QUERIES):
+        plan = physical(registry.QUERIES[name](spark, sf0001))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
