@@ -916,3 +916,106 @@ oracle(
     FROM terms GROUP BY lang, ta, tb ORDER BY lang
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# T21 (extension): Zipf fit — log-log regression of rank vs frequency
+# over the top-200 corpus tokens, the corpus-linguistics sanity check
+# (natural text slopes ≈ −1; synthetic/degenerate corpora drift). The
+# candidate set is a bounded TakeOrdered (never a global rank over the
+# vocabulary); regression terms are rounded then summed through exact
+# DECIMAL (t19's discipline) so the closed form is partition-order-
+# independent.
+# ---------------------------------------------------------------------------
+_T21_TOP = 200
+
+
+@query("t21_zipf_fit")
+def t21_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions.text import tokens as toks_fn
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(toks_fn(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(_T21_TOP)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    xy = freq.withColumn("rank", F.row_number().over(w)).select(
+        F.round(F.log2("rank"), 12).cast("decimal(28,12)").alias("x"),
+        F.round(F.log2("freq"), 12).cast("decimal(28,12)").alias("y"),
+        F.round(F.log2("rank") * F.log2("freq"), 12)
+        .cast("decimal(28,12)")
+        .alias("xy"),
+        F.round(F.log2("rank") * F.log2("rank"), 12)
+        .cast("decimal(28,12)")
+        .alias("xx"),
+        F.round(F.log2("freq") * F.log2("freq"), 12)
+        .cast("decimal(28,12)")
+        .alias("yy"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("yy").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return agg.select(
+        F.col("n").alias("n_tokens_fit"),
+        F.round(cov_n / var_x, 6).alias("zipf_slope"),
+        F.round(cov_n * cov_n / (var_x * var_y), 6).alias("r2"),
+    )
+
+
+oracle(
+    "t21_zipf_fit",
+    f"""
+    WITH freq AS (
+      SELECT tok, count(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                  t -> len(t) > 0)) AS tok
+        FROM documents)
+      GROUP BY tok ORDER BY freq DESC, tok ASC LIMIT {_T21_TOP}
+    ),
+    ranked AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+      FROM freq
+    ),
+    terms AS (
+      SELECT CAST(round(log2(rank), 12) AS DECIMAL(28,12)) AS x,
+             CAST(round(log2(freq), 12) AS DECIMAL(28,12)) AS y,
+             CAST(round(log2(rank) * log2(freq), 12) AS DECIMAL(28,12)) AS xy,
+             CAST(round(log2(rank) * log2(rank), 12) AS DECIMAL(28,12)) AS xx,
+             CAST(round(log2(freq) * log2(freq), 12) AS DECIMAL(28,12)) AS yy
+      FROM ranked
+    ),
+    s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(xy) AS sxy, sum(xx) AS sxx, sum(yy) AS syy
+          FROM terms)
+    SELECT n AS n_tokens_fit,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS zipf_slope,
+           round(pow(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+                 / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS r2
+    FROM s
+    """,
+)
