@@ -1009,14 +1009,19 @@ oracle(
 @query("r28_min_cost_supplier")
 def r28_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part, supp, li = tables(spark, sf_dir, "part", "supplier", "lineitem")
-    # Unit cost at 6-dp decimal: exact, engine-invariant min/compare.
+    # Unit cost in integer micro-units: cents × 10⁴ DIV quantity. Decimal
+    # division at a fixed scale can land EXACTLY on a .5 tie (price/2^k
+    # quantities), and Spark (half-up) vs DuckDB disagree on ties — found
+    # by the sf0.1 oracle sweep. Integer floor-division has no rounding
+    # mode at all, so min/compare are engine-invariant by construction.
     cost = (
         li.select(
             "l_partkey",
             "l_suppkey",
-            (F.col("l_extendedprice").cast(DEC) / F.col("l_quantity").cast(DEC))
-            .cast("decimal(18,6)")
-            .alias("unit_cost"),
+            F.expr(
+                "(CAST(round(l_extendedprice * 100) AS BIGINT) * 10000)"
+                " DIV CAST(l_quantity AS BIGINT)"
+            ).alias("unit_cost"),
         )
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("unit_cost").alias("supply_cost"))
@@ -1033,7 +1038,7 @@ def r28_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "p_name",
             "s_name",
-            F.round(F.col("supply_cost").cast("double"), 6).alias("supply_cost"),
+            (F.col("supply_cost") / F.lit(1000000.0)).alias("supply_cost"),
         )
         .orderBy("p_partkey", "s_name")
     )
@@ -1044,13 +1049,12 @@ oracle(
     """
     WITH cost AS (
       SELECT l_partkey, l_suppkey,
-             min(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                      / CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,6)))
-               AS supply_cost
+             min((CAST(round(l_extendedprice * 100) AS BIGINT) * 10000)
+                 // CAST(l_quantity AS BIGINT)) AS supply_cost
       FROM lineitem GROUP BY l_partkey, l_suppkey
     )
     SELECT p.p_partkey, p.p_name, s.s_name,
-           round(CAST(c.supply_cost AS DOUBLE), 6) AS supply_cost
+           c.supply_cost / 1000000.0 AS supply_cost
     FROM cost c
     JOIN part p ON c.l_partkey = p.p_partkey
     JOIN supplier s ON c.l_suppkey = s.s_suppkey
