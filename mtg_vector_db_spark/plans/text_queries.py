@@ -1019,3 +1019,78 @@ oracle(
     FROM s
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition gate (Gopher §A1.1 analog; extension — the
+# reference has no per-document quality screen). Cross-document dedup is
+# the d-family; this is the intra-document arm a training pipeline runs
+# in the same quality pass as t08.
+# ---------------------------------------------------------------------------
+@query("t22_doc_repetition")
+def t22_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.repetition import (
+        doc_repetition_profile,
+    )
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    prof = doc_repetition_profile(docs)
+    return prof.select(
+        "doc_id",
+        F.round("top2_frac", R).alias("top2_frac"),
+        F.round("top3_frac", R).alias("top3_frac"),
+        F.round("dup5_frac", R).alias("dup5_frac"),
+        "keep",
+    ).orderBy("doc_id")
+
+
+oracle(
+    "t22_doc_repetition",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_L} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, 2 AS n, t[i] || ' ' || t[i+1] AS gram
+      FROM tk, unnest(range(1, len(t))) AS u(i)
+      UNION ALL
+      SELECT doc_id, 3, t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      FROM tk, unnest(range(1, len(t) - 1)) AS u(i)
+      UNION ALL
+      SELECT doc_id, 5,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                  || ' ' || t[i+4]
+      FROM tk, unnest(range(1, len(t) - 3)) AS u(i)
+    ),
+    counts AS (
+      SELECT doc_id, n, gram, len(gram) - (n - 1) AS gchars,
+             count(*) AS cnt
+      FROM grams GROUP BY 1, 2, 3, 4
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id, n ORDER BY cnt DESC, gram DESC) AS rn
+      FROM counts
+    ),
+    per_n AS (
+      SELECT doc_id, n,
+             sum(CASE WHEN cnt > 1 THEN cnt * gchars ELSE 0 END) AS dup_chars,
+             sum(cnt * gchars) AS tot_chars,
+             max(CASE WHEN rn = 1 THEN cnt * gchars END) AS top_chars
+      FROM ranked GROUP BY 1, 2
+    ),
+    prof AS (
+      SELECT doc_id,
+        coalesce(max(CASE WHEN n = 2
+          THEN CAST(top_chars AS DOUBLE) / tot_chars END), 0.0) AS top2,
+        coalesce(max(CASE WHEN n = 3
+          THEN CAST(top_chars AS DOUBLE) / tot_chars END), 0.0) AS top3,
+        coalesce(max(CASE WHEN n = 5
+          THEN CAST(dup_chars AS DOUBLE) / tot_chars END), 0.0) AS dup5
+      FROM per_n GROUP BY 1
+    )
+    SELECT d.doc_id, round(top2, {R}) AS top2_frac,
+           round(top3, {R}) AS top3_frac, round(dup5, {R}) AS dup5_frac,
+           (top2 <= 0.20 AND top3 <= 0.18 AND dup5 <= 0.30) AS keep
+    FROM prof p JOIN documents d USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)

@@ -59,3 +59,49 @@ def test_tier_selection(spark, sf001):
     fuzzy = registry.QUERIES["t04_tiered_fuzzy"](spark, sf001).collect()
     assert fuzzy and all(r["match_type"] == "fuzzy" for r in fuzzy)
     assert fuzzy[0]["p_name"] == "blue bolt"
+
+
+def test_repetition_gate_fires_on_planted_loop(spark):
+    """A pathological looping doc is dropped; diverse text is kept, and
+    short docs (no 5-grams) don't crash the profile."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.operators.repetition import (
+        doc_repetition_profile,
+    )
+
+    looped = "buy now " * 50
+    diverse = (
+        "the quick brown fox jumps over a lazy dog while seventeen "
+        "violet zeppelins drift quietly beyond the old harbor wall"
+    )
+    docs = spark.createDataFrame(
+        [(1, looped), (2, diverse), (3, "too short")],
+        ["doc_id", "text"],
+    )
+    prof = {
+        r["doc_id"]: r for r in doc_repetition_profile(docs).collect()
+    }
+    assert not prof[1]["keep"]
+    assert prof[1]["top2_frac"] > 0.4 and prof[1]["dup5_frac"] > 0.9
+    assert prof[2]["keep"] and prof[2]["dup5_frac"] == 0.0
+    # 2 tokens: bigram metrics defined, 3/5-gram metrics default to 0.
+    assert prof[3]["top3_frac"] == 0.0 and prof[3]["dup5_frac"] == 0.0
+
+
+def test_repetition_profile_plan_shape(spark):
+    """One gram-grain shuffle + one doc-grain reduce; no joins, no
+    windows, map-side partial aggregation present."""
+    from mtg_vector_db_spark.operators.repetition import (
+        doc_repetition_profile,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        doc_repetition_profile(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") <= 3  # gram agg, (doc,n) agg, doc agg
