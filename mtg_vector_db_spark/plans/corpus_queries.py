@@ -750,3 +750,72 @@ oracle(
     FROM f GROUP BY fold ORDER BY fold
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# C15: DSIR importance-weighted selection (extension; operators/
+# importance.py). Target distribution = English documents; the query
+# returns the 50 non-English docs whose hashed-unigram profile is most
+# target-like — the "select raw data that looks like the target domain"
+# stage of a training-data pipeline.
+# ---------------------------------------------------------------------------
+@query("c15_dsir_select")
+def c15_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.importance import dsir_scores
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    scores = dsir_scores(docs, F.col("lang") == "en")
+    return (
+        scores.join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("lang") != "en")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+_C15_BUCKET = (
+    "CAST(list_sum(list_transform(range(1, 9), i -> "
+    "(strpos('0123456789abcdef', substring(md5(tok), i, 1)) - 1)"
+    " * power(16, 8 - i))) AS BIGINT) % 64"
+)
+oracle(
+    "c15_dsir_select",
+    f"""
+    WITH tb AS (
+      SELECT doc_id, lang = 'en' AS is_t, {_C15_BUCKET} AS bucket
+      FROM (SELECT doc_id, lang,
+                   unnest(list_filter(
+                     string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> len(t) > 0)) AS tok
+            FROM documents)
+    ),
+    counts AS (
+      SELECT bucket, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_cnt,
+             count(*) AS r_cnt
+      FROM tb GROUP BY 1
+    ),
+    tot AS (SELECT sum(t_cnt) AS t_tot, sum(r_cnt) AS r_tot FROM counts),
+    w AS (
+      SELECT bucket,
+             CAST(round(ln(((t_cnt + 1.0) / (t_tot + 64.0))
+                           / ((r_cnt + 1.0) / (r_tot + 64.0))), 12)
+                  AS DECIMAL(28,12)) AS w
+      FROM counts, tot
+    ),
+    sc AS (
+      SELECT doc_id, count(*) AS n_tokens, sum(w) AS sw
+      FROM tb JOIN w USING (bucket) GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang, n_tokens,
+           round(CAST(sw AS DOUBLE) / n_tokens, 6) AS score
+    FROM sc JOIN documents d USING (doc_id)
+    WHERE d.lang <> 'en'
+    ORDER BY score DESC, d.doc_id ASC LIMIT 50
+    """,
+)

@@ -153,3 +153,41 @@ def test_pack_sequences_matches_python_model_random(spark):
         assert r["n_sequences"] == n_seqs
         assert r["n_split_docs"] == n_split
         assert r["fill_rate"] == round(total / (n_seqs * 32), 6)
+
+
+def test_dsir_scores_prefer_target_like_vocab(spark):
+    """A raw-pool doc written in the target vocabulary must outscore a
+    raw-pool doc written in a disjoint vocabulary."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.operators.importance import dsir_scores
+
+    target_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, target_text, True) for i in range(10)]
+    rows.append((100, "alpha beta gamma delta epsilon", False))
+    rows.append((101, "omega psi chi phi upsilon", False))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+    sc = {
+        r["doc_id"]: r["score"]
+        for r in dsir_scores(docs, F.col("is_t")).collect()
+    }
+    assert sc[100] > sc[101]
+    # Disjoint-vocab doc scores strictly below zero (anti-target).
+    assert sc[101] < 0.0
+
+
+def test_dsir_select_plan_shape(spark, sf001):
+    """Weight/total/doc-lang joins broadcast (no shuffled join); final
+    top-k plans as TakeOrderedAndProject, not a global sort."""
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    plan = (
+        registry.QUERIES["c15_dsir_select"](spark, sf001)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
