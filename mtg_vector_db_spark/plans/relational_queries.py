@@ -3465,3 +3465,50 @@ oracle(
     GROUP BY dev.n_name ORDER BY dev.n_name
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# R72: wide→long reshape (UNPIVOT/melt — the inverse of r53's pivot).
+# A reporting layer flips per-nation metric columns into (metric, value)
+# rows for generic downstream charting; Spark's native ``unpivot`` keeps
+# it a zero-shuffle projection over the aggregated input.
+# ---------------------------------------------------------------------------
+@query("r72_unpivot_metrics")
+def r72_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, nation = tables(spark, sf_dir, "customer", "nation")
+    wide = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
+        )
+    )
+    return wide.unpivot(
+        ["n_name"],
+        ["n_customers", "total_balance", "avg_balance"],
+        "metric",
+        "value",
+    ).orderBy("n_name", "metric")
+
+
+oracle(
+    "r72_unpivot_metrics",
+    """
+    WITH wide AS (
+      SELECT n_name,
+             CAST(count(*) AS DOUBLE) AS n_customers,
+             round(sum(c_acctbal), 2) AS total_balance,
+             round(avg(c_acctbal), 2) AS avg_balance
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, metric, value
+    FROM wide
+    UNPIVOT (value FOR metric IN (n_customers, total_balance, avg_balance))
+    ORDER BY n_name, metric
+    """,
+)

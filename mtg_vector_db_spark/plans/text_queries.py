@@ -1094,3 +1094,55 @@ oracle(
     ORDER BY d.doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# T23: one BPE-training iteration — frequency-weighted adjacent symbol-
+# pair counts over word types (Sennrich et al. 2016). The top row is the
+# pair a tokenizer trainer would merge first. Two map-side-combinable
+# shuffles (word types, then pairs); the word-type table is the classic
+# BPE optimization that keeps pair counting off the raw token stream.
+# t11 tokenizes with a fixed BPE-ish regex; this is the *training* side.
+# ---------------------------------------------------------------------------
+@query("t23_bpe_merge_pairs")
+def t23_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    char_pairs = F.when(
+        F.length("tok") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("tok") - 1),
+            lambda i: F.substr(F.col("tok"), i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        words.select("freq", F.explode(char_pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+oracle(
+    "t23_bpe_merge_pairs",
+    f"""
+    WITH words AS (
+      SELECT tok, count(*) AS freq
+      FROM (SELECT unnest({_TOKS_L}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    pairs AS (
+      SELECT substring(tok, i, 2) AS pair, freq
+      FROM words, unnest(range(1, len(tok))) AS u(i)
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20
+    """,
+)

@@ -510,3 +510,57 @@ oracle(
     WHERE a.cohort = 'a' AND b.cohort = 'b'
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# V11: Matryoshka (MRL) prefix-dimension search — coarse top-50 by cosine
+# over the first 16 dims, exact full-dimension rescore to top-10
+# (Kusupati et al. 2022). At scale the 16-d prefix lives as its own
+# column (or its own index), so the coarse scan reads a quarter of the
+# vector bytes and the full vectors are fetched for 50 rows only; both
+# stages plan TakeOrderedAndProject, never a global sort.
+# ---------------------------------------------------------------------------
+@query("v11_mrl_prefix_search")
+def v11_mrl_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.vector import cosine_similarity
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir)
+    prefix_sim = F.round(
+        cosine_similarity(F.slice(F.col("embedding"), 1, 16), qv[:16]), R
+    )
+    cand = (
+        emb.select("vec_id", "embedding", prefix_sim.alias("psim"))
+        .orderBy(F.desc("psim"), F.asc("vec_id"))
+        .limit(50)
+    )
+    full_sim = F.round(cosine_similarity(F.col("embedding"), qv), R)
+    return (
+        cand.select(
+            F.col("vec_id").alias("doc_id"), "psim", full_sim.alias("sim")
+        )
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_Q16_SUB = (
+    "(SELECT CAST(embedding[1:16] AS DOUBLE[]) FROM embeddings"
+    " WHERE vec_id = 0)"
+)
+oracle(
+    "v11_mrl_prefix_search",
+    f"""
+    WITH cand AS (
+      SELECT vec_id, embedding,
+             round(list_cosine_similarity(
+               CAST(embedding[1:16] AS DOUBLE[]), {_Q16_SUB}), {R}) AS psim
+      FROM embeddings
+      ORDER BY psim DESC, vec_id ASC LIMIT 50
+    )
+    SELECT vec_id AS doc_id, psim,
+           round(list_cosine_similarity(
+             CAST(embedding AS DOUBLE[]), {_Q_SUB}), {R}) AS sim
+    FROM cand ORDER BY sim DESC, doc_id ASC LIMIT 10
+    """,
+)

@@ -41,3 +41,41 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert set(df.columns) == {"doc_id", "text", "sim"}
+
+
+def test_mrl_prefix_search_recall_floor(spark, sf001):
+    """Prefix-16 coarse + full rescore keeps a sane overlap with exact
+    KNN even on this unclustered synthetic corpus (real MRL-trained
+    embeddings front-load information into the prefix; random vectors
+    are the adversarial case — see RECALL.md)."""
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    mrl = {
+        r["doc_id"]
+        for r in registry.QUERIES["v11_mrl_prefix_search"](
+            spark, sf001
+        ).collect()
+    }
+    exact = {
+        r["doc_id"]
+        for r in registry.QUERIES["v01_knn_topk"](spark, sf001).collect()
+    }
+    assert len(mrl & exact) / 10 >= 0.3
+    assert 0 in mrl  # the query vector itself is always its own top hit
+
+
+def test_mrl_prefix_search_plan_shape(spark, sf001):
+    """Both stages are top-k (TakeOrderedAndProject), no joins, no
+    global sort of the corpus."""
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    plan = (
+        registry.QUERIES["v11_mrl_prefix_search"](spark, sf001)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "Join" not in plan and "CartesianProduct" not in plan
