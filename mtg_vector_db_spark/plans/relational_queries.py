@@ -3512,3 +3512,87 @@ oracle(
     ORDER BY n_name, metric
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# R73: market-basket affinity — support / confidence / lift for part
+# pairs co-purchased in one order. The pair generator is a self-join on
+# l_orderkey, whose blow-up is bounded by lines-per-order² (≤ 7² in
+# TPC-H) — a per-key constant, so the join scales linearly in orders;
+# the per-part counts join is a plain shuffled equi-join on partkey.
+# ---------------------------------------------------------------------------
+@query("r73_part_affinity")
+def r73_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    part_cnt = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 2)
+    )
+    ca = part_cnt.select(
+        F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")
+    )
+    cb = part_cnt.select(
+        F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")
+    )
+    no = F.col("n_orders").cast("double")
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_cnt",
+            F.round(F.col("pair_cnt") / no, 6).alias("support"),
+            F.round(F.col("pair_cnt") / F.col("cnt_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("pair_cnt") * no / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+oracle(
+    "r73_part_affinity",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+    pc AS (SELECT l_partkey, count(*) AS cnt FROM li GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS pair_cnt
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, pair_cnt,
+           round(pair_cnt * 1.0 / n_orders, 6) AS support,
+           round(pair_cnt * 1.0 / ca.cnt, 6) AS confidence,
+           round(pair_cnt * CAST(n_orders AS DOUBLE) / (ca.cnt * cb.cnt), 6)
+             AS lift
+    FROM pairs
+    JOIN pc ca ON pairs.part_a = ca.l_partkey
+    JOIN pc cb ON pairs.part_b = cb.l_partkey
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a ASC, part_b ASC LIMIT 20
+    """,
+)

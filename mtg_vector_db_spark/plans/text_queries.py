@@ -1146,3 +1146,84 @@ oracle(
     FROM pairs GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# T24: train + apply a hashed-bag-of-words Naive Bayes language
+# classifier wholly in-engine (operators/nbayes.py) — the fastText-style
+# cheap-classifier filter stage of a training-data pipeline, with exact
+# DECIMAL log-prob scores so even the argmax is engine-portable. Train
+# on doc_id % 5 != 0, evaluate on the held-out fifth; output is the
+# confusion matrix against the labeled lang column (t09's marker-based
+# lang-id is the untrained counterpart).
+# ---------------------------------------------------------------------------
+@query("t24_nb_langid")
+def t24_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.nbayes import nb_train_apply
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    pred = nb_train_apply(docs, F.col("doc_id") % 5 != 0)
+    return (
+        pred.groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+_T24_BUCKET = (
+    "CAST(list_sum(list_transform(range(1, 9), i -> "
+    "(strpos('0123456789abcdef', substring(md5(tok), i, 1)) - 1)"
+    " * power(16, 8 - i))) AS BIGINT) % 64"
+)
+oracle(
+    "t24_nb_langid",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, (doc_id % 5 <> 0) AS is_tr, {_TOKS_L} AS toks
+      FROM documents
+    ),
+    tok_tr AS (
+      SELECT lang AS cls, {_T24_BUCKET} AS bucket
+      FROM (SELECT lang, unnest(toks) AS tok FROM base WHERE is_tr)
+    ),
+    class_docs AS (
+      SELECT lang AS cls, count(*) AS docs_c FROM base WHERE is_tr GROUP BY 1
+    ),
+    tot AS (SELECT sum(docs_c) AS docs_tot, count(*) AS n_classes
+            FROM class_docs),
+    priors AS (
+      SELECT cls, CAST(round(ln((docs_c + 1.0) / (docs_tot + n_classes)), 12)
+                       AS DECIMAL(28,12)) AS prior
+      FROM class_docs, tot
+    ),
+    cell AS (SELECT cls, bucket, count(*) AS cb_cnt FROM tok_tr GROUP BY 1, 2),
+    ccnt AS (SELECT cls, count(*) AS c_cnt FROM tok_tr GROUP BY 1),
+    grid AS (SELECT cls, c_cnt, i AS bucket
+             FROM ccnt, unnest(range(0, 64)) AS u(i)),
+    lik AS (
+      SELECT g.cls, g.bucket,
+             CAST(round(ln((coalesce(cb_cnt, 0) + 1.0) / (c_cnt + 64.0)), 12)
+                  AS DECIMAL(28,12)) AS loglik
+      FROM grid g LEFT JOIN cell ON g.cls = cell.cls AND g.bucket = cell.bucket
+    ),
+    tok_te AS (
+      SELECT doc_id, {_T24_BUCKET} AS bucket
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM base WHERE NOT is_tr)
+    ),
+    doc_cls AS (
+      SELECT t.doc_id, l.cls, sum(l.loglik) AS s
+      FROM tok_te t JOIN lik l USING (bucket) GROUP BY 1, 2
+    ),
+    scored AS (SELECT doc_id, d.cls, s + prior AS score
+               FROM doc_cls d JOIN priors USING (cls)),
+    pred AS (
+      SELECT doc_id, cls AS predicted FROM (
+        SELECT doc_id, cls, row_number() OVER (
+                 PARTITION BY doc_id ORDER BY score DESC, cls DESC) AS rn
+        FROM scored) WHERE rn = 1
+    )
+    SELECT b.lang, p.predicted, count(*) AS n
+    FROM pred p JOIN base b USING (doc_id)
+    GROUP BY 1, 2 ORDER BY lang, predicted
+    """,
+)

@@ -105,3 +105,39 @@ def test_repetition_profile_plan_shape(spark):
     )
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("Exchange") <= 3  # gram agg, (doc,n) agg, doc agg
+
+
+def test_nb_classifier_learns_disjoint_vocab(spark):
+    """With class-disjoint vocabularies the in-engine Naive Bayes must
+    classify every held-out doc correctly (the driver corpus shares one
+    vocab across langs, so t24's confusion there is majority-ish — this
+    pins that the operator itself learns when signal exists)."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.operators.nbayes import nb_train_apply
+
+    rows = []
+    for i in range(40):
+        rows.append((i * 2, "aa", "alpha beta gamma delta " * 3))
+        rows.append((i * 2 + 1, "bb", "omega psi chi phi " * 3))
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    pred = nb_train_apply(docs, F.col("doc_id") >= 10).collect()
+    held = [r for r in pred]
+    assert len(held) == 10  # doc_id 0..9 held out
+    assert all(r["predicted"] == r["lang"] for r in held)
+
+
+def test_nb_langid_plan_shape(spark, sf001):
+    """Model tables broadcast into the scoring pass; no shuffled join on
+    the token stream beyond the (doc, class) reduce."""
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    plan = (
+        registry.QUERIES["t24_nb_langid"](spark, sf001)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
