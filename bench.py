@@ -66,6 +66,11 @@ HEADLINE = [
     "c10_bloom_decontaminate",  # broadcast Bloom bitset decontamination
     "p24_decontaminated_corpus_build",  # full decontaminated-build lineage
     "p27_ivf_recall_report",    # machine-verified ANN recall row
+    "t22_doc_repetition",       # within-doc repetition gate (gram shuffle)
+    "c15_dsir_select",          # DSIR importance-weighted selection
+    "t24_nb_langid",            # in-engine NB classifier train+apply
+    "r73_part_affinity",        # market-basket lift over order self-join
+    "v11_mrl_prefix_search",    # matryoshka two-stage prefix search
 ]
 
 
