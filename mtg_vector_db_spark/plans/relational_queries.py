@@ -3596,3 +3596,42 @@ oracle(
     ORDER BY lift DESC, part_a ASC, part_b ASC LIMIT 20
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# R74: correlated LATERAL subquery — top-2 orders for each of the top-5
+# customers by balance, written as SQL LATERAL (the remaining ANSI join
+# surface after r07's window formulation of the same idea). Catalyst
+# decorrelates it into a broadcast join over the 5-row driver side +
+# per-key limit — no nested-loop re-execution per outer row.
+# ---------------------------------------------------------------------------
+@query("r74_lateral_topn")
+def r74_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = tables(spark, sf_dir, "customer", "orders")
+    customer.createOrReplaceTempView("r74_customer")
+    orders.createOrReplaceTempView("r74_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+        FROM (SELECT c_custkey, c_name FROM r74_customer
+              ORDER BY c_acctbal DESC, c_custkey LIMIT 5) c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM r74_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+        """
+    )
+
+
+oracle(
+    "r74_lateral_topn",
+    """
+    SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+    FROM (SELECT c_custkey, c_name FROM customer
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 5) c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+    """,
+)
