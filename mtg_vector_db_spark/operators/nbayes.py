@@ -137,3 +137,45 @@ def nb_train_apply(
     return pred.join(
         test.select(id_col, label_col), id_col
     ).select(id_col, label_col, F.col("best.cls").alias("predicted"))
+
+
+def nb_counts(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """The classifier's sufficient statistics as one additive table:
+    ``(kind, cls, key, cnt)`` where kind='doc' rows carry per-class
+    document counts (key = -1) and kind='tok' rows carry (class, hash
+    bucket) token counts. The whole model (priors + likelihoods; the
+    per-class token total is the bucket-row sum) is a pure function of
+    this table, and the table is ADDITIVE: counts over a union of
+    corpora equal the merged counts of each part (``nb_merge``) — so
+    incremental retraining on appended data is a count merge, never a
+    re-scan of the historical corpus.
+    """
+    base = docs.select(
+        F.col(label_col).alias("cls"),
+        tokens(F.lower(F.col(text_col))).alias("toks"),
+    )
+    doc_rows = base.groupBy("cls").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).select(F.lit("doc").alias("kind"), "cls", F.lit(-1).cast("long").alias("key"), "cnt")
+    tok_rows = (
+        base.select("cls", F.explode("toks").alias("tok"))
+        .withColumn("key", token_bucket(F.col("tok"), n_buckets))
+        .groupBy("cls", "key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("tok").alias("kind"), "cls", "key", "cnt")
+    )
+    return doc_rows.unionByName(tok_rows)
+
+
+def nb_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two ``nb_counts`` tables (counts are additive)."""
+    return (
+        a.unionByName(b)
+        .groupBy("kind", "cls", "key")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

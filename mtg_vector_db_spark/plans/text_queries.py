@@ -1227,3 +1227,67 @@ oracle(
     GROUP BY 1, 2 ORDER BY lang, predicted
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# T25: per-source distinguishing terms by TF-IDF — t13 ranks the global
+# vocabulary; this ranks what makes each source distinct (the corpus-
+# triage view a data curator reads before weighting sources). Token
+# shuffle with map-side combine, document-frequency table joined back on
+# the token key, top-5 per source via a source-partitioned window (rank
+# on the ROUNDED score so the ordering is engine-portable).
+# ---------------------------------------------------------------------------
+@query("t25_tfidf_terms")
+def t25_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", "source",
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("token"),
+    )
+    df_tbl = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    tf_tbl = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    scored = tf_tbl.join(df_tbl, "token").select(
+        "source", "token", "tf", "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), R
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "token", "tf", "df", "tfidf")
+        .orderBy("source", F.desc("tfidf"), "token")
+    )
+
+
+oracle(
+    "t25_tfidf_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_TOKS_L}) AS token FROM documents
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    tfq AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    scored AS (
+      SELECT source, tfq.token, tf, df,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), {R}) AS tfidf
+      FROM tfq JOIN dfq ON tfq.token = dfq.token CROSS JOIN n
+    )
+    SELECT source, token, tf, df, tfidf FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY source ORDER BY tfidf DESC, token ASC) AS rn
+      FROM scored) WHERE rn <= 5
+    ORDER BY source, tfidf DESC, token
+    """,
+)

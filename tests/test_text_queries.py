@@ -141,3 +141,19 @@ def test_nb_langid_plan_shape(spark, sf001):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_nb_counts_merge_equals_recount(spark):
+    """Incremental training invariant: merging the sufficient-statistic
+    tables of two corpus halves equals counting the union — so the NB
+    model absorbs appended data without re-scanning history."""
+    from mtg_vector_db_spark.operators.nbayes import nb_counts, nb_merge
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lo = docs.filter("doc_id < 250")
+    hi = docs.filter("doc_id >= 250")
+    merged = sorted(
+        tuple(r) for r in nb_merge(nb_counts(lo), nb_counts(hi)).collect()
+    )
+    full = sorted(tuple(r) for r in nb_counts(docs).collect())
+    assert merged == full and len(full) > 5
