@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from mtg_vector_db_spark.functions.text import tokens
+from mtg_vector_db_spark.session import widen
 
 #: Gopher-ish gate thresholds (A1.1 uses 0.20 / 0.18 / 0.30 for the
 #: closest corresponding rules).
@@ -79,7 +80,9 @@ def doc_repetition_profile(
     tagged = F.concat(
         *[F.transform(_ngrams(tk, n), _tag(n)) for n in _NGRAM_NS]
     )
-    grams = docs.select(
+    # The gram build is CPU-bound per row; widen() fans a single-split
+    # small scan across the cluster (no-op once the scan itself splits).
+    grams = widen(docs.select(id_col, text_col)).select(
         F.col(id_col), F.explode(tagged).alias("g")
     ).select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
 
