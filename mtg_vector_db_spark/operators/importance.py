@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from mtg_vector_db_spark.functions.text import tokens
+from mtg_vector_db_spark.session import widen
 
 N_BUCKETS = 64
 
@@ -55,9 +56,11 @@ def dsir_scores(
     occurrences of ``ln(p_target(bucket) / p_raw(bucket))`` under
     add-one smoothing.
     """
-    tb = docs.select(
+    # widen(): the md5 bucket hash is CPU-bound per token; fan a
+    # single-split small scan across the cluster (no-op at real scale).
+    tb = widen(docs.select(id_col, text_col, is_target.alias("is_t"))).select(
         F.col(id_col),
-        is_target.alias("is_t"),
+        F.col("is_t"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     ).withColumn("bucket", token_bucket(F.col("tok"), n_buckets))
 

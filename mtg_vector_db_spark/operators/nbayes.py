@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from mtg_vector_db_spark.functions.text import tokens
 from mtg_vector_db_spark.operators.importance import token_bucket
+from mtg_vector_db_spark.session import widen
 
 N_BUCKETS = 64
 
@@ -49,7 +50,9 @@ def nb_train_apply(
     toward the lexicographically greatest class (exact DECIMAL scores,
     same rule both engines).
     """
-    base = docs.select(
+    # widen(): tokenization + md5 bucketing are CPU-bound per row; fan a
+    # single-split small scan across the cluster (no-op at real scale).
+    base = widen(docs.select(id_col, label_col, text_col)).select(
         F.col(id_col),
         F.col(label_col),
         is_train.alias("is_tr"),
@@ -155,7 +158,7 @@ def nb_counts(
     incremental retraining on appended data is a count merge, never a
     re-scan of the historical corpus.
     """
-    base = docs.select(
+    base = widen(docs.select(label_col, text_col)).select(
         F.col(label_col).alias("cls"),
         tokens(F.lower(F.col(text_col))).alias("toks"),
     )
