@@ -819,3 +819,69 @@ oracle(
     ORDER BY score DESC, d.doc_id ASC LIMIT 50
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# C16: epoch-mix plan — the "how many epochs of each source" table a
+# curator signs off before training (the up-sampling complement of c09's
+# temperature down-sampling and c06's budget truncation). Budget = 2×
+# corpus tokens, shares ∝ √tokens, repeats capped at 4 epochs (the
+# standard repeated-data guidance). Everything is engine-exact
+# arithmetic (sqrt/mul/div are correctly-rounded IEEE in both engines);
+# the only non-grouped value is a 1-row total fold.
+# ---------------------------------------------------------------------------
+@query("c16_epoch_mix")
+def c16_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.textstats import token_count
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("tokens"),
+    )
+    tot = per_src.agg(
+        F.sum(F.sqrt(F.col("tokens"))).alias("denom"),
+        F.sum("tokens").alias("total_tokens"),
+    )
+    share = F.sqrt(F.col("tokens")) / F.col("denom")
+    epochs = F.least(
+        F.lit(2.0) * F.col("total_tokens") * share / F.col("tokens"),
+        F.lit(4.0),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.round(share, 6).alias("share"),
+            F.round(epochs, 6).alias("epochs"),
+            F.round(epochs * F.col("tokens")).cast("long").alias(
+                "effective_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+oracle(
+    "c16_epoch_mix",
+    f"""
+    WITH per_src AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len({_TOKS})) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(sqrt(tokens)) AS denom, sum(tokens) AS total_tokens
+            FROM per_src)
+    SELECT source, n_docs, tokens,
+           round(sqrt(tokens) / denom, 6) AS share,
+           round(least(2.0 * total_tokens * (sqrt(tokens) / denom) / tokens,
+                       4.0), 6) AS epochs,
+           CAST(round(least(2.0 * total_tokens * (sqrt(tokens) / denom)
+                            / tokens, 4.0) * tokens) AS BIGINT)
+             AS effective_tokens
+    FROM per_src CROSS JOIN tot
+    ORDER BY source
+    """,
+)
