@@ -564,3 +564,122 @@ oracle(
     FROM cand ORDER BY sim DESC, doc_id ASC LIMIT 10
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# V12: label-separability report — per-label centroid scatter: mean
+# distance of vectors to their own centroid (intra), distance of the
+# label centroid to the global centroid (inter), and their ratio — the
+# embedding-quality datasheet row a curator reads before trusting labels
+# for blocking/negative mining. Computed entirely in long (vec, pos)
+# form — centroids are never materialized as arrays — with the exact-
+# DECIMAL sum discipline so every mean is partition-order-independent
+# and engine-portable. Shuffles: (label, pos) centroid agg, per-vec
+# reduce, label reduce — all map-side combinable; centroid tables are
+# label-count × dim rows, broadcast into the distance pass.
+# ---------------------------------------------------------------------------
+@query("v12_label_separability")
+def v12_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.col("val").cast("double").alias("val"),
+        F.round(F.col("val").cast("double"), 12)
+        .cast("decimal(28,12)")
+        .alias("v"),
+    )
+    cent = long.groupBy("label", "pos").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("c"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+    glob = long.groupBy("pos").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("g")
+    )
+    # Per-vector distance to own centroid → per-label intra mean.
+    sq = F.round(
+        (F.col("val") - F.col("c")) * (F.col("val") - F.col("c")), 12
+    ).cast("decimal(28,12)")
+    per_vec = (
+        long.join(F.broadcast(cent.select("label", "pos", "c")), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum(sq).cast("double")).alias("dist"))
+    )
+    intra = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.sum(F.round(F.col("dist"), 12).cast("decimal(28,12)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("intra"),
+    )
+    # Label centroid → global centroid distance.
+    gsq = F.round(
+        (F.col("c") - F.col("g")) * (F.col("c") - F.col("g")), 12
+    ).cast("decimal(28,12)")
+    inter = (
+        cent.join(F.broadcast(glob), "pos")
+        .groupBy("label")
+        .agg(F.sqrt(F.sum(gsq).cast("double")).alias("cdist"))
+    )
+    return (
+        intra.join(inter, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round("intra", R).alias("intra_mean"),
+            F.round("cdist", R).alias("centroid_dist"),
+            F.round(F.col("cdist") / F.col("intra"), R).alias("separability"),
+        )
+        .orderBy("label")
+    )
+
+
+oracle(
+    "v12_label_separability",
+    f"""
+    WITH long AS (
+      SELECT vec_id, label, i AS pos,
+             CAST(embedding[i] AS DOUBLE) AS val,
+             CAST(round(CAST(embedding[i] AS DOUBLE), 12)
+                  AS DECIMAL(28,12)) AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    cent AS (
+      SELECT label, pos, CAST(sum(v) AS DOUBLE) / count(*) AS c
+      FROM long GROUP BY 1, 2
+    ),
+    gcent AS (
+      SELECT pos, CAST(sum(v) AS DOUBLE) / count(*) AS g
+      FROM long GROUP BY 1
+    ),
+    per_vec AS (
+      SELECT vec_id, long.label,
+             sqrt(CAST(sum(CAST(round((val - c) * (val - c), 12)
+                                AS DECIMAL(28,12))) AS DOUBLE)) AS dist
+      FROM long JOIN cent ON long.label = cent.label AND long.pos = cent.pos
+      GROUP BY 1, 2
+    ),
+    intra AS (
+      SELECT label, count(*) AS n_vecs,
+             CAST(sum(CAST(round(dist, 12) AS DECIMAL(28,12))) AS DOUBLE)
+               / count(*) AS intra
+      FROM per_vec GROUP BY 1
+    ),
+    inter AS (
+      SELECT label,
+             sqrt(CAST(sum(CAST(round((c - g) * (c - g), 12)
+                                AS DECIMAL(28,12))) AS DOUBLE)) AS cdist
+      FROM cent JOIN gcent USING (pos) GROUP BY 1
+    )
+    SELECT label, n_vecs, round(intra, {R}) AS intra_mean,
+           round(cdist, {R}) AS centroid_dist,
+           round(cdist / intra, {R}) AS separability
+    FROM intra JOIN inter USING (label)
+    ORDER BY label
+    """,
+)
