@@ -637,3 +637,44 @@ def streaming_bloom_maintenance(
         stream.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def streaming_quality_gate(
+    spark: SparkSession,
+    source_dir: str,
+    out_path: str,
+    checkpoint: str,
+    schema: str = "doc_id long, text string",
+) -> "DataStreamWriter":
+    """Quality-gate documents as they arrive: apply the within-document
+    repetition screen (operators/repetition.py) per micro-batch and
+    append the survivors.
+
+    The gate's grain is ONE document — every n-gram of a doc lives in
+    its row — so the batch operator is correct on any micro-batch slice
+    with no cross-batch state, no watermark, no dedup store. foreachBatch
+    (not a streaming agg) because the profile internally aggregates at
+    (doc, gram) grain, which append-mode streaming would reject; inside
+    the batch hook it is just the batch plan, so batch and stream share
+    one implementation and one test oracle.
+    """
+    from mtg_vector_db_spark.operators.repetition import (
+        doc_repetition_profile,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        kept = (
+            batch_df.join(
+                doc_repetition_profile(batch_df).filter(F.col("keep")),
+                "doc_id",
+                "left_semi",
+            )
+        )
+        kept.write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint)
+    )

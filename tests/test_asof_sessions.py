@@ -585,3 +585,48 @@ def test_streaming_bloom_maintenance_accumulates(spark, tmp_path):
     probed = probe_bloom(both, stored).collect()
     assert len(probed) == 2
     assert all(r["n_hits"] == r["n_shingles"] for r in probed)
+
+
+def test_streaming_quality_gate_matches_batch(spark, tmp_path):
+    """The repetition gate streams via foreachBatch with zero cross-batch
+    state (per-document grain): streamed survivors == batch survivors,
+    regardless of how the source splits into micro-batches."""
+    from mtg_vector_db_spark.operators.repetition import (
+        doc_repetition_profile,
+    )
+    from mtg_vector_db_spark.streaming.pipelines import (
+        streaming_quality_gate,
+    )
+
+    rows = [(1, "buy now " * 40), (2, "a healthy varied document "
+            "with many different words and no loops at all"),
+            (3, "spam spam spam spam spam spam spam spam spam spam")]
+    rows += [(10 + i, f"doc number {i} mixes fresh tokens like "
+             f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "docs_src")
+    # Two files → at least the source COULD split; availableNow drains all.
+    df.repartition(2).write.parquet(src)
+
+    out = str(tmp_path / "kept")
+    q = (
+        streaming_quality_gate(
+            spark, src, out, str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    )
+    batch = sorted(
+        r["doc_id"]
+        for r in df.join(
+            doc_repetition_profile(df).filter("keep"), "doc_id", "left_semi"
+        ).collect()
+    )
+    assert streamed == batch
+    assert 1 not in streamed and 3 not in streamed  # looped docs dropped
+    assert 2 in streamed
