@@ -408,3 +408,96 @@ def test_bloom_positions_match_hashlib_model(spark):
     }
     for s in shingles:
         assert got[s] == py_positions(s), s
+
+
+def test_repetition_profile_matches_python_model_on_random_corpus(spark):
+    """t22's metrics vs an independent Python model on a randomized
+    small-vocab corpus (small vocab forces real n-gram collisions)."""
+    import collections
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "ccc", "dd", "e"]
+    docs = []
+    for i in range(40):
+        n = rng.randint(0, 12)
+        words = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.3 and n >= 2:  # plant loops
+            words = words[:2] * rng.randint(2, 5)
+        docs.append((i, " ".join(words)))
+
+    def model(words, n):
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+        if not grams:
+            return None
+        c = collections.Counter(grams)
+        chars = lambda g: len(g) - (n - 1)
+        tot = sum(cnt * chars(g) for g, cnt in c.items())
+        top_g, top_c = max(c.items(), key=lambda kv: (kv[1], kv[0]))
+        dup = sum(cnt * chars(g) for g, cnt in c.items() if cnt > 1)
+        return top_c * chars(top_g) / tot, dup / tot
+
+    from mtg_vector_db_spark.operators.repetition import (
+        doc_repetition_profile,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in doc_repetition_profile(df).collect()}
+    checked = 0
+    for i, text in docs:
+        words = text.split()
+        m2, m3, m5 = model(words, 2), model(words, 3), model(words, 5)
+        if m2 is None:
+            assert i not in got  # <2 tokens: no profile row
+            continue
+        checked += 1
+        assert abs(got[i]["top2_frac"] - m2[0]) < 1e-9, i
+        exp3 = m3[0] if m3 else 0.0
+        exp5 = m5[1] if m5 else 0.0
+        assert abs(got[i]["top3_frac"] - exp3) < 1e-9, i
+        assert abs(got[i]["dup5_frac"] - exp5) < 1e-9, i
+    assert checked >= 20
+
+
+def test_bpe_pair_counts_match_python_model(spark):
+    """t23's frequency-weighted pair counts vs collections.Counter."""
+    import collections
+
+    rng = random.Random(11)
+    vocab = ["spark", "scan", "agg", "a", "ww"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9))))
+        for i in range(60)
+    ]
+    wordfreq = collections.Counter(
+        w for _, t in rows for w in t.lower().split() if w
+    )
+    expected = collections.Counter()
+    for w, f in wordfreq.items():
+        for i in range(len(w) - 1):
+            expected[w[i : i + 2]] += f
+
+    from pyspark.sql import functions as F
+
+    from mtg_vector_db_spark.functions.text import tokens
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    words = (
+        df.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = F.when(
+        F.length("tok") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("tok") - 1),
+            lambda i: F.substr(F.col("tok"), i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    got = {
+        r["pair"]: r["cnt"]
+        for r in words.select("freq", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .collect()
+    }
+    assert got == dict(expected) and len(got) >= 5
