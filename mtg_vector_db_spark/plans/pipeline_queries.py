@@ -2237,3 +2237,100 @@ def _p30_oracle() -> str:
 
 
 oracle("p30_dataset_report", _p30_oracle())
+
+
+# ---------------------------------------------------------------------------
+# P31: curation-funnel datasheet — cumulative survivor counts through the
+# standard cleaning cascade (raw → language filter → quality score →
+# within-doc repetition gate → exact dedup), one row, with end-to-end
+# yield. Composes t08's quality formula, t22's repetition gate
+# (operators/repetition.py), and d01's content-hash dedup; the oracle
+# replays the whole cascade (the repetition CTEs are shared with t22's
+# oracle verbatim). Every stage is a map-side flag; the only wide ops
+# are the repetition profile's gram shuffle and one count-distinct.
+# ---------------------------------------------------------------------------
+@query("p31_curation_funnel")
+def p31_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions import textstats as TSS
+    from mtg_vector_db_spark.operators.repetition import (
+        doc_repetition_profile,
+    )
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    prof = doc_repetition_profile(docs).select("doc_id", "keep")
+    flags = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.md5("text").alias("h"),
+            TSS.quality_score(F.col("text")).alias("q"),
+        )
+        .join(prof, "doc_id", "left")
+        .select(
+            "doc_id",
+            "h",
+            (F.col("lang") == "en").alias("s_lang"),
+            (
+                (F.col("lang") == "en") & (F.col("q") > 0.55)
+            ).alias("s_q"),
+            (
+                (F.col("lang") == "en")
+                & (F.col("q") > 0.55)
+                & F.coalesce(F.col("keep"), F.lit(False))
+            ).alias("s_rep"),
+        )
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("s_lang").cast("long")).alias("n_lang"),
+        F.sum(F.col("s_q").cast("long")).alias("n_quality"),
+        F.sum(F.col("s_rep").cast("long")).alias("n_repetition"),
+        F.count_distinct(F.when(F.col("s_rep"), F.col("h"))).alias(
+            "n_unique"
+        ),
+    ).select(
+        "*",
+        F.round(F.col("n_unique") / F.col("n_raw"), 6).alias("yield_rate"),
+    )
+
+
+def _p31_oracle() -> str:
+    from mtg_vector_db_spark.plans.text_queries import (
+        T22_PROF_CTES,
+        _NOISE,
+        _NTOK,
+        _SW_RATIO,
+    )
+
+    quality = (
+        f"least(1.0, 0.3 + 0.4 * least(1.0, ({_SW_RATIO}) * 4)"
+        f" + 0.3 * least(1.0, ({_NTOK}) / 100.0) - 0.5 * ({_NOISE}))"
+    )
+    return f"""
+    WITH {T22_PROF_CTES},
+    base AS (
+      SELECT doc_id, md5(text) AS h,
+             (lang = 'en') AS s_lang,
+             (lang = 'en' AND {quality} > 0.55) AS s_q
+      FROM documents
+    ),
+    flags AS (
+      SELECT b.doc_id, h, s_lang, s_q,
+             s_q AND coalesce(
+               (top2 <= 0.20 AND top3 <= 0.18 AND dup5 <= 0.30), false
+             ) AS s_rep
+      FROM base b LEFT JOIN rep_prof p USING (doc_id)
+    )
+    SELECT count(*) AS n_raw,
+           CAST(sum(CASE WHEN s_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+           CAST(sum(CASE WHEN s_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN s_rep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repetition,
+           count(DISTINCT CASE WHEN s_rep THEN h END) AS n_unique,
+           round(count(DISTINCT CASE WHEN s_rep THEN h END) * 1.0
+                 / count(*), 6) AS yield_rate
+    FROM flags
+    """
+
+
+oracle("p31_curation_funnel", _p31_oracle())

@@ -1044,10 +1044,9 @@ def t22_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-oracle(
-    "t22_doc_repetition",
-    f"""
-    WITH tk AS (SELECT doc_id, {_TOKS_L} AS t FROM documents),
+# CTE chain shared with p31's curation funnel (ends at rep_prof:
+# doc_id → unrounded top2/top3/dup5).
+T22_PROF_CTES = f"""tk AS (SELECT doc_id, {_TOKS_L} AS t FROM documents),
     grams AS (
       SELECT doc_id, 2 AS n, t[i] || ' ' || t[i+1] AS gram
       FROM tk, unnest(range(1, len(t))) AS u(i)
@@ -1077,7 +1076,7 @@ oracle(
              max(CASE WHEN rn = 1 THEN cnt * gchars END) AS top_chars
       FROM ranked GROUP BY 1, 2
     ),
-    prof AS (
+    rep_prof AS (
       SELECT doc_id,
         coalesce(max(CASE WHEN n = 2
           THEN CAST(top_chars AS DOUBLE) / tot_chars END), 0.0) AS top2,
@@ -1086,11 +1085,16 @@ oracle(
         coalesce(max(CASE WHEN n = 5
           THEN CAST(dup_chars AS DOUBLE) / tot_chars END), 0.0) AS dup5
       FROM per_n GROUP BY 1
-    )
+    )"""
+
+oracle(
+    "t22_doc_repetition",
+    f"""
+    WITH {T22_PROF_CTES}
     SELECT d.doc_id, round(top2, {R}) AS top2_frac,
            round(top3, {R}) AS top3_frac, round(dup5, {R}) AS dup5_frac,
            (top2 <= 0.20 AND top3 <= 0.18 AND dup5 <= 0.30) AS keep
-    FROM prof p JOIN documents d USING (doc_id)
+    FROM rep_prof p JOIN documents d USING (doc_id)
     ORDER BY d.doc_id
     """,
 )
