@@ -254,6 +254,52 @@ def split_contamination(
     )
 
 
+def contamination_severity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Per-eval-document contamination severity: the FRACTION of the
+    document's distinct word shingles that appear anywhere in the train
+    split — split_contamination's boolean flag refined into the ranking
+    a curator triages (a doc sharing one boilerplate shingle is not a
+    doc lifted verbatim). Same shuffle shape as split_contamination
+    (shingle-keyed train set + eval join); the top-k plans TakeOrdered.
+    """
+    sh = widen(docs).select(
+        F.col(id_col).alias("doc_id"),
+        _split(hash_fraction(F.col(id_col))).alias("split"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    )
+    train_sh = (
+        sh.filter(F.col("split") == "train")
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    ev_sh = (
+        sh.filter(F.col("split") == "eval")
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+    )
+    hits = ev_sh.join(
+        train_sh.withColumn("hit", F.lit(1)), "shingle", "left"
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_hit"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 6).alias(
+                "severity"
+            ),
+        )
+        .orderBy(F.desc("severity"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -885,3 +885,40 @@ oracle(
     ORDER BY source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# C17: per-document contamination severity — c03's boolean refined into
+# the shingle-overlap fraction per eval doc, ranked worst-first
+# (operators/corpus.py:contamination_severity).
+# ---------------------------------------------------------------------------
+@query("c17_contamination_severity")
+def c17_contamination_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return C.contamination_severity(docs)
+
+
+oracle(
+    "c17_contamination_severity",
+    f"""
+    WITH f AS (SELECT doc_id, {_hash_frac("CAST(doc_id AS VARCHAR)")} AS frac,
+                      {_SHINGLES} AS shingles
+               FROM documents),
+    sp AS (SELECT doc_id,
+                  CASE WHEN frac < 0.8 THEN 'train'
+                       WHEN frac < 0.9 THEN 'eval' ELSE 'test' END AS split,
+                  shingles
+           FROM f),
+    train_sh AS (SELECT DISTINCT unnest(shingles) AS shingle
+                 FROM sp WHERE split = 'train'),
+    ev_sh AS (SELECT doc_id, unnest(shingles) AS shingle
+              FROM sp WHERE split = 'eval' AND len(shingles) > 0),
+    hits AS (SELECT e.doc_id, t.shingle AS hit
+             FROM ev_sh e LEFT JOIN train_sh t USING (shingle))
+    SELECT doc_id, count(*) AS n_shingles,
+           count(hit) AS n_hit,
+           round(count(hit) * 1.0 / count(*), 6) AS severity
+    FROM hits GROUP BY doc_id
+    ORDER BY severity DESC, doc_id ASC LIMIT 20
+    """,
+)

@@ -3635,3 +3635,62 @@ oracle(
     ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# R75: event debounce — drop repeat (user, event_type) events arriving
+# within one hour of the previous raw event of that key (lag-based
+# debounce, the standard instrumentation-noise cleanup before
+# sessionization/funnels; the threshold is sized to this fixture's
+# inter-arrival scale — production uses seconds). One window shuffle
+# keyed (user_id, event_type); emits the per-type kept/dropped tally.
+# ---------------------------------------------------------------------------
+@query("r75_event_debounce")
+def r75_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    prev = F.lag("ts").over(w)
+    kept = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 3600),
+        1,
+    ).otherwise(0)
+    return (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("k", kept)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("k")).alias("n_debounced"),
+            F.round(
+                (F.count(F.lit(1)) - F.sum("k")) / F.count(F.lit(1)), 6
+            ).alias("debounce_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+oracle(
+    "r75_event_debounce",
+    """
+    WITH lagged AS (
+      SELECT event_type,
+             CASE WHEN lag(ts) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id)) > 3600
+                  THEN 1 ELSE 0 END AS k
+      FROM events
+    )
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(k) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(k) AS BIGINT) AS n_debounced,
+           round((count(*) - sum(k)) * 1.0 / count(*), 6) AS debounce_rate
+    FROM lagged GROUP BY event_type ORDER BY event_type
+    """,
+)
