@@ -922,3 +922,90 @@ oracle(
     ORDER BY severity DESC, doc_id ASC LIMIT 20
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# C18: quality-aware canonical selection — c07 keeps min-id per cluster;
+# this keeps the HIGHEST-QUALITY member (t08's score), the choice a
+# curator actually wants when duplicates differ in cleanliness. Cluster
+# membership is c01's oracle-exact propagation; selection is one window
+# per cluster (clusters are tiny — the window partition is the dup blob,
+# never the corpus).
+# ---------------------------------------------------------------------------
+@query("c18_quality_keep")
+def c18_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions.textstats import quality_score
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    bounded = docs.filter(F.col("doc_id") < 1000)
+    pairs = D.exact_jaccard_pairs(bounded, threshold=0.5)
+    clusters = C.dup_clusters(pairs, iters=3)
+    member = clusters.join(
+        bounded.select("doc_id", quality_score(F.col("text")).alias("q")),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("q"), F.asc("doc_id")
+    )
+    return (
+        member.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "keep_doc_id"
+            ),
+            F.round(
+                F.max(F.when(F.col("rn") == 1, F.col("q"))), 6
+            ).alias("keep_quality"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _c18_oracle() -> str:
+    from mtg_vector_db_spark.plans.text_queries import (
+        _NOISE,
+        _NTOK,
+        _SW_RATIO,
+    )
+
+    quality = (
+        f"least(1.0, 0.3 + 0.4 * least(1.0, ({_SW_RATIO}) * 4)"
+        f" + 0.3 * least(1.0, ({_NTOK}) / 100.0) - 0.5 * ({_NOISE}))"
+    )
+    return f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+                WHERE doc_id < 1000),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE {_JACC} >= 0.5
+    ),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    edges AS (SELECT u, v FROM sym UNION ALL SELECT node, node FROM nodes),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    l1 AS ({_PROP.format(prev="l0")}),
+    l2 AS ({_PROP.format(prev="l1")}),
+    l3 AS ({_PROP.format(prev="l2")}),
+    member AS (
+      SELECT l3.node AS doc_id, l3.label AS cluster_id, {quality} AS q
+      FROM l3 JOIN documents d ON l3.node = d.doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY cluster_id ORDER BY q DESC, doc_id ASC) AS rn
+      FROM member
+    )
+    SELECT cluster_id, count(*) AS n_members,
+           max(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+           round(max(CASE WHEN rn = 1 THEN q END), 6) AS keep_quality
+    FROM ranked GROUP BY cluster_id ORDER BY cluster_id
+    """
+
+
+oracle("c18_quality_keep", _c18_oracle())

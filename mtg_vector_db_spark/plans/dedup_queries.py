@@ -531,3 +531,58 @@ oracle(
     ORDER BY t.doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# D11: near-dup pair explanation — the audit view behind d02/d03's pair
+# list: for each flagged pair, the Jaccard, intersection/union sizes,
+# and the first three shared shingles (sorted, pipe-joined) so a curator
+# can see WHY two documents were matched without rerunning anything.
+# Same bounded block as d02 (this is a debug surface over the exact
+# baseline; the LSH path d03 feeds the same explanation at scale).
+# ---------------------------------------------------------------------------
+@query("d11_neardup_explain")
+def d11_neardup_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.dedup import word_shingles
+    from mtg_vector_db_spark.session import widen
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    sh = widen(docs.filter(F.col("doc_id") < 1000)).select(
+        "doc_id", word_shingles(F.col("text")).alias("shingles")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.array_sort(F.array_intersect("sh_a", "sh_b"))
+    union_n = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.round(F.size(inter) / union_n, R)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            jac.alias("jaccard"),
+            F.size(inter).alias("n_shared"),
+            union_n.alias("n_union"),
+            F.array_join(F.slice(inter, 1, 3), "|").alias("top_shared"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+oracle(
+    "d11_neardup_explain",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+                WHERE doc_id < 1000)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACC} AS jaccard,
+           len(list_intersect(a.shingles, b.shingles)) AS n_shared,
+           len(list_distinct(list_concat(a.shingles, b.shingles))) AS n_union,
+           array_to_string(
+             list_sort(list_intersect(a.shingles, b.shingles))[1:3], '|')
+             AS top_shared
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE {_JACC} >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
