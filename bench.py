@@ -71,6 +71,9 @@ HEADLINE = [
     "t24_nb_langid",            # in-engine NB classifier train+apply
     "r73_part_affinity",        # market-basket lift over order self-join
     "v11_mrl_prefix_search",    # matryoshka two-stage prefix search
+    "p31_curation_funnel",      # end-to-end curation cascade datasheet
+    "c17_contamination_severity",  # per-doc train-overlap ranking
+    "c18_quality_keep",         # quality-aware canonical per dup cluster
 ]
 
 

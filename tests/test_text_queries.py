@@ -157,3 +157,44 @@ def test_nb_counts_merge_equals_recount(spark):
     )
     full = sorted(tuple(r) for r in nb_counts(docs).collect())
     assert merged == full and len(full) > 5
+
+
+def test_new_text_operators_survive_adversarial_docs(spark):
+    """Null text, empty strings, unicode, emoji, and pathological tokens
+    must not crash the round-2 text operators; outputs stay sane."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.operators.importance import dsir_scores
+    from mtg_vector_db_spark.operators.nbayes import nb_train_apply
+    from mtg_vector_db_spark.operators.repetition import (
+        doc_repetition_profile,
+    )
+
+    rows = [
+        (1, None, "en"),
+        (2, "", "en"),
+        (3, "   ", "en"),
+        (4, "é ü ß 中文 token 中文 é ü", "zh"),
+        (5, "😀 😀 😀 😀 😀 😀", "en"),
+        (6, "x" * 5000 + " " + "x" * 5000, "en"),
+        (7, "normal words appear here normal words appear here", "en"),
+        (8, "a b a b a b a b a b a b", "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    prof = {r["doc_id"]: r for r in doc_repetition_profile(docs).collect()}
+    # Docs with <2 tokens (null/empty/1-token) simply have no profile row.
+    assert 1 not in prof and 2 not in prof and 3 not in prof
+    assert 0.0 <= prof[4]["top2_frac"] <= 1.0
+    assert prof[5]["top2_frac"] == 1.0  # single repeated emoji bigram
+    assert not prof[8]["keep"]  # planted loop
+
+    scores = dsir_scores(docs, F.col("lang") == "en").collect()
+    ids = {r["doc_id"] for r in scores}
+    assert 1 not in ids and 2 not in ids  # token-less docs unscored
+    assert {4, 5, 6, 7, 8} <= ids
+    assert all(r["n_tokens"] > 0 for r in scores)
+
+    pred = nb_train_apply(docs, F.col("doc_id") != 4).collect()
+    assert len(pred) == 1 and pred[0]["doc_id"] == 4
+    assert pred[0]["predicted"] in {"en", "zh", "de"}
