@@ -3652,9 +3652,15 @@ def r75_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", "event_id"
     )
     prev = F.lag("ts").over(w)
+    # Microsecond-exact integers in BOTH engines (cast-to-seconds would
+    # truncate in Spark while DuckDB's epoch() keeps the fraction — a
+    # tie-boundary divergence waiting for the right gap to surface).
     kept = F.when(
         prev.isNull()
-        | (F.col("ts").cast("long") - prev.cast("long") > 3600),
+        | (
+            F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+            > 3600 * 1_000_000
+        ),
         1,
     ).otherwise(0)
     return (
@@ -3681,9 +3687,9 @@ oracle(
              CASE WHEN lag(ts) OVER (
                     PARTITION BY user_id, event_type
                     ORDER BY ts, event_id) IS NULL
-                  OR epoch(ts) - epoch(lag(ts) OVER (
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (
                        PARTITION BY user_id, event_type
-                       ORDER BY ts, event_id)) > 3600
+                       ORDER BY ts, event_id)) > CAST(3600 AS BIGINT) * 1000000
                   THEN 1 ELSE 0 END AS k
       FROM events
     )
