@@ -73,7 +73,9 @@ HEADLINE = [
     "v11_mrl_prefix_search",    # matryoshka two-stage prefix search
     "p31_curation_funnel",      # end-to-end curation cascade datasheet
     "c17_contamination_severity",  # per-doc train-overlap ranking
-    "c18_quality_keep",         # quality-aware canonical per dup cluster
+    # c18_quality_keep is NOT benched: its cluster input is the d02
+    # exact-pairs baseline, an intentionally id-bounded O(n²) oracle
+    # anchor — benching it would time the demo bound, not the operator.
 ]
 
 
