@@ -1295,3 +1295,120 @@ oracle(
     ORDER BY source, tfidf DESC, token
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# T26: weak-supervision diagnostic — treat each language's marker list
+# as a labeling function (fires when any marker appears, else abstains)
+# and report the standard Snorkel-style table: per-LF coverage and
+# accuracy-when-fired against the gold lang label, plus the ALL row for
+# the majority-vote model (t09's argmax, 'und' = abstain). On this
+# fixture the table reads exactly as the diagnostic is meant to: four
+# dead LFs (zero coverage, NULL accuracy) and one over-firing LF whose
+# precision sits at the class prior — the dead-LF/over-firing-LF
+# failure modes this report exists to catch. One scan, one 1-row
+# aggregate, reshaped to rows via the native unpivot.
+# ---------------------------------------------------------------------------
+@query("t26_weak_label_report")
+def t26_weak_label_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    scores = TS.lang_scores(F.col("text"))
+    base = docs.select(
+        "lang",
+        TS.lang_id(F.col("text")).alias("pred"),
+        *[
+            (scores[lg] > 0).alias(f"fired_{lg}")
+            for lg in TS.LANG_MARKERS
+        ],
+    )
+    aggs = []
+    for lg in TS.LANG_MARKERS:
+        fired = F.col(f"fired_{lg}").cast("long")
+        correct = (F.col(f"fired_{lg}") & (F.col("lang") == lg)).cast(
+            "long"
+        )
+        aggs.append(
+            F.round(F.sum(fired) / F.count(F.lit(1)), 6).alias(
+                f"cov_{lg}"
+            )
+        )
+        aggs.append(
+            F.round(
+                F.when(
+                    F.sum(fired) > 0, F.sum(correct) / F.sum(fired)
+                ),
+                6,
+            ).alias(f"acc_{lg}")
+        )
+    voted = (F.col("pred") != "und").cast("long")
+    hit = ((F.col("pred") != "und") & (F.col("pred") == F.col("lang"))).cast(
+        "long"
+    )
+    aggs.append(
+        F.round(F.sum(voted) / F.count(F.lit(1)), 6).alias("cov_ALL")
+    )
+    aggs.append(F.round(F.sum(hit) / F.sum(voted), 6).alias("acc_ALL"))
+    wide = base.agg(*aggs)
+    names = list(TS.LANG_MARKERS) + ["ALL"]
+    pairs = wide.unpivot(
+        [],
+        [c for lg in names for c in (f"cov_{lg}", f"acc_{lg}")],
+        "metric",
+        "value",
+    )
+    return (
+        pairs.select(
+            F.regexp_extract("metric", r"^(cov|acc)_(.*)$", 2).alias("lf"),
+            F.regexp_extract("metric", r"^(cov|acc)_(.*)$", 1).alias("m"),
+            "value",
+        )
+        .groupBy("lf")
+        .agg(
+            F.max(F.when(F.col("m") == "cov", F.col("value"))).alias(
+                "coverage"
+            ),
+            F.max(F.when(F.col("m") == "acc", F.col("value"))).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("lf")
+    )
+
+
+def _t26_oracle() -> str:
+    score = {
+        lang: f"len(list_filter({_TOKS_L}, t -> list_contains(['"
+        + "','".join(markers)
+        + "'], t)))"
+        for lang, markers in TS.LANG_MARKERS.items()
+    }
+    per_lf = " UNION ALL ".join(
+        f"""SELECT '{lg}' AS lf,
+               round(sum(CASE WHEN {score[lg]} > 0 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 6) AS coverage,
+               round(CASE WHEN sum(CASE WHEN {score[lg]} > 0
+                                     THEN 1 ELSE 0 END) > 0
+                          THEN sum(CASE WHEN {score[lg]} > 0 AND lang = '{lg}'
+                                    THEN 1 ELSE 0 END) * 1.0
+                               / sum(CASE WHEN {score[lg]} > 0
+                                      THEN 1 ELSE 0 END)
+                          END, 6) AS accuracy
+        FROM documents"""
+        for lg in TS.LANG_MARKERS
+    )
+    return f"""
+    SELECT * FROM (
+      {per_lf}
+      UNION ALL
+      SELECT 'ALL',
+             round(sum(CASE WHEN pred <> 'und' THEN 1 ELSE 0 END) * 1.0
+                   / count(*), 6),
+             round(sum(CASE WHEN pred <> 'und' AND pred = lang
+                        THEN 1 ELSE 0 END) * 1.0
+                   / sum(CASE WHEN pred <> 'und' THEN 1 ELSE 0 END), 6)
+      FROM (SELECT lang, {_duck_lang_case()} AS pred FROM documents)
+    ) ORDER BY lf
+    """
+
+
+oracle("t26_weak_label_report", _t26_oracle())
