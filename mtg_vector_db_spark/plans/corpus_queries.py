@@ -1009,3 +1009,51 @@ def _c18_oracle() -> str:
 
 
 oracle("c18_quality_keep", _c18_oracle())
+
+
+# ---------------------------------------------------------------------------
+# C19: provenance manifest — the per-source reproducibility record a
+# pipeline stamps on every corpus snapshot: doc/token counts, id range,
+# and an order-independent content checksum (sum of 32-bit md5 prefixes
+# of each text — commutative, so the manifest is identical at any
+# partitioning; 32-bit values keep the long sum exact to ~2^31 docs per
+# source, with a documented upgrade to modular arithmetic beyond).
+# Re-running ingest and diffing manifests answers "did the input
+# change" without comparing bytes.
+# ---------------------------------------------------------------------------
+@query("c19_provenance_manifest")
+def c19_provenance_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.textstats import token_count
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    h32 = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text")).cast("long")).alias(
+                "n_tokens"
+            ),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum(h32).alias("content_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+_C19_H32 = (
+    "CAST(list_sum(list_transform(range(1, 9), i -> "
+    "(strpos('0123456789abcdef', substring(md5(text), i, 1)) - 1)"
+    " * power(16, 8 - i))) AS BIGINT)"
+)
+oracle(
+    "c19_provenance_manifest",
+    f"""
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+           min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+           CAST(sum({_C19_H32}) AS BIGINT) AS content_checksum
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)

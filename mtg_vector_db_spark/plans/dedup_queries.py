@@ -586,3 +586,54 @@ oracle(
     ORDER BY id_a, id_b
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# D12: cross-source duplication matrix — near-dup pairs rolled up to
+# (source_a, source_b) counts, the curation view that exposes mirrored
+# crawls / re-hosted corpora ("src A is largely a copy of src B") before
+# per-document decisions are made. Pair generation is d02's bounded
+# exact baseline here; at scale the same rollup consumes d03's LSH pair
+# stream unchanged (two broadcast joins against the doc→source dim).
+# ---------------------------------------------------------------------------
+@query("d12_cross_source_dupes")
+def d12_cross_source_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    bounded = docs.filter(F.col("doc_id") < 1000)
+    pairs = D.exact_jaccard_pairs(bounded, threshold=0.5)
+    src = bounded.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "source_a", "source_b")
+    )
+
+
+oracle(
+    "d12_cross_source_dupes",
+    f"""
+    WITH sh AS (SELECT doc_id, source, {_SHINGLES} AS shingles
+                FROM documents WHERE doc_id < 1000),
+    pairs AS (
+      SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE {_JACC} >= 0.5
+    )
+    SELECT source_a, source_b, count(*) AS n_pairs
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n_pairs DESC, source_a, source_b
+    """,
+)
