@@ -322,3 +322,60 @@ def stratified_sample(
         rate = F.when(F.col(strata_col) == k, float(v)).otherwise(rate)
     u = hash_fraction(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
     return df.filter(u < rate)
+
+
+def pagerank_fixed(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-round PageRank over an undirected pair graph → ``(doc_id,
+    pr)`` — the hub score that ranks "most-duplicated" documents (a high
+    -PR node in the near-dup graph is the original a crawl re-hosted
+    everywhere; dup_clusters says WHICH blob, this says WHO anchors it).
+
+    Same engineering contract as :func:`dup_clusters`: a fixed number of
+    rounds, each one edge-join + node aggregation (two keyed shuffles),
+    no driver iteration, so the oracle replays exactly ``iters`` CTEs.
+    Neighbor contributions are rounded to 12 decimals and summed as
+    DECIMAL(28,12) — partition-order-independent and engine-exact, so
+    even rank ties are deterministic.
+    """
+    fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    rev = pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+    edges = fwd.unionByName(rev)
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("u").alias("node"), "deg")
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
+    pr = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", "deg", (F.lit(1.0) / F.col("n")).alias("pr"), "n"
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, edges["u"] == pr["node"])
+            .select(
+                F.col("v").alias("node"),
+                F.round(F.col("pr") / F.col("deg"), 12)
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                "deg",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                ).alias("pr"),
+                "n",
+            )
+        )
+    return pr.select(F.col("node").alias("doc_id"), "pr")

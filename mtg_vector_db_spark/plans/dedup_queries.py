@@ -637,3 +637,66 @@ oracle(
     ORDER BY n_pairs DESC, source_a, source_b
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# D13: duplication hubs — fixed-round PageRank over the near-dup graph
+# (operators/corpus.py:pagerank_fixed): which documents anchor the
+# duplication blobs. Same bounded d02 pair input as c01/c18; the
+# oracle nests exactly 3 propagation CTEs with the same DECIMAL-exact
+# contribution sums.
+# ---------------------------------------------------------------------------
+@query("d13_dup_pagerank")
+def d13_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.corpus import pagerank_fixed
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    bounded = docs.filter(F.col("doc_id") < 1000)
+    pairs = D.exact_jaccard_pairs(bounded, threshold=0.5)
+    return (
+        pagerank_fixed(pairs, iters=3)
+        .select("doc_id", F.round("pr", R).alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_D13_ROUND = """
+    SELECT node, deg,
+           (1 - 0.85) / n + 0.85 * coalesce(CAST(s AS DOUBLE), 0.0) AS pr,
+           n
+    FROM nodes
+    LEFT JOIN (
+      SELECT e.v AS cnode,
+             sum(CAST(round(pr / deg_u.deg, 12) AS DECIMAL(28,12))) AS s
+      FROM edges e
+      JOIN {prev} p ON e.u = p.node
+      JOIN (SELECT u, count(*) AS deg FROM edges GROUP BY u) deg_u
+        ON e.u = deg_u.u
+      GROUP BY e.v
+    ) c ON nodes.node = c.cnode
+    CROSS JOIN nn
+"""
+
+oracle(
+    "d13_dup_pagerank",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+                WHERE doc_id < 1000),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE {_JACC} >= 0.5
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT u AS node, count(*) AS deg FROM edges GROUP BY u),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    p0 AS (SELECT node, deg, 1.0 / n AS pr, n FROM nodes CROSS JOIN nn),
+    p1 AS ({_D13_ROUND.format(prev="p0")}),
+    p2 AS ({_D13_ROUND.format(prev="p1")}),
+    p3 AS ({_D13_ROUND.format(prev="p2")})
+    SELECT node AS doc_id, round(pr, {R}) AS pr
+    FROM p3 ORDER BY pr DESC, doc_id ASC LIMIT 10
+    """,
+)
