@@ -225,3 +225,19 @@ def test_dedup_corpus_families_total_on_empty_tables(spark, tmp_path):
     ]
     for n in sorted(names):
         registry.QUERIES[n](spark, d).count()  # must not raise
+
+
+def test_pagerank_ranks_planted_hub_highest(spark):
+    """A star graph's hub must out-rank every leaf; symmetric cliques
+    tie exactly (DECIMAL-exact sums make ties deterministic)."""
+    from mtg_vector_db_spark.operators.corpus import pagerank_fixed
+
+    pairs = [(0, i) for i in range(1, 7)]  # star: 0 is the hub
+    pairs += [(10, 11)]  # detached 2-clique
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    pr = {r["doc_id"]: r["pr"] for r in pagerank_fixed(df, iters=3).collect()}
+    assert pr[0] == max(pr.values())
+    leaf_vals = {round(pr[i], 12) for i in range(1, 7)}
+    assert len(leaf_vals) == 1  # symmetric leaves tie exactly
+    assert round(pr[10], 12) == round(pr[11], 12)
+    assert abs(sum(pr.values()) - 1.0) < 0.2  # mass approximately conserved
