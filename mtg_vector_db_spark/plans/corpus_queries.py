@@ -1057,3 +1057,70 @@ oracle(
     FROM documents GROUP BY source ORDER BY source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# C20: curriculum order — easy→hard training schedule: quality terciles
+# (exact percentiles, broadcast as a 1-row fold — no driver collect)
+# define the stages, md5 keys shuffle within a stage, and the global
+# order is (stage, key) — a TakeOrdered preview of the first 50 rows.
+# Complements c08 (uniform shuffle) and c13 (domain interleave): same
+# determinism contract, difficulty-aware.
+# ---------------------------------------------------------------------------
+@query("c20_curriculum_order")
+def c20_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.textstats import quality_score
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", quality_score(F.col("text")).alias("q")
+    )
+    cuts = scored.agg(
+        F.percentile(F.col("q"), F.array(F.lit(1 / 3), F.lit(2 / 3))).alias(
+            "cut"
+        )
+    )
+    stage = (
+        F.when(F.col("q") <= F.col("cut")[0], 2)       # hardest last
+        .when(F.col("q") <= F.col("cut")[1], 1)
+        .otherwise(0)                                   # easiest first
+    )
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cur")))
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            stage.alias("stage"),
+            key.alias("order_key"),
+            F.round("q", 6).alias("quality"),
+        )
+        .orderBy("stage", "order_key")
+        .limit(50)
+    )
+
+
+def _c20_oracle() -> str:
+    from mtg_vector_db_spark.plans.text_queries import (
+        _NOISE,
+        _NTOK,
+        _SW_RATIO,
+    )
+
+    quality = (
+        f"least(1.0, 0.3 + 0.4 * least(1.0, ({_SW_RATIO}) * 4)"
+        f" + 0.3 * least(1.0, ({_NTOK}) / 100.0) - 0.5 * ({_NOISE}))"
+    )
+    return f"""
+    WITH scored AS (SELECT doc_id, {quality} AS q FROM documents),
+    cuts AS (SELECT quantile_cont(q, 1.0/3) AS c1,
+                    quantile_cont(q, 2.0/3) AS c2 FROM scored)
+    SELECT doc_id,
+           CASE WHEN q <= c1 THEN 2 WHEN q <= c2 THEN 1 ELSE 0 END AS stage,
+           md5(CAST(doc_id AS VARCHAR) || ':cur') AS order_key,
+           round(q, 6) AS quality
+    FROM scored CROSS JOIN cuts
+    ORDER BY stage, order_key LIMIT 50
+    """
+
+
+oracle("c20_curriculum_order", _c20_oracle())
