@@ -18,7 +18,7 @@ CORPUS_QUERIES = [n for n in registry.QUERIES if n.startswith("c")]
 
 
 def test_family_registered():
-    assert len(CORPUS_QUERIES) == 19
+    assert len(CORPUS_QUERIES) == 20
     assert all(n in registry.ORACLES for n in CORPUS_QUERIES)
 
 
