@@ -34,7 +34,7 @@ from mtg_vector_db_spark.session import widen
 N_BUCKETS = 64
 
 
-def nb_train_apply(
+def nb_doc_scores(
     docs: DataFrame,
     is_train: Column,
     label_col: str = "lang",
@@ -42,13 +42,10 @@ def nb_train_apply(
     text_col: str = "text",
     n_buckets: int = N_BUCKETS,
 ) -> DataFrame:
-    """Train on ``is_train`` rows, score the rest; returns one row per
-    held-out document: ``(id_col, label_col, predicted)``.
-
-    Add-one smoothing on both priors and likelihoods; prediction is
-    argmax of ``prior(c) + Σ_tokens loglik(c, bucket)``, ties broken
-    toward the lexicographically greatest class (exact DECIMAL scores,
-    same rule both engines).
+    """Per-(held-out doc, class) Naive Bayes log-score table:
+    ``(id_col, cls, score)`` with exact DECIMAL scores — the shared
+    core behind prediction (:func:`nb_train_apply`, argmax) and
+    active-learning margin sampling (top-1 minus top-2 per doc).
     """
     # widen(): tokenization + md5 bucketing are CPU-bound per row; fan a
     # single-split small scan across the cluster (no-op at real scale).
@@ -123,7 +120,7 @@ def nb_train_apply(
     tok_te = test.select(
         F.col(id_col), F.explode("toks").alias("tok")
     ).withColumn("bucket", token_bucket(F.col("tok"), n_buckets))
-    doc_cls = (
+    return (
         tok_te.join(F.broadcast(lik), "bucket")
         .groupBy(id_col, "cls")
         .agg(F.sum("loglik").alias("s"))
@@ -134,12 +131,34 @@ def nb_train_apply(
             (F.col("s") + F.col("prior")).alias("score"),
         )
     )
+
+
+def nb_train_apply(
+    docs: DataFrame,
+    is_train: Column,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Train on ``is_train`` rows, score the rest; returns one row per
+    held-out document: ``(id_col, label_col, predicted)``.
+
+    Add-one smoothing on both priors and likelihoods; prediction is
+    argmax of ``prior(c) + Σ_tokens loglik(c, bucket)``, ties broken
+    toward the lexicographically greatest class (exact DECIMAL scores,
+    same rule both engines).
+    """
+    doc_cls = nb_doc_scores(
+        docs, is_train, label_col, id_col, text_col, n_buckets
+    )
     pred = doc_cls.groupBy(id_col).agg(
         F.max(F.struct(F.col("score"), F.col("cls"))).alias("best")
     )
-    return pred.join(
-        test.select(id_col, label_col), id_col
-    ).select(id_col, label_col, F.col("best.cls").alias("predicted"))
+    held = docs.filter(~is_train).select(id_col, label_col)
+    return pred.join(held, id_col).select(
+        id_col, label_col, F.col("best.cls").alias("predicted")
+    )
 
 
 def nb_counts(

@@ -2334,3 +2334,69 @@ def _p31_oracle() -> str:
 
 
 oracle("p31_curation_funnel", _p31_oracle())
+
+
+# ---------------------------------------------------------------------------
+# P32: active-learning margin sampling — the labeling queue: held-out
+# documents ranked by how UNSURE the in-engine Naive Bayes classifier
+# is (smallest top-1 minus top-2 log-score margin first). Margins are
+# differences of exact DECIMAL scores (operators/nbayes.py), so the
+# queue order is engine-exact down to ties, which break on doc_id. The
+# oracle reuses t24's score CTEs verbatim.
+# ---------------------------------------------------------------------------
+@query("p32_margin_sampling")
+def p32_margin_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.operators.nbayes import nb_doc_scores
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    scores = nb_doc_scores(docs, F.col("doc_id") % 5 != 0)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.desc("cls")
+    )
+    ranked = scores.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cls"))).alias("predicted"),
+        (
+            F.max(F.when(F.col("rn") == 1, F.col("score")))
+            - F.max(F.when(F.col("rn") == 2, F.col("score")))
+        )
+        .cast("double")
+        .alias("margin"),
+    )
+    return (
+        per_doc.select(
+            "doc_id", "predicted", F.round("margin", 6).alias("margin")
+        )
+        .orderBy(F.asc("margin"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _p32_oracle() -> str:
+    from mtg_vector_db_spark.plans.text_queries import T24_SCORE_CTES
+
+    return f"""
+    WITH {T24_SCORE_CTES},
+    ranked AS (
+      SELECT doc_id, cls, score, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, cls DESC) AS rn
+      FROM scored
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             max(CASE WHEN rn = 1 THEN cls END) AS predicted,
+             CAST(max(CASE WHEN rn = 1 THEN score END)
+                  - max(CASE WHEN rn = 2 THEN score END) AS DOUBLE)
+               AS margin
+      FROM ranked WHERE rn <= 2 GROUP BY doc_id
+    )
+    SELECT doc_id, predicted, round(margin, 6) AS margin
+    FROM per_doc ORDER BY margin ASC, doc_id ASC LIMIT 20
+    """
+
+
+oracle("p32_margin_sampling", _p32_oracle())

@@ -1179,10 +1179,9 @@ _T24_BUCKET = (
     "(strpos('0123456789abcdef', substring(md5(tok), i, 1)) - 1)"
     " * power(16, 8 - i))) AS BIGINT) % 64"
 )
-oracle(
-    "t24_nb_langid",
-    f"""
-    WITH base AS (
+# CTE chain shared with p32's margin sampling (ends at scored:
+# (doc_id, cls, score) with exact DECIMAL scores over held-out docs).
+T24_SCORE_CTES = f"""base AS (
       SELECT doc_id, lang, (doc_id % 5 <> 0) AS is_tr, {_TOKS_L} AS toks
       FROM documents
     ),
@@ -1219,7 +1218,12 @@ oracle(
       FROM tok_te t JOIN lik l USING (bucket) GROUP BY 1, 2
     ),
     scored AS (SELECT doc_id, d.cls, s + prior AS score
-               FROM doc_cls d JOIN priors USING (cls)),
+               FROM doc_cls d JOIN priors USING (cls))"""
+
+oracle(
+    "t24_nb_langid",
+    f"""
+    WITH {T24_SCORE_CTES},
     pred AS (
       SELECT doc_id, cls AS predicted FROM (
         SELECT doc_id, cls, row_number() OVER (
