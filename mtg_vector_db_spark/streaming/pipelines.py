@@ -678,3 +678,60 @@ def streaming_quality_gate(
         stream.writeStream.foreachBatch(gate)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def streaming_manifest_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    manifest_path: str,
+    checkpoint: str,
+    schema: str = "doc_id long, text string, source string",
+) -> "DataStreamWriter":
+    """Incremental provenance-manifest maintenance: every c19 column is
+    additive (counts and token sums add; min/max ids fold; the content
+    checksum is a commutative sum), so documents arriving on a stream
+    fold into the persisted per-source manifest per micro-batch — the
+    manifest-structure analogue of streaming_bloom_maintenance, and the
+    proof that c19 never needs a history rescan.
+    """
+    from mtg_vector_db_spark.functions.textstats import token_count
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        h32 = F.conv(
+            F.substring(F.md5("text"), 1, 8), 16, 10
+        ).cast("long")
+        new = batch_df.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text")).cast("long")).alias(
+                "n_tokens"
+            ),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum(h32).alias("content_checksum"),
+        )
+        try:
+            old_rows = s.read.parquet(manifest_path).collect()
+        except Exception:
+            old_rows = []
+        if old_rows:
+            old = s.createDataFrame(old_rows, new.schema)
+            new = (
+                old.unionByName(new)
+                .groupBy("source")
+                .agg(
+                    F.sum("n_docs").alias("n_docs"),
+                    F.sum("n_tokens").alias("n_tokens"),
+                    F.min("min_doc_id").alias("min_doc_id"),
+                    F.max("max_doc_id").alias("max_doc_id"),
+                    F.sum("content_checksum").alias("content_checksum"),
+                )
+            )
+        new.write.mode("overwrite").parquet(manifest_path)
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+    )

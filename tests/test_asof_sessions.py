@@ -630,3 +630,42 @@ def test_streaming_quality_gate_matches_batch(spark, tmp_path):
     assert streamed == batch
     assert 1 not in streamed and 3 not in streamed  # looped docs dropped
     assert 2 in streamed
+
+
+def test_streaming_manifest_equals_batch_manifest(spark, tmp_path):
+    """The per-source provenance manifest maintained incrementally over
+    a stream equals the one-shot batch manifest over the same docs —
+    every manifest column is additive, so no history rescan is needed."""
+    from mtg_vector_db_spark.plans import registry
+    from mtg_vector_db_spark.streaming.pipelines import (
+        streaming_manifest_maintenance,
+    )
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.parquet(src)
+
+    manifest = str(tmp_path / "manifest")
+    q = (
+        streaming_manifest_maintenance(
+            spark, src, manifest, str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = sorted(
+        tuple(r) for r in spark.read.parquet(manifest).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in registry.QUERIES["c19_provenance_manifest"](
+            spark, sf
+        ).collect()
+    )
+    assert streamed == batch and len(batch) == 20
