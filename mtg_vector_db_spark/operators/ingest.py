@@ -97,3 +97,30 @@ def ingest_cards(
         F.lit("hash-embed-v1").alias("embedding_model"),
     )
     return docs, embs, rejected
+
+
+def observed_quality(df: DataFrame, name: str = "ingest_quality"):
+    """Attach free data-quality metrics to an ingest pass: row count,
+    null-name count, and empty-embedding-text count accumulate DURING
+    whatever action materializes ``df`` — ``Observation`` metrics ride
+    the existing scan, so the counters cost zero extra passes (the
+    reference re-queries the table to report them,
+    /root/reference/db/ingest_cards.py progress prints).
+
+    Returns ``(observed_df, observation)``; read ``observation.get``
+    after an action on ``observed_df``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("card_name").isNull().cast("long")).alias(
+            "n_null_name"
+        ),
+        F.sum(
+            (F.length(F.trim(F.col("embedding_text"))) == 0).cast("long")
+        ).alias("n_empty_embed_text"),
+    )
+    return observed, obs

@@ -448,3 +448,74 @@ def test_write_training_shards_deterministic_layout(spark, sf001, tmp_path):
         for r in spark.read.parquet(p3).select("doc_id", "shard").collect()
     }
     assert any(moved[d] != s for d, s in expected.items())
+
+
+def test_namekeyed_datasource_matches_reader_helper(spark, tmp_path):
+    """The registered Python DataSource yields the same (name, card)
+    rows as the melt+explode helper, one partition per file."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.sources.namekeyed_source import (
+        NameKeyedJsonDataSource,
+    )
+    from mtg_vector_db_spark.sources.readers import read_name_keyed_json
+
+    data1 = {
+        "Blue Bolt": [{"cost": 1, "text": "zap"}, {"cost": 2, "text": "ZAP"}],
+        "Aether Vial": [{"cost": 0, "text": "tick"}],
+    }
+    data2 = {"Blue Bolt": [{"cost": 3, "text": "zap zap"}]}
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.json").write_text(json.dumps(data1))
+    (d / "b.json").write_text(json.dumps(data2))
+
+    spark.dataSource.register(NameKeyedJsonDataSource)
+    df = spark.read.format("namekeyed_json").load(str(d))
+    assert df.rdd.getNumPartitions() == 2  # one per file
+    rows = df.select(
+        "name", F.get_json_object("card", "$.cost").alias("cost")
+    ).collect()
+    got = sorted((r["name"], int(r["cost"])) for r in rows)
+    assert got == [
+        ("Aether Vial", 0),
+        ("Blue Bolt", 1),
+        ("Blue Bolt", 2),
+        ("Blue Bolt", 3),
+    ]
+
+    # Same multiset of (name, cost) pairs as the helper on one file.
+    helper = read_name_keyed_json(spark, str(d / "a.json"))
+    hrows = sorted(
+        (r["name"], r["card"]["cost"]) for r in helper.collect()
+    )
+    assert hrows == [("Aether Vial", 0), ("Blue Bolt", 1), ("Blue Bolt", 2)]
+
+
+def test_observed_quality_metrics_ride_the_action(spark):
+    """Observation counters accumulate during the consuming action — no
+    second scan — and report the planted defects exactly."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.operators.ingest import observed_quality
+
+    rows = [
+        ("Bolt", "x", 1.0, "t", None, "bolt text", None),
+        (None, "y", 2.0, "t", None, "  ", None),
+        ("Vial", "z", 0.0, "t", None, "vial text", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "card_name string, card_type string, mana_value double, "
+        "text_content string, related_faces string, embedding_text string, "
+        "created_at timestamp",
+    )
+    observed, obs = observed_quality(df)
+    n = observed.count()  # the one and only action
+    assert n == 3
+    got = obs.get
+    assert got["n_rows"] == 3
+    assert got["n_null_name"] == 1
+    assert got["n_empty_embed_text"] == 1
