@@ -3700,3 +3700,50 @@ oracle(
     FROM lagged GROUP BY event_type ORDER BY event_type
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# R76: VARIANT semi-structured access — the Spark 4 native form of the
+# r60 JSON path: ``parse_json`` once into a VARIANT column, typed
+# ``variant_get`` extraction after (open-schema ingestion where
+# from_json's declared struct would force migrations). Same one-scan
+# aggregate shape; the oracle reads the identical paths with DuckDB's
+# JSON extraction.
+# ---------------------------------------------------------------------------
+@query("r76_variant_props")
+def r76_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("k").isNotNull()).cast("long")).alias("n_with_k"),
+            F.round(
+                F.sum("k").cast("double") / F.sum(
+                    (F.col("k").isNotNull()).cast("long")
+                ),
+                6,
+            ).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+oracle(
+    "r76_variant_props",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+           round(CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                      AS DOUBLE)
+                 / sum(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                        THEN 1 ELSE 0 END), 6) AS avg_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
