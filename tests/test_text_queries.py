@@ -200,3 +200,55 @@ def test_new_text_operators_survive_adversarial_docs(spark):
     pred = nb_train_apply(docs, F.col("doc_id") != 4).collect()
     assert len(pred) == 1 and pred[0]["doc_id"] == 4
     assert pred[0]["predicted"] in {"en", "zh", "de"}
+
+
+def test_sql_udfs_match_column_implementations(spark, sf001):
+    """The catalog-registered SQL scalar functions equal the Column
+    builders row-for-row on the corpus (including empty/degenerate
+    docs), so SQL-surface users get identical numbers."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.functions import textstats as TSS
+    from mtg_vector_db_spark.functions.sqludf import register_sql_functions
+    from mtg_vector_db_spark.functions.text import hash_fraction
+
+    names = register_sql_functions(spark)
+    assert "mvdb_quality" in names
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet").limit(200)
+    extra = spark.createDataFrame(
+        [(9001, ""), (9002, "   "), (9003, "???!!!")],
+        ["doc_id", "text"],
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    docs.createOrReplaceTempView("sqludf_docs")
+
+    # Multiple lambda-bearing SQL UDFs over a Union child need the
+    # documented RemoveRedundantAliases exclusion (sqludf.py docstring).
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.RemoveRedundantAliases",
+    )
+
+    via_sql = spark.sql(
+        """SELECT doc_id, mvdb_token_count(text) AS tc,
+                  mvdb_stopword_ratio(text) AS sw,
+                  mvdb_noise_ratio(text) AS nz,
+                  mvdb_quality(text) AS q,
+                  mvdb_hash_frac(CAST(doc_id AS STRING)) AS hf
+           FROM sqludf_docs"""
+    ).collect()
+    via_col = docs.select(
+        "doc_id",
+        TSS.token_count(F.col("text")).alias("tc"),
+        TSS.stopword_ratio(F.col("text")).alias("sw"),
+        TSS.non_alnum_ratio(F.col("text")).alias("nz"),
+        TSS.quality_score(F.col("text")).alias("q"),
+        hash_fraction(F.col("doc_id")).alias("hf"),
+    ).collect()
+    spark.conf.unset("spark.sql.optimizer.excludedRules")
+    a = {r["doc_id"]: tuple(r)[1:] for r in via_sql}
+    b = {r["doc_id"]: tuple(r)[1:] for r in via_col}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == b[k], (k, a[k], b[k])
