@@ -2400,3 +2400,89 @@ def _p32_oracle() -> str:
 
 
 oracle("p32_margin_sampling", _p32_oracle())
+
+
+# ---------------------------------------------------------------------------
+# P33: retrieval-arm agreement — how much do the lexical (BM25) and
+# vector arms of the p10 hybrid agree before fusion? Overlap@30,
+# Jaccard, and Spearman's rho over the shared documents' ranks — the
+# diagnostic that says whether hybrid fusion is adding signal or just
+# averaging one arm with itself. All-integer rank arithmetic (exact in
+# both engines); reuses the p10 arms and oracle fragments verbatim.
+# ---------------------------------------------------------------------------
+@query("p33_arm_agreement")
+def p33_arm_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.knn import knn
+    from mtg_vector_db_spark.operators.text_search import bm25_topk, ranked
+    from mtg_vector_db_spark.plans.text_queries import BM25_TERMS
+    from mtg_vector_db_spark.plans.vector_queries import query_vector
+
+    docs, emb = tables(spark, sf_dir, "documents", "embeddings")
+    qv = query_vector(spark, sf_dir)
+    b = ranked(bm25_topk(docs, BM25_TERMS, k=30, round_digits=R), "bm25")
+    v = ranked(
+        knn(emb, qv, 30, round_digits=R), "sim", id_col="vec_id"
+    ).withColumnRenamed("vec_id", "doc_id")
+    joined = b.select("doc_id", F.col("rank").alias("rb0")).join(
+        v.select("doc_id", F.col("rank").alias("rv0")), "doc_id"
+    )
+    # Spearman applies to a permutation of 1..n: re-rank WITHIN the
+    # overlap (arm order is preserved; absolute top-30 positions are not
+    # a permutation of the shared set).
+    from pyspark.sql import Window
+
+    joined = joined.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("rb0", "doc_id")).alias("rb"),
+        F.row_number().over(Window.orderBy("rv0", "doc_id")).alias("rv"),
+    )
+    d2 = (F.col("rb") - F.col("rv")) * (F.col("rb") - F.col("rv"))
+    n = F.count(F.lit(1))
+    nd = n.cast("double")
+    return joined.agg(
+        n.alias("n_overlap"),
+        F.round(n / (60 - n), 6).alias("jaccard_at_30"),
+        F.round(
+            F.when(
+                n > 1,
+                1.0
+                - 6.0 * F.sum(d2) / (nd * (nd * nd - 1.0)),
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+def _p33_oracle() -> str:
+    from mtg_vector_db_spark.plans.text_queries import bm25_sql_ctes
+
+    return f"""
+    WITH {bm25_sql_ctes()},
+    bt AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 30),
+    br AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rb
+           FROM bt),
+    vt AS (SELECT e.vec_id AS doc_id, {_SIM} AS sim FROM embeddings e
+           ORDER BY sim DESC, e.vec_id LIMIT 30),
+    vr AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY sim DESC, doc_id) AS rv
+           FROM vt),
+    j0 AS (SELECT br.doc_id, rb AS rb0, rv AS rv0
+           FROM br JOIN vr USING (doc_id)),
+    j AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY rb0, doc_id) AS rb,
+                 row_number() OVER (ORDER BY rv0, doc_id) AS rv
+          FROM j0)
+    SELECT count(*) AS n_overlap,
+           round(count(*) * 1.0 / (60 - count(*)), 6) AS jaccard_at_30,
+           round(CASE WHEN count(*) > 1 THEN
+             1.0 - 6.0 * sum((rb - rv) * (rb - rv))
+                   / (CAST(count(*) AS DOUBLE)
+                      * (CAST(count(*) AS DOUBLE)
+                         * CAST(count(*) AS DOUBLE) - 1.0))
+             END, 6) AS spearman_rho
+    FROM j
+    """
+
+
+oracle("p33_arm_agreement", _p33_oracle())
