@@ -3747,3 +3747,50 @@ oracle(
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# R77: event-transition profile — per-user Markov bigrams (previous
+# event type → next) with transition probabilities, the path-analysis
+# view between r45's fixed funnel and r62's exact pattern match. One
+# lag window per user, then a count reduce; probabilities are exact
+# integer ratios.
+# ---------------------------------------------------------------------------
+@query("r77_event_transitions")
+def r77_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    trans = (
+        events.select(
+            prev.alias("from_type"), F.col("event_type").alias("to_type")
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return (
+        trans.withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(tot), 6)
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+oracle(
+    "r77_event_transitions",
+    """
+    WITH t AS (
+      SELECT lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+             event_type AS to_type
+      FROM events
+    ),
+    c AS (SELECT from_type, to_type, count(*) AS n
+          FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM c ORDER BY from_type, to_type
+    """,
+)
