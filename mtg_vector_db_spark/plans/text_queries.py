@@ -1416,3 +1416,108 @@ def _t26_oracle() -> str:
 
 
 oracle("t26_weak_label_report", _t26_oracle())
+
+
+# ---------------------------------------------------------------------------
+# T27: Heaps'-law vocabulary growth — V(n) ≈ K·n^β fit over ten corpus
+# prefixes, the companion diagnostic to t21's Zipf fit (β near 0 = the
+# vocabulary has saturated — synthetic/closed corpora; β ≈ 0.4-0.6 =
+# natural text). ONE token shuffle: per-token first-occurrence doc →
+# prefix bucket → cumulative vocab per prefix → log-log regression with
+# the t21 exact-DECIMAL sums (no per-prefix rescans).
+# ---------------------------------------------------------------------------
+@query("t27_heaps_fit")
+def t27_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    step = max(n_docs // 10, 1)
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    first = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    bucket = F.least(F.col("first_doc") / step, F.lit(9)).cast("int")
+    per_bucket = (
+        first.select(bucket.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    # Token totals per prefix boundary (map-side; same single pass).
+    tok_bucket = tok.select(
+        F.least(F.col("doc_id") / step, F.lit(9)).cast("int").alias("b")
+    ).groupBy("b").agg(F.count(F.lit(1)).alias("new_tokens"))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        per_bucket.join(tok_bucket, "b", "full")
+        .select(
+            "b",
+            F.sum(F.coalesce("new_tokens", F.lit(0))).over(w).alias("n"),
+            F.sum(F.coalesce("new_types", F.lit(0))).over(w).alias("v"),
+        )
+    )
+    x = F.round(F.log2("n"), 12).cast("decimal(28,12)")
+    y = F.round(F.log2("v"), 12).cast("decimal(28,12)")
+    xy = F.round(F.log2("n") * F.log2("v"), 12).cast("decimal(28,12)")
+    xx = F.round(F.log2("n") * F.log2("n"), 12).cast("decimal(28,12)")
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(xy).alias("sxy"),
+        F.sum(xx).alias("sxx"),
+        F.max("v").alias("vocab_size"),
+        F.max("n").alias("total_tokens"),
+    )
+    k = F.col("k").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    return agg.select(
+        F.col("k").alias("n_points"),
+        "total_tokens",
+        "vocab_size",
+        F.round(beta, 6).alias("heaps_beta"),
+    )
+
+
+oracle(
+    "t27_heaps_fit",
+    f"""
+    WITH nd AS (SELECT greatest(count(*) // 10, 1) AS step FROM documents),
+    tok AS (SELECT doc_id, unnest({_TOKS_L}) AS tok FROM documents),
+    first AS (SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY tok),
+    pb AS (SELECT least(CAST(first_doc / step AS INT), 9) AS b,
+                  count(*) AS new_types
+           FROM first CROSS JOIN nd GROUP BY 1),
+    tb AS (SELECT least(CAST(doc_id / step AS INT), 9) AS b,
+                  count(*) AS new_tokens
+           FROM tok CROSS JOIN nd GROUP BY 1),
+    pts AS (
+      SELECT b,
+             sum(coalesce(new_tokens, 0)) OVER (
+               ORDER BY b ROWS UNBOUNDED PRECEDING) AS n,
+             sum(coalesce(new_types, 0)) OVER (
+               ORDER BY b ROWS UNBOUNDED PRECEDING) AS v
+      FROM pb FULL JOIN tb USING (b)
+    ),
+    terms AS (
+      SELECT CAST(round(log2(n), 12) AS DECIMAL(28,12)) AS x,
+             CAST(round(log2(v), 12) AS DECIMAL(28,12)) AS y,
+             CAST(round(log2(n) * log2(v), 12) AS DECIMAL(28,12)) AS xy,
+             CAST(round(log2(n) * log2(n), 12) AS DECIMAL(28,12)) AS xx,
+             v, n
+      FROM pts
+    ),
+    s AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+                 sum(xy) AS sxy, sum(xx) AS sxx,
+                 max(v) AS vocab_size, max(n) AS total_tokens
+          FROM terms)
+    SELECT k AS n_points, CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(vocab_size AS BIGINT) AS vocab_size,
+           round((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS heaps_beta
+    FROM s
+    """,
+)
