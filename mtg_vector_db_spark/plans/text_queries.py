@@ -1477,7 +1477,9 @@ def t27_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("n_points"),
         "total_tokens",
         "vocab_size",
-        F.round(beta, 6).alias("heaps_beta"),
+        # + 0.0 canonicalizes IEEE negative zero (a saturated vocabulary
+        # fits slope -0.0 in one engine and +0.0 in the other).
+        (F.round(beta, 6) + F.lit(0.0)).alias("heaps_beta"),
     )
 
 
@@ -1517,7 +1519,7 @@ oracle(
            CAST(vocab_size AS BIGINT) AS vocab_size,
            round((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
-             AS heaps_beta
+             + 0.0 AS heaps_beta
     FROM s
     """,
 )
