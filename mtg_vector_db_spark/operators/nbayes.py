@@ -46,6 +46,13 @@ def nb_doc_scores(
     ``(id_col, cls, score)`` with exact DECIMAL scores — the shared
     core behind prediction (:func:`nb_train_apply`, argmax) and
     active-learning margin sampling (top-1 minus top-2 per doc).
+
+    Total over the held-out split: a doc whose text tokenizes to zero
+    tokens has no likelihood evidence, so it gets prior-only scores
+    (one row per class, score = prior) instead of silently vanishing
+    from the output — its argmax is the majority-prior class and its
+    margin is the prior gap. The fallback branch is a map-side filter
+    crossed with the broadcast prior table: no extra shuffle.
     """
     # widen(): tokenization + md5 bucketing are CPU-bound per row; fan a
     # single-split small scan across the cluster (no-op at real scale).
@@ -120,7 +127,7 @@ def nb_doc_scores(
     tok_te = test.select(
         F.col(id_col), F.explode("toks").alias("tok")
     ).withColumn("bucket", token_bucket(F.col("tok"), n_buckets))
-    return (
+    scored = (
         tok_te.join(F.broadcast(lik), "bucket")
         .groupBy(id_col, "cls")
         .agg(F.sum("loglik").alias("s"))
@@ -131,6 +138,19 @@ def nb_doc_scores(
             (F.col("s") + F.col("prior")).alias("score"),
         )
     )
+    # Prior-only fallback for token-less held-out docs (see docstring).
+    score_type = scored.schema["score"].dataType
+    tokless = (
+        # coalesce: null text tokenizes to a null array (size null),
+        # which is just as token-less as an empty one.
+        test.filter(F.coalesce(F.size("toks"), F.lit(0)) <= 0)
+        .select(F.col(id_col))
+        .crossJoin(F.broadcast(priors))
+        .select(
+            id_col, "cls", F.col("prior").cast(score_type).alias("score")
+        )
+    )
+    return scored.unionByName(tokless)
 
 
 def nb_train_apply(

@@ -66,7 +66,11 @@ def doc_repetition_profile(
 
     Returns ``(id_col, top2_frac, top3_frac, dup5_frac, keep)`` with the
     fractions un-rounded (callers round for display); documents too short
-    to have any n-gram of a given order score 0.0 for that metric.
+    to have any n-gram of a given order score 0.0 for that metric. Every
+    input document gets a row: a doc with no n-grams at all (fewer than
+    2 tokens) scores 0.0/0.0/0.0 and keep=true — a repetition screen has
+    nothing to say about it (explode_outer keeps a null-gram row through
+    the same shuffle, so totality costs no extra join).
     """
     def _tag(n: int):
         # NB: a two-arg lambda would make F.transform pass the array
@@ -82,8 +86,12 @@ def doc_repetition_profile(
     )
     # The gram build is CPU-bound per row; widen() fans a single-split
     # small scan across the cluster (no-op once the scan itself splits).
+    # explode_outer, not explode: a doc whose token count is < 2 has an
+    # empty gram array; the outer variant keeps one (null n, null gram)
+    # row for it, which flows through both aggregates into coalesced-0.0
+    # metrics — so the profile is TOTAL over its input (round-3 ADVICE).
     grams = widen(docs.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(tagged).alias("g")
+        F.col(id_col), F.explode_outer(tagged).alias("g")
     ).select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
 
     # (doc, n, gram) counts — the one wide shuffle, map-side combinable.

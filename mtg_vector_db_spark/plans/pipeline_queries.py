@@ -1157,7 +1157,12 @@ def p19_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mtg_vector_db_spark.functions.text import hash_fraction
 
     (docs,) = tables(spark, sf_dir, "documents")
-    w = Window.partitionBy("text").orderBy("doc_id")
+    # Dedup window keys on md5(text), not the raw text: identical groups
+    # (same hash both engines), but the shuffle key is a fixed 32-char
+    # digest instead of the multi-KB document — at corpus scale the
+    # exchange hashes/compares fingerprints, never documents (same
+    # discipline as dedup.py exact_dup_stats).
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     deduped = (
         docs.select("doc_id", "lang", "text")
         .withColumn("rn", F.row_number().over(w))
@@ -1200,7 +1205,7 @@ def _p19_oracle() -> str:
     WITH dedup AS (
       SELECT doc_id, lang, text FROM (
         SELECT doc_id, lang, text,
-               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         FROM documents) WHERE rn = 1
     ), scored AS (
       SELECT doc_id, lang, {_NTOK} AS n_tokens,
@@ -1482,17 +1487,15 @@ oracle(
 #   cross-document 5-gram spans) → quality gate → md5 split → Bloom
 #   decontamination (c10: drop train docs whose shingle hit-ratio against
 #   the eval/test filter ≥ 0.3) → per-(split, lang) report.
-# Everything stays the operators' own plan shapes: one text-keyed window
-# for dedup, hash-keyed span shuffles, a broadcast bitset for the
-# contamination probe, and a tiny final aggregate. Oracle replays the
-# whole chain CTE-for-CTE from the proven p19/d07/c10 pieces.
-#
-# Accepted trade: the single-lineage DAG re-derives the shared
-# dedup+span prefix in each split branch (Catalyst can't reuse subtrees
-# that differ by pushed-down split filters), ~1.7× the sum of the
-# component queries. The one-DAG form is what the oracle can replay
-# end-to-end; a production run materializes between stages (write the
-# gated corpus, then decontaminate), which is exactly the p19 pattern.
+# Everything stays the operators' own plan shapes: one md5-keyed window
+# for dedup (fingerprint-width shuffle key, never the raw document),
+# hash-keyed span shuffles, a broadcast bitset for the contamination
+# probe, and a tiny final aggregate. Oracle replays the whole chain
+# CTE-for-CTE from the proven p19/d07/c10 pieces. The post-gate relation
+# is persisted inside the query so the three split branches share one
+# computation of the dedup+span+quality prefix (the round-2 1.7×
+# branch-recompute finding); a production run would materialize the
+# gated corpus to storage at the same point.
 # ---------------------------------------------------------------------------
 _P24_SPAN_TAU = 0.8
 _P24_CONTAM_TAU = 0.3
@@ -1507,7 +1510,9 @@ def p24_decontaminated_corpus_build(spark: SparkSession, sf_dir: str) -> DataFra
     from mtg_vector_db_spark.operators import bloom as B, dedup as D
 
     (docs,) = tables(spark, sf_dir, "documents")
-    w = Window.partitionBy("text").orderBy("doc_id")
+    # md5(text) window key: same dedup groups, fingerprint-width shuffle
+    # (see p19; dedup.py exact_dup_stats is the canonical pattern).
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     deduped = (
         docs.select("doc_id", "lang", "text")
         .withColumn("rn", F.row_number().over(w))
@@ -1534,7 +1539,15 @@ def p24_decontaminated_corpus_build(spark: SparkSession, sf_dir: str) -> DataFra
     ).filter(F.col("quality") >= 0.5)
     frac = hash_fraction(F.col("doc_id"))
     split = F.when(frac < 0.8, "train").when(frac < 0.9, "eval").otherwise("test")
-    sp = scored.withColumn("split", split)
+    # Cache the post-gate relation: three branches (bench-side filter
+    # builder, train-side probe, final union) otherwise re-derive the
+    # whole dedup+span+quality prefix — Catalyst can't reuse subtrees
+    # that differ by pushed-down split filters. A plan property, not a
+    # semantic one: the oracle replays the identical one-DAG chain. In a
+    # production run this is the materialize-between-stages point (write
+    # the gated corpus, then decontaminate); here MEMORY_AND_DISK keeps
+    # the one-lineage form oracle-replayable without the ~1.7× recompute.
+    sp = scored.withColumn("split", split).persist()
     bench = sp.filter(F.col("split") != "train")
     train = sp.filter(F.col("split") == "train")
     flagged = (
@@ -1577,7 +1590,7 @@ def _p24_oracle() -> str:
     WITH dedup AS (
       SELECT doc_id, lang, text FROM (
         SELECT doc_id, lang, text,
-               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         FROM documents) WHERE rn = 1
     ),
     dtok AS (SELECT doc_id, {_TOKS_L} AS toks FROM dedup),
@@ -2276,7 +2289,10 @@ def p31_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 (F.col("lang") == "en")
                 & (F.col("q") > 0.55)
-                & F.coalesce(F.col("keep"), F.lit(False))
+                # The profile is total (one row per doc), so this
+                # coalesce never fires; true mirrors its short-doc
+                # default if an upstream ever reintroduces a gap.
+                & F.coalesce(F.col("keep"), F.lit(True))
             ).alias("s_rep"),
         )
     )
@@ -2315,9 +2331,11 @@ def _p31_oracle() -> str:
       FROM documents
     ),
     flags AS (
+      -- coalesce(..., true): a doc with no rep_prof row has no n-grams
+      -- at all; the repetition screen passes it (operator totality).
       SELECT b.doc_id, h, s_lang, s_q,
              s_q AND coalesce(
-               (top2 <= 0.20 AND top3 <= 0.18 AND dup5 <= 0.30), false
+               (top2 <= 0.20 AND top3 <= 0.18 AND dup5 <= 0.30), true
              ) AS s_rep
       FROM base b LEFT JOIN rep_prof p USING (doc_id)
     )

@@ -1091,10 +1091,15 @@ oracle(
     "t22_doc_repetition",
     f"""
     WITH {T22_PROF_CTES}
-    SELECT d.doc_id, round(top2, {R}) AS top2_frac,
-           round(top3, {R}) AS top3_frac, round(dup5, {R}) AS dup5_frac,
-           (top2 <= 0.20 AND top3 <= 0.18 AND dup5 <= 0.30) AS keep
-    FROM rep_prof p JOIN documents d USING (doc_id)
+    -- LEFT JOIN + coalesce: rep_prof has no row for docs with < 2 tokens
+    -- (no grams at all); the operator is total over its input and scores
+    -- them 0.0/0.0/0.0 keep=true, so the oracle defaults the same way.
+    SELECT d.doc_id, round(coalesce(top2, 0.0), {R}) AS top2_frac,
+           round(coalesce(top3, 0.0), {R}) AS top3_frac,
+           round(coalesce(dup5, 0.0), {R}) AS dup5_frac,
+           coalesce(top2 <= 0.20 AND top3 <= 0.18 AND dup5 <= 0.30, true)
+             AS keep
+    FROM documents d LEFT JOIN rep_prof p USING (doc_id)
     ORDER BY d.doc_id
     """,
 )
@@ -1218,7 +1223,14 @@ T24_SCORE_CTES = f"""base AS (
       FROM tok_te t JOIN lik l USING (bucket) GROUP BY 1, 2
     ),
     scored AS (SELECT doc_id, d.cls, s + prior AS score
-               FROM doc_cls d JOIN priors USING (cls))"""
+               FROM doc_cls d JOIN priors USING (cls)
+               UNION ALL
+               -- prior-only fallback: held-out docs with zero tokens
+               -- still get one row per class (operator totality)
+               SELECT doc_id, cls, prior AS score
+               FROM (SELECT doc_id FROM base
+                     WHERE NOT is_tr AND coalesce(len(toks), 0) = 0)
+               CROSS JOIN priors)"""
 
 oracle(
     "t24_nb_langid",
@@ -1489,10 +1501,13 @@ oracle(
     WITH nd AS (SELECT greatest(count(*) // 10, 1) AS step FROM documents),
     tok AS (SELECT doc_id, unnest({_TOKS_L}) AS tok FROM documents),
     first AS (SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY tok),
-    pb AS (SELECT least(CAST(first_doc / step AS INT), 9) AS b,
+    -- floor before CAST: DuckDB's double→INT cast rounds to nearest
+    -- while Spark's truncates, so bucket assignment would diverge on
+    -- any x.5+ quotient without the explicit floor (round-3 ADVICE fix).
+    pb AS (SELECT least(CAST(floor(first_doc * 1.0 / step) AS INT), 9) AS b,
                   count(*) AS new_types
            FROM first CROSS JOIN nd GROUP BY 1),
-    tb AS (SELECT least(CAST(doc_id / step AS INT), 9) AS b,
+    tb AS (SELECT least(CAST(floor(doc_id * 1.0 / step) AS INT), 9) AS b,
                   count(*) AS new_tokens
            FROM tok CROSS JOIN nd GROUP BY 1),
     pts AS (

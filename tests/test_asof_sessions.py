@@ -600,7 +600,8 @@ def test_streaming_quality_gate_matches_batch(spark, tmp_path):
 
     rows = [(1, "buy now " * 40), (2, "a healthy varied document "
             "with many different words and no loops at all"),
-            (3, "spam spam spam spam spam spam spam spam spam spam")]
+            (3, "spam spam spam spam spam spam spam spam spam spam"),
+            (4, "solo")]  # < 2 tokens: no n-grams, gate passes it
     rows += [(10 + i, f"doc number {i} mixes fresh tokens like "
              f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(6)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -630,6 +631,9 @@ def test_streaming_quality_gate_matches_batch(spark, tmp_path):
     assert streamed == batch
     assert 1 not in streamed and 3 not in streamed  # looped docs dropped
     assert 2 in streamed
+    # Totality (round-3 ADVICE): a doc too short to have any n-gram is
+    # NOT silently dropped by a repetition screen — it passes the gate.
+    assert 4 in streamed
 
 
 def test_streaming_manifest_equals_batch_manifest(spark, tmp_path):

@@ -447,7 +447,11 @@ def test_repetition_profile_matches_python_model_on_random_corpus(spark):
         words = text.split()
         m2, m3, m5 = model(words, 2), model(words, 3), model(words, 5)
         if m2 is None:
-            assert i not in got  # <2 tokens: no profile row
+            # <2 tokens: total profile — 0.0 metrics, gate passes
+            assert got[i]["top2_frac"] == 0.0
+            assert got[i]["top3_frac"] == 0.0
+            assert got[i]["dup5_frac"] == 0.0
+            assert got[i]["keep"]
             continue
         checked += 1
         assert abs(got[i]["top2_frac"] - m2[0]) < 1e-9, i

@@ -76,7 +76,7 @@ def test_repetition_gate_fires_on_planted_loop(spark):
         "violet zeppelins drift quietly beyond the old harbor wall"
     )
     docs = spark.createDataFrame(
-        [(1, looped), (2, diverse), (3, "too short")],
+        [(1, looped), (2, diverse), (3, "too short"), (4, "solo")],
         ["doc_id", "text"],
     )
     prof = {
@@ -87,6 +87,10 @@ def test_repetition_gate_fires_on_planted_loop(spark):
     assert prof[2]["keep"] and prof[2]["dup5_frac"] == 0.0
     # 2 tokens: bigram metrics defined, 3/5-gram metrics default to 0.
     assert prof[3]["top3_frac"] == 0.0 and prof[3]["dup5_frac"] == 0.0
+    # 1 token: no n-grams at all — the profile is total, scores 0.0,
+    # and the gate passes the doc (round-3 ADVICE fix).
+    assert prof[4]["keep"]
+    assert prof[4]["top2_frac"] == 0.0 and prof[4]["dup5_frac"] == 0.0
 
 
 def test_repetition_profile_plan_shape(spark):
@@ -185,8 +189,12 @@ def test_new_text_operators_survive_adversarial_docs(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
 
     prof = {r["doc_id"]: r for r in doc_repetition_profile(docs).collect()}
-    # Docs with <2 tokens (null/empty/1-token) simply have no profile row.
-    assert 1 not in prof and 2 not in prof and 3 not in prof
+    # Docs with <2 tokens (null/empty/1-token): total profile — a row
+    # with 0.0 metrics and keep=true (the gate has no evidence).
+    for short_id in (1, 2, 3):
+        assert prof[short_id]["keep"]
+        assert prof[short_id]["top2_frac"] == 0.0
+        assert prof[short_id]["dup5_frac"] == 0.0
     assert 0.0 <= prof[4]["top2_frac"] <= 1.0
     assert prof[5]["top2_frac"] == 1.0  # single repeated emoji bigram
     assert not prof[8]["keep"]  # planted loop
@@ -252,3 +260,73 @@ def test_sql_udfs_match_column_implementations(spark, sf001):
     assert set(a) == set(b)
     for k in a:
         assert a[k] == b[k], (k, a[k], b[k])
+
+
+def test_t27_heaps_parity_on_growing_vocabulary(spark, tmp_path):
+    """Round-3 ADVICE: the sf fixtures' vocabulary saturates within the
+    first prefix bucket, which masked a cast-rounding divergence (Spark's
+    double→int cast truncates, DuckDB's rounds to nearest). This corpus
+    keeps introducing new types through every bucket, and n_docs=20 makes
+    step=2 so every odd first_doc lands on an x.5 quotient — bucket
+    assignment breaks parity unless the oracle floors before casting."""
+    import shutil
+
+    import pandas as pd
+
+    d = tmp_path / "grow"
+    d.mkdir()
+    rows = []
+    for i in range(20):
+        # 'common' repeats everywhere; i+1 fresh types per doc so V(n)
+        # grows in every prefix bucket (beta stays well above zero).
+        toks = ["common"] * 3 + [f"w{i}x{j}" for j in range(i + 1)]
+        text = " ".join(toks)
+        rows.append((i, text, "en", "synth", len(text)))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(d / "documents.parquet")
+    src = "/root/testdata/sf0.001"
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+
+    df = registry.QUERIES["t27_heaps_fit"](spark, str(d))
+    assert_matches_oracle(df, registry.ORACLES["t27_heaps_fit"], str(d))
+    row = df.collect()[0]
+    assert row["heaps_beta"] > 0.1  # vocabulary genuinely grows
+    assert row["n_points"] == 10  # all ten prefix buckets populated
+
+
+def test_nb_prior_only_fallback_for_tokenless_heldout(spark):
+    """Round-3 ADVICE: a held-out doc whose text tokenizes to nothing
+    must still appear in the prediction output — with prior-only scores
+    (one row per class) and a majority-prior argmax — instead of being
+    silently dropped by the token explode."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.operators.nbayes import (
+        nb_doc_scores,
+        nb_train_apply,
+    )
+
+    rows = [(i, "aa", f"alpha beta tok{i}") for i in range(12)]
+    rows += [(100 + i, "bb", f"omega psi tok{i}") for i in range(4)]
+    # Held out: one empty, one whitespace-only, one null text.
+    rows += [(900, "bb", ""), (901, "aa", "   "), (902, "bb", None)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    held = F.col("doc_id") >= 900
+
+    scores = nb_doc_scores(docs, ~held).collect()
+    by_doc = {}
+    for r in scores:
+        by_doc.setdefault(r["doc_id"], {})[r["cls"]] = r["score"]
+    for d in (900, 901, 902):
+        assert set(by_doc[d]) == {"aa", "bb"}  # one row per class
+        # prior-only: class 'aa' trained on 12 docs vs 4 → higher prior
+        assert by_doc[d]["aa"] > by_doc[d]["bb"]
+
+    pred = {r["doc_id"]: r["predicted"]
+            for r in nb_train_apply(docs, ~held).collect()}
+    assert set(pred) == {900, 901, 902}  # one row per held-out doc
+    assert all(p == "aa" for p in pred.values())  # majority prior
