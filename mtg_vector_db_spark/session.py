@@ -20,6 +20,7 @@ def get_spark(
     app_name: str = "mtg-vector-db-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's standard configs.
 
@@ -48,6 +49,10 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    # Build-time-only configs (e.g. spark.ui.showConsoleProgress) must be
+    # set before the context exists; runtime conf.set() rejects them.
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 

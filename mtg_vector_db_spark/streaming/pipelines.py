@@ -713,6 +713,8 @@ def streaming_manifest_maintenance(
             F.sum(h32).alias("content_checksum"),
         )
         try:
+            # collect: bounded by one manifest row per distinct source —
+            # a handful of rows, never corpus-sized.
             old_rows = s.read.parquet(manifest_path).collect()
         except Exception:
             old_rows = []

@@ -271,3 +271,89 @@ def test_no_cartesian_in_any_registered_query(spark, sf0001):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_no_partitioning_on_raw_text_in_any_registered_query(spark, sf0001):
+    """GLOBAL plan hygiene (round-3 VERDICT): no registered query may
+    shuffle on the raw document text column. A window/groupBy keyed on
+    `text` hashes, compares, and sorts multi-KB strings through every
+    exchange; the fingerprint (md5) key gives identical groups with a
+    fixed 32-char shuffle key (dedup.py exact_dup_stats pattern)."""
+    import re as _re
+
+    # hashpartitioning(..., text#N, ...): 'text' as a standalone column
+    # reference (not a suffix like qtext#, not n_text#).
+    pat = _re.compile(r"hashpartitioning\([^)]*(?<![\w])text#\d+")
+    offenders = []
+    for name in sorted(registry.QUERIES):
+        plan = physical(registry.QUERIES[name](spark, sf0001))
+        if pat.search(plan):
+            offenders.append(name)
+    assert not offenders, (
+        f"raw-text shuffle keys in {offenders}: key the exchange on "
+        "md5(text)/fingerprint(text) instead"
+    )
+
+
+def test_no_driver_collect_outside_documented_bounded_artifacts():
+    """GLOBAL source hygiene (round-3 VERDICT): every `.collect()` in the
+    package must be a documented bounded artifact (k-row centroid or
+    codebook fetch that becomes a broadcast literal, a <=16K-row Bloom
+    bitset, a one-row-per-source manifest, a recall report over k ids,
+    or a CLI/explain display tool). A collect anywhere else is a driver
+    bottleneck at scale — add it here ONLY with a boundedness argument
+    in a comment at the call site."""
+    import ast
+    import os as _os
+
+    pkg = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "mtg_vector_db_spark")
+    # (relative file, enclosing function) pairs audited as bounded —
+    # see PLAN_AUDIT.md and the call-site comments.
+    allowed = {
+        ("cli.py", "run_search"),            # CLI display of k results
+        ("explain.py", "main"),              # explain/limit display tool
+        ("plans/corpus_queries.py", "c09_temperature_mix"),  # 1 row/source
+        ("streaming/pipelines.py", "upsert"),     # bloom bitset <=n_bits/64
+        ("streaming/pipelines.py", "fold"),       # manifest, 1 row/source
+        ("operators/quantize.py", "sq_train"),    # per-dim min/max scalars
+        ("operators/quantize.py", "pq_train"),    # m*k codebook rows
+        ("operators/quantize.py", "seeded_pq_codebooks"),  # m*k rows
+        ("operators/ann.py", "ivf_probe_labels"),     # k centroid rows
+        ("operators/ann.py", "lloyd_ivf_build"),      # k centroids/iter
+        ("operators/ann.py", "_scored_cells"),        # k centroid rows
+        ("operators/ann.py", "recall_report"),        # 2k result ids
+    }
+    offenders = []
+    for root, _dirs, files in _os.walk(pkg):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = _os.path.join(root, f)
+            rel = _os.path.relpath(path, pkg)
+            with open(path) as fh:
+                tree = ast.parse(fh.read(), filename=rel)
+            # Map line -> innermost enclosing function name.
+            funcs = []
+            for node in ast.walk(tree):
+                if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    funcs.append((node.lineno, node.end_lineno, node.name))
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "collect"
+                    and not node.args
+                ):
+                    enclosing = None
+                    for lo, hi, nm in funcs:
+                        if lo <= node.lineno <= (hi or lo):
+                            if enclosing is None or lo > enclosing[0]:
+                                enclosing = (lo, nm)
+                    key = (rel, enclosing[1] if enclosing else "<module>")
+                    if key not in allowed:
+                        offenders.append((rel, node.lineno, key[1]))
+    assert not offenders, (
+        f"undocumented driver collect()s: {offenders} — distribute the "
+        "work or document the bound and extend the allowlist"
+    )
