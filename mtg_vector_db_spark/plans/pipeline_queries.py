@@ -1823,7 +1823,10 @@ oracle(
 # to nprobe=3 cells via the same frozen assignment d06/p04 use.
 # ---------------------------------------------------------------------------
 _P27_K = 10
-_P27_NPROBE = 3
+# nprobe=4 (round-3 sweep): Lloyd-IVF recall@10 0.88 -> 0.91 at sf0.1
+# while scanning ~half the corpus (RECALL.md trade table) — clears the
+# >=0.90 deterministic-arm bar against the reference HNSW analog.
+_P27_NPROBE = 4
 
 
 @query("p27_ivf_recall_report")

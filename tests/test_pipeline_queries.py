@@ -128,9 +128,9 @@ def test_lsh_index_query(spark, sf001):
 
 
 def test_rp_lsh_recall_vs_exact(spark, sf001):
-    """Deterministic RP-LSH (p06's engine) must recover ≥90% of the exact
-    top-10 at the default (n_tables, bucket_length) — measured 1.0 at
-    sf0.01 — and must never return a doc the exact rescore wouldn't rank."""
+    """Deterministic RP-LSH (p06's engine) at the round-3 defaults
+    (8 tables, L=1.0 — recall@10 0.96 at sf0.1, RECALL.md) must recover
+    the FULL exact top-10 at sf0.01."""
     from mtg_vector_db_spark.operators.ann import rp_lsh_topk
     from mtg_vector_db_spark.operators.knn import knn
     from mtg_vector_db_spark.plans.vector_queries import query_vector
@@ -139,7 +139,17 @@ def test_rp_lsh_recall_vs_exact(spark, sf001):
     qv = query_vector(spark, sf001)
     approx = {r["doc_id"] for r in rp_lsh_topk(emb, qv, 10).collect()}
     exact = {r["vec_id"] for r in knn(emb, qv, 10, round_digits=6).collect()}
-    assert len(approx & exact) >= 9
+    assert len(approx & exact) == 10
+
+
+def test_p27_ivf_recall_clears_hnsw_bar(spark, sf001):
+    """The driver-checked IVF recall row (frozen cells, nprobe=4 after
+    the round-3 sweep) must average ≥0.90 recall@10 — the deterministic
+    arm's analog of the reference's HNSW quality (m=16/ef=64, typically
+    ≥0.95). Measured 0.92 at sf0.01, 0.94 at sf0.1 (RECALL.md)."""
+    rows = registry.QUERIES["p27_ivf_recall_report"](spark, sf001).collect()
+    mean = sum(r["recall_at_10"] for r in rows) / len(rows)
+    assert mean >= 0.90, mean
 
 
 def test_kmeans_ivf_build_invariants(spark, sf001):
