@@ -708,3 +708,85 @@ def remove_repeated_spans(
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_tokens: int = 8,
+) -> DataFrame:
+    """CCNet-style cross-document paragraph deduplication (Wenzek et al.
+    2020 run SHA1-per-paragraph dedup before any model-based filtering;
+    the reference has no sub-document grain at all — its unit is the
+    whole card, db/ingest_cards.py:240-258).
+
+    Paragraph = a non-overlapping ``para_tokens``-token window (the test
+    corpus is an unpunctuated token stream; real corpora would split on
+    newlines/sentences — same pipeline from the fingerprint on). An
+    instance is kept iff it is the corpus-wide FIRST occurrence of its
+    normalized fingerprint (lowest ``(doc_id, para_id)``); later repeats
+    are dropped and each doc's surviving text is reassembled in order.
+
+    Returns ``(doc_id, n_paras, n_kept, text_kept)`` — one row per doc
+    with ≥1 token; ``text_kept = ''`` when every paragraph was a repeat.
+
+    Scale shape: one map-side chunk+fingerprint pass, ONE shuffle keyed
+    on the 32-char fingerprint (the first-occurrence window), one
+    doc-grain reassembly reduce. Nothing ever shuffles raw text as a
+    key, and the paragraph stream is linear in corpus tokens.
+    """
+    d = widen(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    n_paras = F.ceil(F.size("toks") / F.lit(float(para_tokens))).cast("long")
+    paras = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), n_paras - 1),
+                lambda k: F.struct(
+                    k.cast("long").alias("para_id"),
+                    F.array_join(
+                        F.slice(
+                            "toks",
+                            (k * para_tokens + 1).cast("int"),
+                            para_tokens,
+                        ),
+                        " ",
+                    ).alias("ptext"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.para_id").alias("para_id"), F.col("p.ptext").alias("ptext"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint(F.col("ptext"))).orderBy(
+        "doc_id", "para_id"
+    )
+    flagged = paras.withColumn(
+        "kept", F.row_number().over(w) == 1
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"),
+                                F.struct("para_id", "ptext"),
+                            )
+                        )
+                    ),
+                    lambda s: s["ptext"],
+                ),
+                " ",
+            ).alias("text_kept"),
+        )
+    )

@@ -1124,3 +1124,102 @@ def _c20_oracle() -> str:
 
 
 oracle("c20_curriculum_order", _c20_oracle())
+
+
+# ---------------------------------------------------------------------------
+# C21 (extension): SemDeDup — semantic deduplication by embedding
+# similarity within coarse clusters (Abbas et al. 2023: k-means the
+# corpus embeddings, and inside each cluster greedily drop any item
+# whose cosine to an already-kept item clears a threshold). Complements
+# the lexical d-family: paraphrases dedup here that share no shingles.
+# Greedy-by-id form (a vector drops iff a LOWER-id vector in its cell is
+# ≥ τ similar) is order-deterministic, hence SQL-replayable. Shape: one
+# map-side frozen-cell assignment (d06/p17 pattern), one cell-keyed pair
+# join (Σ|cell|² candidates — cells grow with the corpus, the measured
+# d06 lever in SCALE.md), one cell-grain reduce.
+# ---------------------------------------------------------------------------
+_C21_TAU = 0.40
+_C21_CELLS = 8
+
+
+@query("c21_semdedup_keep")
+def c21_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.vector import dot, l2_normalize
+    from mtg_vector_db_spark.operators.ann import ivf_assign
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < _C21_CELLS).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "centroid"
+        ),
+    )
+    assigned = ivf_assign(emb, seeds).select("vec_id", "cell")
+    nx = emb.select("vec_id", l2_normalize(F.col("embedding")).alias("nx"))
+    a = assigned.join(nx, "vec_id")
+    lo = a.select(
+        F.col("vec_id").alias("id_lo"), "cell", F.col("nx").alias("nx_lo")
+    )
+    hi = a.select(
+        F.col("vec_id").alias("id_hi"), "cell", F.col("nx").alias("nx_hi")
+    )
+    sim = F.round(dot(F.col("nx_lo"), F.col("nx_hi")), 6)
+    dropped = (
+        lo.join(hi, "cell")
+        .filter(F.col("id_lo") < F.col("id_hi"))
+        .filter(sim >= _C21_TAU)
+        .select(F.col("id_hi").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("is_drop", F.lit(1)), "vec_id", "left"
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.coalesce("is_drop", F.lit(0))).alias("n_dropped"),
+            F.min(
+                F.when(F.col("is_drop").isNull(), F.col("vec_id"))
+            ).alias("first_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _c21_oracle() -> str:
+    return f"""
+    WITH c AS (
+      SELECT CAST(vec_id AS INT) AS cell, CAST(embedding AS DOUBLE[]) AS cvec,
+             list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS n2
+      FROM embeddings WHERE vec_id < {_C21_CELLS}
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                   AS nx
+          FROM e),
+    a AS (SELECT vec_id, cell FROM (
+            SELECT n.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                     c.n2 - 2 * list_inner_product(c.cvec, n.nx), c.cell)
+                     AS rn
+            FROM n CROSS JOIN c) WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT hi.vec_id
+      FROM a lo JOIN a hi ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+      JOIN n nl ON nl.vec_id = lo.vec_id
+      JOIN n nh ON nh.vec_id = hi.vec_id
+      WHERE round(list_inner_product(nl.nx, nh.nx), 6) >= {_C21_TAU}
+    )
+    SELECT cell, count(*) AS n_vectors,
+           CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           min(CASE WHEN d.vec_id IS NULL THEN a.vec_id END) AS first_kept
+    FROM a LEFT JOIN dropped d USING (vec_id)
+    GROUP BY cell ORDER BY cell
+    """
+
+
+oracle("c21_semdedup_keep", _c21_oracle())

@@ -700,3 +700,51 @@ oracle(
     FROM p3 ORDER BY pr DESC, doc_id ASC LIMIT 10
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# D14 (extension): CCNet-style cross-document PARAGRAPH dedup (Wenzek et
+# al. 2020 — SHA1-per-paragraph first-occurrence dedup before any model
+# filtering). Sub-document grain the d01/d03 family lacks: repeated
+# boilerplate paragraphs vanish while their host documents survive. One
+# fingerprint-keyed shuffle (never raw text), one doc-grain reassembly.
+# ---------------------------------------------------------------------------
+_TOKS_RAW = (
+    "list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)"
+)
+
+
+@query("d14_paragraph_dedup")
+def d14_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.paragraph_dedup(
+        docs.filter(F.col("doc_id") < 1000), para_tokens=8
+    ).orderBy("doc_id")
+
+
+oracle(
+    "d14_paragraph_dedup",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_RAW} AS toks FROM documents
+                 WHERE doc_id < 1000),
+    nz AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 8.0) AS BIGINT) AS np
+           FROM tok WHERE len(toks) > 0),
+    paras AS (
+      SELECT doc_id, k AS para_id,
+             array_to_string(list_slice(toks, k*8 + 1, k*8 + 8), ' ')
+               AS ptext
+      FROM nz, unnest(range(0, np)) AS u(k)
+    ),
+    flagged AS (
+      SELECT doc_id, para_id, ptext,
+             (row_number() OVER (PARTITION BY md5(lower(ptext))
+                                 ORDER BY doc_id, para_id) = 1) AS kept
+      FROM paras
+    )
+    SELECT doc_id, count(*) AS n_paras,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN kept THEN ptext END,
+                               ' ' ORDER BY para_id), '') AS text_kept
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+)

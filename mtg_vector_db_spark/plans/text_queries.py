@@ -1538,3 +1538,151 @@ oracle(
     FROM s
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# T28 (extension): CCNet quality buckets — per-document char-LM
+# perplexity, docs ranked per language and cut into head/middle/tail
+# terciles (Wenzek et al. 2020 release exactly these three bands; head
+# is the usual pre-training slice). Reuses t19's self-trained add-1
+# char-bigram model (train split = hash_fraction < 0.8, scored docs =
+# the eval split with ≥1 bigram). Exact-DECIMAL per-doc bit sums make
+# bpc identical across engines; ranks break ties on doc_id, so the
+# tercile cuts are engine-exact. Shape: bounded-alphabet model
+# broadcast, one (doc, bigram) reduce, one lang-keyed rank window.
+# ---------------------------------------------------------------------------
+@query("t28_ccnet_buckets")
+def t28_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions.text import hash_fraction
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "_")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        (hash_fraction(F.col("doc_id")) < 0.8).alias("is_train"),
+        norm.alias("s"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        "lang",
+        "is_train",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("s") - 1),
+                lambda i: F.col("s").substr(i, F.lit(2)),
+            )
+        ).alias("big"),
+    )
+    model_big = (
+        bigrams.filter("is_train")
+        .groupBy("big")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    model_pre = model_big.groupBy(
+        F.substring("big", 1, 1).alias("pre")
+    ).agg(F.sum("c").alias("cp"))
+    ev = (
+        bigrams.filter(~F.col("is_train"))
+        .groupBy("doc_id", "lang", "big")
+        .agg(F.count(F.lit(1)).alias("e"))
+        .withColumn("pre", F.substring("big", 1, 1))
+    )
+    logp = F.round(
+        F.log2(
+            (F.coalesce(F.col("c"), F.lit(0)) + 1)
+            / (F.coalesce(F.col("cp"), F.lit(0)) + _T19_V)
+        ),
+        12,
+    )
+    per_doc = (
+        ev.join(F.broadcast(model_big), "big", "left")
+        .join(F.broadcast(model_pre), "pre", "left")
+        .withColumn("logp", logp)
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("e").alias("n_big"),
+            F.sum(
+                (F.col("logp").cast("decimal(28,12)") * F.col("e")).cast(
+                    "decimal(38,12)"
+                )
+            ).alias("_bits"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                -F.col("_bits").cast("double") / F.col("n_big"), 6
+            ).alias("bpc"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("bpc", "doc_id")
+    nlang = Window.partitionBy("lang")
+    bucketed = per_doc.select(
+        "lang",
+        "bpc",
+        F.floor(
+            (F.row_number().over(w) - 1) * 3 / F.count(F.lit(1)).over(nlang)
+        ).alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("bpc").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_bpc"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+oracle(
+    "t28_ccnet_buckets",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, ({_T19_FRAC}) < 0.8 AS is_train,
+             regexp_replace(lower(text), '[^a-z0-9 ]', '_', 'g') AS s
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang, is_train,
+             unnest(list_transform(range(1, len(s)),
+                    i -> substring(s, i, 2))) AS big
+      FROM base
+    ),
+    model_big AS (SELECT big, count(*) AS c FROM bg WHERE is_train
+                  GROUP BY big),
+    model_pre AS (SELECT substring(big, 1, 1) AS pre,
+                         CAST(sum(c) AS BIGINT) AS cp
+                  FROM model_big GROUP BY 1),
+    ev AS (SELECT doc_id, lang, big, substring(big, 1, 1) AS pre,
+                  count(*) AS e
+           FROM bg WHERE NOT is_train GROUP BY 1, 2, 3, 4),
+    per_doc AS (
+      SELECT doc_id, lang,
+             round(-CAST(sum(CAST(round(log2((coalesce(mb.c, 0) + 1) * 1.0
+                       / (coalesce(mp.cp, 0) + {_T19_V})), 12)
+                     AS DECIMAL(28,12)) * e) AS DOUBLE) / sum(e), 6) AS bpc
+      FROM ev LEFT JOIN model_big mb USING (big)
+              LEFT JOIN model_pre mp USING (pre)
+      GROUP BY 1, 2
+    ),
+    bucketed AS (
+      SELECT lang, bpc,
+             CAST(floor((row_number() OVER (
+                     PARTITION BY lang ORDER BY bpc, doc_id) - 1) * 3.0
+                   / (count(*) OVER (PARTITION BY lang))) AS BIGINT)
+               AS bucket
+      FROM per_doc
+    )
+    SELECT lang, bucket, count(*) AS n_docs,
+           round(CAST(sum(CAST(bpc AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_bpc
+    FROM bucketed GROUP BY 1, 2 ORDER BY lang, bucket
+    """,
+)

@@ -191,3 +191,38 @@ def test_dsir_select_plan_shape(spark, sf001):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_semdedup_drops_planted_semantic_twin(spark, sf001):
+    """c21's greedy rule: a vector nearly identical to a lower-id vector
+    in the same cell is dropped; the lower-id original is kept."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.plans import registry
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    # Plant a twin of vec 100 with a huge id (sorts after everything).
+    twin = emb.filter("vec_id = 100").select(
+        F.lit(999999).cast("long").alias("vec_id"),
+        "embedding",
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    emb.unionByName(twin.select(emb.columns)).write.parquet(
+        f"{d}/embeddings.parquet"
+    )
+    for t in ("documents",):
+        spark.read.parquet(f"{sf001}/{t}.parquet").write.parquet(
+            f"{d}/{t}.parquet"
+        )
+    base = {r["cell"]: r for r in
+            registry.QUERIES["c21_semdedup_keep"](spark, sf001).collect()}
+    with_twin = {r["cell"]: r for r in
+                 registry.QUERIES["c21_semdedup_keep"](spark, d).collect()}
+    # Exactly one extra vector entered, and it was dropped (cos=1 to 100).
+    assert sum(r["n_vectors"] for r in with_twin.values()) == \
+           sum(r["n_vectors"] for r in base.values()) + 1
+    assert sum(r["n_dropped"] for r in with_twin.values()) == \
+           sum(r["n_dropped"] for r in base.values()) + 1

@@ -241,3 +241,47 @@ def test_pagerank_ranks_planted_hub_highest(spark):
     assert len(leaf_vals) == 1  # symmetric leaves tie exactly
     assert round(pr[10], 12) == round(pr[11], 12)
     assert abs(sum(pr.values()) - 1.0) < 0.2  # mass approximately conserved
+
+
+def test_paragraph_dedup_drops_planted_boilerplate(spark):
+    """CCNet paragraph dedup: a boilerplate paragraph repeated across
+    docs survives only in its first (lowest doc_id, pos) occurrence;
+    unique paragraphs all survive; reassembly preserves token order."""
+    from mtg_vector_db_spark.operators.dedup import paragraph_dedup
+
+    boiler = "subscribe to our newsletter for updates every day"  # 8 toks
+    rows = [
+        (1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "iota kappa lambda mu nu xi omicron pi " + boiler),
+        (3, boiler),
+        (4, "rho sigma tau upsilon phi chi psi omega"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup(docs, para_tokens=8).collect()}
+    # doc 1 holds the first occurrence: everything kept.
+    assert out[1]["n_kept"] == out[1]["n_paras"] == 2
+    assert out[1]["text_kept"].startswith("subscribe")
+    # docs 2/3 lose exactly the boilerplate paragraph.
+    assert out[2]["n_paras"] == 2 and out[2]["n_kept"] == 1
+    assert "subscribe" not in out[2]["text_kept"]
+    assert out[2]["text_kept"].startswith("iota")
+    assert out[3]["n_kept"] == 0 and out[3]["text_kept"] == ""
+    # unique doc untouched.
+    assert out[4]["n_kept"] == out[4]["n_paras"] == 1
+    assert out[4]["text_kept"] == rows[3][1]
+
+
+def test_paragraph_dedup_is_case_insensitive_on_fingerprint(spark):
+    """The dedup key is the normalized fingerprint: a case-variant
+    repeat is dropped, but the KEPT text preserves original casing."""
+    from mtg_vector_db_spark.operators.dedup import paragraph_dedup
+
+    para = "The Quick Brown Fox Jumps Over The Dog"
+    docs = spark.createDataFrame(
+        [(1, para), (2, para.lower())], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup(docs, para_tokens=8).collect()}
+    assert out[1]["n_kept"] == 1 and out[1]["text_kept"] == para
+    assert out[2]["n_kept"] == 0

@@ -330,3 +330,18 @@ def test_nb_prior_only_fallback_for_tokenless_heldout(spark):
             for r in nb_train_apply(docs, ~held).collect()}
     assert set(pred) == {900, 901, 902}  # one row per held-out doc
     assert all(p == "aa" for p in pred.values())  # majority prior
+
+
+def test_ccnet_buckets_are_balanced_terciles(spark, sf001):
+    """t28: per language the three buckets differ by ≤1 doc, and mean
+    perplexity is monotone head ≤ middle ≤ tail (that ordering is the
+    whole point of the CCNet split)."""
+    rows = registry.QUERIES["t28_ccnet_buckets"](spark, sf001).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, b in by_lang.items():
+        assert set(b) == {0, 1, 2}, lang
+        sizes = [b[i]["n_docs"] for i in (0, 1, 2)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert b[0]["avg_bpc"] <= b[1]["avg_bpc"] <= b[2]["avg_bpc"], lang
