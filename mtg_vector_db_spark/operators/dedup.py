@@ -736,30 +736,7 @@ def paragraph_dedup(
     doc-grain reassembly reduce. Nothing ever shuffles raw text as a
     key, and the paragraph stream is linear in corpus tokens.
     """
-    d = widen(docs.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc_id"),
-        tokens(F.col(text_col)).alias("toks"),
-    ).filter(F.size("toks") > 0)
-    n_paras = F.ceil(F.size("toks") / F.lit(float(para_tokens))).cast("long")
-    paras = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0).cast("long"), n_paras - 1),
-                lambda k: F.struct(
-                    k.cast("long").alias("para_id"),
-                    F.array_join(
-                        F.slice(
-                            "toks",
-                            (k * para_tokens + 1).cast("int"),
-                            para_tokens,
-                        ),
-                        " ",
-                    ).alias("ptext"),
-                ),
-            )
-        ).alias("p"),
-    ).select("doc_id", F.col("p.para_id").alias("para_id"), F.col("p.ptext").alias("ptext"))
+    paras = doc_paragraphs(docs, id_col, text_col, para_tokens)
 
     from pyspark.sql import Window
 
@@ -789,4 +766,44 @@ def paragraph_dedup(
                 " ",
             ).alias("text_kept"),
         )
+    )
+
+
+def doc_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_tokens: int = 8,
+) -> DataFrame:
+    """Explode documents into ``(doc_id, para_id, ptext)`` paragraph rows
+    (non-overlapping ``para_tokens``-token windows; see
+    :func:`paragraph_dedup`). Pure map stage — the shared front end of
+    the batch and streaming paragraph-dedup faces."""
+    d = widen(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    n_paras = F.ceil(F.size("toks") / F.lit(float(para_tokens))).cast("long")
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), n_paras - 1),
+                lambda k: F.struct(
+                    k.cast("long").alias("para_id"),
+                    F.array_join(
+                        F.slice(
+                            "toks",
+                            (k * para_tokens + 1).cast("int"),
+                            para_tokens,
+                        ),
+                        " ",
+                    ).alias("ptext"),
+                ),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        F.col("p.para_id").alias("para_id"),
+        F.col("p.ptext").alias("ptext"),
     )

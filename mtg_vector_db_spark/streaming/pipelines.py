@@ -737,3 +737,93 @@ def streaming_manifest_maintenance(
         stream.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def streaming_paragraph_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    out_path: str,
+    store_path: str,
+    checkpoint: str,
+    schema: str = "doc_id long, text string",
+    para_tokens: int = 8,
+) -> "DataStreamWriter":
+    """Incremental CCNet paragraph dedup (batch face:
+    operators/dedup.py:paragraph_dedup): documents arriving on a stream
+    are stripped of paragraphs whose fingerprint was already seen — in
+    the persisted store (all prior batches) or earlier in this batch —
+    then reassembled and appended; NEW fingerprints are appended to the
+    store.
+
+    First-occurrence is ARRIVAL order across batches (within a batch,
+    (doc_id, para_id) order — identical to the batch operator on that
+    slice), so stream output equals the batch operator whenever arrival
+    order respects doc_id order, which the equivalence test pins.
+
+    Scale shape: per batch one fingerprint-keyed window over BATCH
+    paragraphs plus one left-anti join against the store (keyed probe,
+    never a history rescan); the store grows O(new unique paragraphs)
+    per batch via parquet append — it is corpus-fingerprint-sized, so it
+    is never collected to the driver (contrast the bounded Bloom/manifest
+    collects above).
+    """
+    from mtg_vector_db_spark.functions.textstats import fingerprint
+    from mtg_vector_db_spark.operators.dedup import doc_paragraphs
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        paras = doc_paragraphs(batch_df, para_tokens=para_tokens).withColumn(
+            "fp", fingerprint(F.col("ptext"))
+        )
+        try:
+            seen = s.read.parquet(store_path).select("fp")
+        except Exception:
+            seen = None
+        w = Window.partitionBy("fp").orderBy("doc_id", "para_id")
+        first_in_batch = (
+            paras.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        fresh = (
+            first_in_batch.join(seen, "fp", "left_anti")
+            if seen is not None
+            else first_in_batch
+        )
+        kept = fresh.select("doc_id", "para_id", F.lit(True).alias("kept"))
+        out = (
+            paras.join(kept, ["doc_id", "para_id"], "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_paras"),
+                F.sum(
+                    F.coalesce(F.col("kept"), F.lit(False)).cast("long")
+                ).alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.coalesce(
+                                        F.col("kept"), F.lit(False)
+                                    ),
+                                    F.struct("para_id", "ptext"),
+                                )
+                            )
+                        ),
+                        lambda st: st["ptext"],
+                    ),
+                    " ",
+                ).alias("text_kept"),
+            )
+        )
+        out.write.mode("append").parquet(out_path)
+        # Append only the batch's new fingerprints: O(new), no rebuild.
+        fresh.select("fp").write.mode("append").parquet(store_path)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -673,3 +673,67 @@ def test_streaming_manifest_equals_batch_manifest(spark, tmp_path):
         ).collect()
     )
     assert streamed == batch and len(batch) == 20
+
+
+def test_streaming_paragraph_dedup_matches_batch(spark, tmp_path):
+    """The incremental paragraph-dedup face (persisted fingerprint store,
+    O(new) appends) must equal the batch operator over the union when
+    batches arrive in doc_id order — including a boilerplate paragraph
+    first seen in batch 1 being stripped from batch 2 arrivals."""
+    from mtg_vector_db_spark.operators.dedup import paragraph_dedup
+    from mtg_vector_db_spark.streaming.pipelines import (
+        streaming_paragraph_dedup,
+    )
+
+    boiler = "subscribe to our newsletter for updates every day"  # 8 toks
+    b1 = [(1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+          (2, "iota kappa lambda mu nu xi omicron pi " + boiler)]
+    b2 = [(3, boiler),  # all repeats: survives as an empty doc row
+          (4, "rho sigma tau upsilon phi chi psi omega"),
+          (5, "rho sigma tau upsilon phi chi psi omega extra tail here")]
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "kept")
+    store = str(tmp_path / "fps")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            streaming_paragraph_dedup(
+                spark, str(src), out, store, ckpt, schema=schema
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    drain()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    drain()
+
+    streamed = {
+        r["doc_id"]: r for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(
+            spark.createDataFrame(b1 + b2, schema)
+        ).collect()
+    }
+    assert set(streamed) == set(batch)
+    for d in batch:
+        assert streamed[d]["n_paras"] == batch[d]["n_paras"], d
+        assert streamed[d]["n_kept"] == batch[d]["n_kept"], d
+        assert streamed[d]["text_kept"] == batch[d]["text_kept"], d
+    # The cross-batch drop actually happened: doc 3 is all boilerplate.
+    assert streamed[3]["n_kept"] == 0 and streamed[3]["text_kept"] == ""
+    # The store holds exactly the distinct fingerprints, no rebuilds.
+    n_fps = spark.read.parquet(store).count()
+    distinct_fps = spark.read.parquet(store).distinct().count()
+    assert n_fps == distinct_fps
