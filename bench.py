@@ -84,6 +84,9 @@ HEADLINE = [
     "v11_mrl_prefix_search",    # matryoshka two-stage prefix search
     "p31_curation_funnel",      # end-to-end curation cascade datasheet
     "c17_contamination_severity",  # per-doc train-overlap ranking
+    "d14_paragraph_dedup",      # CCNet cross-doc paragraph dedup (round 3)
+    "c21_semdedup_keep",        # SemDeDup greedy cell-blocked semantic dedup
+    "t28_ccnet_buckets",        # per-doc perplexity head/middle/tail bands
     # c18_quality_keep is NOT benched: its cluster input is the d02
     # exact-pairs baseline, an intentionally id-bounded O(n²) oracle
     # anchor — benching it would time the demo bound, not the operator.
