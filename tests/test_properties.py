@@ -505,3 +505,46 @@ def test_bpe_pair_counts_match_python_model(spark):
         .collect()
     }
     assert got == dict(expected) and len(got) >= 5
+
+
+def test_paragraph_dedup_matches_python_model_on_random_corpus(spark):
+    """d14's engine vs an independent Python model on a randomized
+    small-vocab corpus (small vocab forces real cross-doc paragraph
+    collisions, including case variants)."""
+    rng = random.Random(11)
+    vocab = ["aa", "bb", "cc", "dd", "AA", "Bb"]
+    docs = []
+    for i in range(60):
+        n = rng.randint(0, 20)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+
+    P = 4  # para_tokens
+
+    def model(all_docs):
+        seen, out = set(), {}
+        for doc_id, text in sorted(all_docs):
+            toks = text.split()
+            if not toks:
+                continue
+            paras = [
+                " ".join(toks[k : k + P]) for k in range(0, len(toks), P)
+            ]
+            kept = []
+            for p in paras:
+                fp = p.lower()
+                if fp not in seen:
+                    seen.add(fp)
+                    kept.append(p)
+            out[doc_id] = (len(paras), len(kept), " ".join(kept))
+        return out
+
+    from mtg_vector_db_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_kept"])
+        for r in paragraph_dedup(df, para_tokens=P).collect()
+    }
+    want = model(docs)
+    assert got == want
+    assert sum(w[0] - w[1] for w in want.values()) > 5  # real collisions
