@@ -109,3 +109,90 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source — same columnar scan surface as parquet (pushdown,
     pruning); exists so corpora delivered as ORC need no conversion."""
     return spark.read.orc(path)
+
+
+def read_tar_shards(
+    spark: SparkSession,
+    path: str,
+    key_from_name: bool = True,
+) -> DataFrame:
+    """WebDataset-style tar-shard source: each ``*.tar`` under ``path``
+    is a shard of training samples, each sample a group of member files
+    sharing a basename (``00042.jpg``, ``00042.txt``, ``00042.json`` →
+    sample key ``00042`` with three typed payloads) — the de-facto
+    sharded layout for multimodal pre-training sets (Webdataset; public
+    format). The reference has no binary corpus at all; this is the
+    extension that lets the multimodal operators (operators/multimodal.py)
+    read real shard archives.
+
+    Returns ``(shard, sample_key, member, ext, payload binary)`` — one
+    row per member file; group by ``(shard, sample_key)`` to assemble
+    samples.
+
+    Scale shape: ``binaryFile`` gives one row per shard (Spark assigns
+    whole archives to tasks — tar has no internal split points, which is
+    WHY the format shards at the file level); the stdlib ``tarfile``
+    parse runs inside ``mapInPandas`` per shard, so bytes never transit
+    the driver and shard count = parallelism. Keep shards ~100 MB-1 GB
+    (the WebDataset convention) so tasks stay balanced.
+    """
+    import pandas as pd
+
+    shards = spark.read.format("binaryFile").load(f"{path}/*.tar")
+
+    def parse(batches):
+        import io
+        import os as _os
+        import tarfile
+
+        for pdf in batches:
+            out = {
+                "shard": [],
+                "sample_key": [],
+                "member": [],
+                "ext": [],
+                "payload": [],
+            }
+            for shard_path, blob in zip(pdf["path"], pdf["content"]):
+                shard = _os.path.basename(shard_path)
+                with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue
+                        base, dot, ext = m.name.partition(".")
+                        out["shard"].append(shard)
+                        out["sample_key"].append(
+                            base if key_from_name else m.name
+                        )
+                        out["member"].append(m.name)
+                        out["ext"].append(ext if dot else "")
+                        f = tf.extractfile(m)
+                        out["payload"].append(f.read() if f else b"")
+            yield pd.DataFrame(out)
+
+    return shards.select("path", "content").mapInPandas(
+        parse,
+        schema=(
+            "shard string, sample_key string, member string, "
+            "ext string, payload binary"
+        ),
+    )
+
+
+def assemble_tar_samples(members: DataFrame) -> DataFrame:
+    """Group tar-shard member rows (:func:`read_tar_shards`) into one row
+    per sample: ``(shard, sample_key, exts array<string>,
+    payloads map<string, binary>)``. One (shard, key)-keyed shuffle;
+    members of a sample are adjacent in the archive, so with
+    shard-aligned partitioning this coalesces map-side."""
+    return (
+        members.groupBy("shard", "sample_key")
+        .agg(
+            F.sort_array(F.collect_list("ext")).alias("exts"),
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(F.struct("ext", "payload"))
+                )
+            ).alias("payloads"),
+        )
+    )
