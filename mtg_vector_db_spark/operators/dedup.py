@@ -14,7 +14,10 @@ DataFrame ops:
   banded Hamming candidate generation;
 * embedding near-dup    — cosine threshold over vector pairs (exact within
   an id-bounded block here; the ANN path in operators/ann.py is the
-  corpus-scale candidate generator).
+  corpus-scale candidate generator);
+* paragraph dedup       — CCNet-style sub-document grain: cross-document
+  first-occurrence fingerprint dedup of paragraph windows with per-doc
+  reassembly (batch here; incremental face in streaming/pipelines.py).
 
 Everything is hash-deterministic (md5-based) so results are reproducible
 across engines — which is what lets the DuckDB oracle replay the exact same
