@@ -372,10 +372,19 @@ def simhash_expr(text: Column) -> Column:
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash per document (see :func:`simhash_expr`)."""
+    """64-bit SimHash per document (see :func:`simhash_expr`).
+
+    Token-less docs (empty/whitespace text) are excluded: with no votes
+    every bit ties and sign(0) would emit a degenerate all-ones
+    fingerprint that Hamming-matches every other empty doc — empty docs
+    belong to exact dedup, not a similarity sketch (fuzz-parity
+    finding; the SQL oracles' token explode drops them the same way).
+    """
     return widen(docs).select(
-        F.col(id_col), simhash_expr(F.col(text_col)).alias("simhash")
-    )
+        F.col(id_col),
+        tokens(F.lower(F.col(text_col))).alias("_tk"),
+        simhash_expr(F.col(text_col)).alias("simhash"),
+    ).filter(F.size("_tk") > 0).drop("_tk")
 
 
 def simhash_neardup_pairs(

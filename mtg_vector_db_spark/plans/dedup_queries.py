@@ -554,7 +554,13 @@ def d11_neardup_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.array_sort(F.array_intersect("sh_a", "sh_b"))
     union_n = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.round(F.size(inter) / union_n, R)
+    # Zero-guard (dedup.py:jaccard pattern): a pair of shingle-less docs
+    # is 0/0 — ANSI mode raises DIVIDE_BY_ZERO, so an unguarded ratio
+    # CRASHES on any corpus holding two sub-3-token docs (fuzz finding).
+    jac = F.round(
+        F.when(union_n > 0, F.size(inter) / union_n).otherwise(F.lit(0.0)),
+        R,
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(

@@ -273,10 +273,20 @@ def t08_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SW = "['" + "','".join(TS.EN_STOPWORDS) + "']"
+# CASE guards mirror the Spark builders (textstats.py): a doc with zero
+# tokens / zero characters scores 0.0, never NaN from 0/0 (fuzz-parity
+# finding — the committed fixtures have no empty docs, so the unguarded
+# form never fired there).
 _SW_RATIO = (
-    f"len(list_filter({_TOKS_L}, t -> list_contains({_SW}, t))) * 1.0 / len({_TOKS_L})"
+    f"CASE WHEN len({_TOKS_L}) > 0 THEN "
+    f"len(list_filter({_TOKS_L}, t -> list_contains({_SW}, t))) * 1.0"
+    f" / len({_TOKS_L}) ELSE 0.0 END"
 )
-_NOISE = "length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0 / length(text)"
+_NOISE = (
+    "CASE WHEN length(text) > 0 THEN "
+    "length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0"
+    " / length(text) ELSE 0.0 END"
+)
 _NTOK = f"len({_TOKS})"
 oracle(
     "t08_quality_scores",
@@ -725,14 +735,17 @@ def t19_charlm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hash_fraction(F.col("doc_id")) < 0.8).alias("is_train"),
         norm.alias("s"),
     )
+    # Guard: F.sequence(1, length-1) on a 0/1-char doc would generate a
+    # DESCENDING sequence ([1,0,-1]) and phantom '' bigrams — DuckDB's
+    # half-open range(1, len) is empty there (fuzz-parity finding).
+    big_idx = F.when(
+        F.length("s") >= 2, F.sequence(F.lit(1), F.length("s") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     bigrams = base.select(
         "lang",
         "is_train",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("s") - 1),
-                lambda i: F.col("s").substr(i, F.lit(2)),
-            )
+            F.transform(big_idx, lambda i: F.col("s").substr(i, F.lit(2)))
         ).alias("big"),
     )
     cnt = bigrams.groupBy("is_train", "lang", "big").agg(
@@ -1565,15 +1578,16 @@ def t28_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hash_fraction(F.col("doc_id")) < 0.8).alias("is_train"),
         norm.alias("s"),
     )
+    # Same descending-sequence guard as t19 (fuzz-parity finding).
+    big_idx = F.when(
+        F.length("s") >= 2, F.sequence(F.lit(1), F.length("s") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     bigrams = base.select(
         "doc_id",
         "lang",
         "is_train",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("s") - 1),
-                lambda i: F.col("s").substr(i, F.lit(2)),
-            )
+            F.transform(big_idx, lambda i: F.col("s").substr(i, F.lit(2)))
         ).alias("big"),
     )
     model_big = (

@@ -1,0 +1,121 @@
+"""Randomized-corpus oracle-parity fuzz.
+
+Round 3's t27 fix came from a divergence the committed fixtures MASKED:
+DuckDB's double→int cast rounds while Spark's truncates, and the fixture
+vocabulary saturated before any x.5 quotient appeared. This suite
+re-runs the ENTIRE registry's Spark-vs-DuckDB comparison on a seeded
+randomized corpus engineered to hit the edges the driver fixtures don't:
+empty/whitespace/one-token docs, case-variant and exact duplicates,
+shared-shingle near-dups, unicode/emoji/punctuation runs, boundary token
+counts around the paragraph/chunk window sizes, and a doc count chosen
+so integer-division quotients land on .5 fractions.
+
+Any query that diverges here harbors an engine-parity bug that a future
+driver fixture could expose — fix the query, don't loosen the test.
+"""
+
+from __future__ import annotations
+
+import random
+import shutil
+
+import pytest
+
+from mtg_vector_db_spark.plans import registry
+from tests.oracle_utils import assert_matches_oracle
+
+registry.load_all()
+
+SRC = "/root/testdata/sf0.001"
+
+
+def _build_fuzz_corpus(spark, root) -> str:
+    import numpy as np
+    import pandas as pd
+
+    rng = random.Random(20260814)
+    vocab = (
+        "key agg row scan slow fast table value part hash merge batch spark "
+        "the a line sort window alpha beta gamma delta Unicode Ünïcode 中文 "
+        "emoji 😀 dash-term x1y2 UPPER Mixed"
+    ).split()
+    langs = ["en", "de", "es", "fr", "zh"]
+    boiler = "subscribe to our newsletter for updates every day"  # 8 toks
+
+    texts: list[str] = []
+    # Edge shapes first (fixed), then random bulk.
+    texts += ["", " ", "solo", "two tokens", boiler, boiler.upper()]
+    texts += ["!!! ??? ... ;;; :::", "12345 67890 11111 22222"]
+    texts += [("repeat me " * 20).strip()]  # in-doc loops
+    for n in (7, 8, 9, 15, 16, 17):  # window-boundary token counts
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+    while len(texts) < 330:
+        n = rng.randint(0, 40)
+        words = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.15 and n >= 8:
+            words[:8] = boiler.split()  # planted boilerplate paragraph
+        if rng.random() < 0.10:
+            words.append(f"fresh{len(texts)}tok")  # growing vocabulary
+        texts.append(" ".join(words))
+    # Planted exact + case-variant duplicates of random earlier docs.
+    for _ in range(20):
+        t = texts[rng.randrange(len(texts))]
+        texts.append(t)
+        texts.append(t.upper())
+    rows = [
+        (
+            i,
+            t,
+            rng.choice(langs),
+            f"src{rng.randrange(6)}",
+            len(t),
+        )
+        for i, t in enumerate(texts)
+    ]
+    # 370 docs → count//10 = 37: doc_id/37 hits x.5 quotients (t27 class).
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(f"{root}/documents.parquet", index=False)
+
+    nprng = np.random.RandomState(7)
+    n_vec, dim = 150, 64
+    emb = nprng.standard_normal((n_vec, dim)).astype(np.float32)
+    emb[40] = emb[17]  # exact twin (sim = 1.0 threshold edges)
+    emb[41] = emb[17] + 1e-4 * nprng.standard_normal(dim).astype(np.float32)
+    # Schema must mirror the driver fixture exactly (vec_id, embedding
+    # float32 list, label int32) — an extra column broke p02's join with
+    # an ambiguous reference, which is a fixture bug, not an engine one.
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(n_vec, dtype=np.int64),
+            "embedding": [emb[i].tolist() for i in range(n_vec)],
+            "label": (np.arange(n_vec) % 10).astype(np.int32),
+        }
+    ).to_parquet(f"{root}/embeddings.parquet", index=False)
+
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+    ).split():
+        shutil.copy(f"{SRC}/{t}.parquet", f"{root}/{t}.parquet")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("fuzz")
+    return _build_fuzz_corpus(spark, root)
+
+
+# Families whose inputs the fuzz corpus actually perturbs (documents /
+# embeddings). The relational r-family reads the untouched sf0.001
+# copies — already swept every round — so skipping it halves runtime
+# without losing fuzz coverage.
+FUZZED = sorted(
+    n for n in registry.QUERIES if n[0] in "dctvp" and n in registry.ORACLES
+)
+
+
+@pytest.mark.parametrize("name", FUZZED)
+def test_oracle_parity_on_fuzz_corpus(spark, fuzz_dir, name):
+    df = registry.QUERIES[name](spark, fuzz_dir)
+    assert_matches_oracle(df, registry.ORACLES[name], fuzz_dir)
