@@ -184,12 +184,25 @@ oracle(
 def r05_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, cust = tables(spark, sf_dir, "orders", "customer")
     open_orders = orders.filter(F.col("o_orderstatus") == "O")
+    # Integer-cents average: round(avg(double), n) can land on a true
+    # decimal tie (x...5 exactly), where Spark rounds the shortest-repr
+    # decimal and DuckDB the binary value — one cent of divergence (the
+    # r72 fuzz finding). Summing exact cents and rounding the integer
+    # ratio keeps every tie on an exactly-representable .5, which both
+    # engines round away from zero identically.
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
     return (
         cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            F.round(
+                F.round(
+                    F.sum(cents).cast("double") * 100 / F.count(F.lit(1))
+                )
+                / 10000,
+                4,
+            ).alias("avg_acctbal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -199,7 +212,9 @@ oracle(
     "r05_customers_with_open_orders",
     """
     SELECT c_mktsegment, count(*) AS n_customers,
-           round(avg(c_acctbal), 4) AS avg_acctbal
+           round(round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                            AS DOUBLE) * 100 / count(*)) / 10000, 4)
+             AS avg_acctbal
     FROM customer WHERE EXISTS (
       SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
     GROUP BY c_mktsegment ORDER BY c_mktsegment
@@ -564,7 +579,7 @@ oracle(
     WITH g AS (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -2688,7 +2703,7 @@ oracle(
     WITH g AS (
       SELECT user_id, ts, event_type,
              CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -3476,6 +3491,9 @@ oracle(
 @query("r72_unpivot_metrics")
 def r72_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, nation = tables(spark, sf_dir, "customer", "nation")
+    # Integer-cents money math (see r05): exact sums, and average ties
+    # land on representable .5 halves that both engines round the same.
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
     wide = (
         customer.join(
             F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
@@ -3483,8 +3501,14 @@ def r72_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).cast("double").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
+            F.round(F.sum(cents).cast("double") / 100, 2).alias(
+                "total_balance"
+            ),
+            F.round(
+                F.round(F.sum(cents).cast("double") / F.count(F.lit(1)))
+                / 100,
+                2,
+            ).alias("avg_balance"),
         )
     )
     return wide.unpivot(
@@ -3501,8 +3525,10 @@ oracle(
     WITH wide AS (
       SELECT n_name,
              CAST(count(*) AS DOUBLE) AS n_customers,
-             round(sum(c_acctbal), 2) AS total_balance,
-             round(avg(c_acctbal), 2) AS avg_balance
+             round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS DOUBLE) / 100, 2) AS total_balance,
+             round(round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                              AS DOUBLE) / count(*)) / 100, 2) AS avg_balance
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name
     )

@@ -111,7 +111,11 @@ def sessionize_chunked(
         .withColumn(
             "_new",
             F.when(
-                F.col("_prev").isNull() | (us - F.col("_prev") >= gap_us), 1
+                # STRICTLY greater: session_window keeps an event at
+                # exactly last+gap in the SAME session (probed round 3;
+                # [start, last+gap] is closed at the merge step), and
+                # this operator's contract is result-identity with it.
+                F.col("_prev").isNull() | (us - F.col("_prev") > gap_us), 1
             ).otherwise(0),
         )
         .withColumn(
@@ -135,7 +139,8 @@ def sessionize_chunked(
             "_new",
             F.when(
                 F.col("_prev_last").isNull()
-                | (F.col("_first_us") - F.col("_prev_last") >= gap_us),
+                # Same strict-greater boundary as phase 1.
+                | (F.col("_first_us") - F.col("_prev_last") > gap_us),
                 1,
             ).otherwise(0),
         )

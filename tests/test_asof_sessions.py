@@ -105,6 +105,10 @@ def test_sessionize_chunked_merges_chunk_boundary_sessions(spark):
         rows.append((1, base + dtm.timedelta(minutes=10 * i), 1.0))
     # hot user 1 again: a second burst well past the gap
     rows.append((1, base + dtm.timedelta(hours=5), 2.0))
+    # user 3: two events EXACTLY gap apart — session_window merges at
+    # the boundary (probed round 3), so chunked must merge too.
+    rows.append((3, base, 1.0))
+    rows.append((3, base + dtm.timedelta(minutes=30), 1.0))
     # user 2: one event just before midnight, next one 31 min later
     # (crosses the border OUTSIDE the gap — two sessions)
     rows.append((2, dtm.datetime(2024, 3, 1, 23, 58, 0), 1.0))
@@ -122,6 +126,7 @@ def test_sessionize_chunked_merges_chunk_boundary_sessions(spark):
         by_user.setdefault(u, []).append(n)
     assert sorted(by_user[1]) == [1, 13]
     assert by_user[2] == [1, 1]
+    assert by_user[3] == [2]  # exact-gap pair merges into ONE session
 
 
 def test_sessionize_streaming_matches_batch_for_closed_sessions(spark, tmp_path):

@@ -119,3 +119,86 @@ FUZZED = sorted(
 def test_oracle_parity_on_fuzz_corpus(spark, fuzz_dir, name):
     df = registry.QUERIES[name](spark, fuzz_dir)
     assert_matches_oracle(df, registry.ORACLES[name], fuzz_dir)
+
+
+def _build_relational_fuzz(root) -> str:
+    """Perturb the REAL sf0.001 relational tables toward the known
+    engine-tie edges: exact-second and session-gap-boundary timestamps,
+    same-timestamp event ties, power-of-two quantities with odd-cent
+    prices (the Q2 DECIMAL-division .5-tie class), and duplicated
+    lineitem business keys. FK domains are preserved (values only move
+    within existing key sets), so every join still lands."""
+    import numpy as np
+    import pandas as pd
+
+    rng = random.Random(424242)
+
+    ev = pd.read_parquet(f"{SRC}/events.parquet")
+    # Half the timestamps truncated to exact seconds (seconds-vs-micros
+    # divergences fire only when both sides of a comparison can tie).
+    mask = ev.index % 2 == 0
+    ev.loc[mask, "ts"] = ev.loc[mask, "ts"].dt.floor("s")
+    # Session-gap boundary clones: +30:00.000000 exactly after an
+    # existing event of the same user (gap >= vs > discriminator).
+    clones = ev.sample(n=20, random_state=7).copy()
+    clones["ts"] = clones["ts"] + pd.Timedelta(minutes=30)
+    clones["event_id"] = clones["event_id"] + 1_000_000
+    # Same-timestamp ties: distinct event_ids, identical (user, ts).
+    ties = ev.sample(n=20, random_state=11).copy()
+    ties["event_id"] = ties["event_id"] + 2_000_000
+    ties["value"] = ties["value"] + 0.5
+    ev = pd.concat([ev, clones, ties], ignore_index=True)
+    ev.to_parquet(f"{root}/events.parquet", index=False)
+
+    li = pd.read_parquet(f"{SRC}/lineitem.parquet")
+    # Power-of-two quantities + odd-cent prices: unit-cost divisions can
+    # land exactly on .5 at the rounded digit (the Q2 tie class).
+    idx = li.sample(n=60, random_state=13).index
+    li.loc[idx, "l_quantity"] = [
+        float(rng.choice([2, 4, 8, 16, 32])) for _ in idx
+    ]
+    # Money columns stay in the documented 2-dp domain (r01's scale
+    # proof depends on it: price*(1-d) then has ≤4 true decimals, so the
+    # DECIMAL casts never round — 3-dp discounts would manufacture
+    # rounding ties no generator of this schema produces).
+    li.loc[idx, "l_extendedprice"] = [
+        round(q * 100 + 0.25 * rng.choice([1, 2, 3]), 2)
+        for q in li.loc[idx, "l_quantity"]
+    ]
+    li.loc[idx, "l_discount"] = [
+        rng.choice([0.0, 0.05, 0.02, 0.1]) for _ in idx
+    ]
+    # Duplicate business keys (d01 counts them; aggregates must agree).
+    dup = li.sample(n=15, random_state=17)
+    li = pd.concat([li, dup], ignore_index=True)
+    li.to_parquet(f"{root}/lineitem.parquet", index=False)
+
+    od = pd.read_parquet(f"{SRC}/orders.parquet")
+    idx = od.sample(n=40, random_state=19).index
+    od.loc[idx, "o_totalprice"] = [
+        round(v, 2) + 0.01 for v in od.loc[idx, "o_totalprice"]
+    ]
+    od.to_parquet(f"{root}/orders.parquet", index=False)
+
+    for t in (
+        "region nation customer supplier part documents embeddings"
+    ).split():
+        shutil.copy(f"{SRC}/{t}.parquet", f"{root}/{t}.parquet")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def rel_fuzz_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("relfuzz")
+    return _build_relational_fuzz(root)
+
+
+REL_FUZZED = sorted(
+    n for n in registry.QUERIES if n[0] == "r" and n in registry.ORACLES
+)
+
+
+@pytest.mark.parametrize("name", REL_FUZZED)
+def test_relational_parity_on_fuzz_corpus(spark, rel_fuzz_dir, name):
+    df = registry.QUERIES[name](spark, rel_fuzz_dir)
+    assert_matches_oracle(df, registry.ORACLES[name], rel_fuzz_dir)
