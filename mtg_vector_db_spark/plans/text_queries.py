@@ -783,10 +783,17 @@ def t19_charlm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("lang")
         .agg(
             F.sum("e").alias("n_bigrams"),
+            # decimal(20,12) × decimal(14,0) → decimal(35,12): fits in
+            # precision 38, so the product keeps all 12 fractional
+            # digits. (28,12) × bigint would ideally need precision 49;
+            # Spark resolves that overflow by REDUCING THE SCALE to 6,
+            # silently rounding each term — while DuckDB's same multiply
+            # stays exact at scale 12 (t28 fuzz-seed-2007 finding).
             F.sum(
-                (F.col("logp").cast("decimal(28,12)") * F.col("e")).cast(
-                    "decimal(38,12)"
-                )
+                (
+                    F.col("logp").cast("decimal(20,12)")
+                    * F.col("e").cast("decimal(14,0)")
+                ).cast("decimal(38,12)")
             ).alias("_bits"),
         )
         .select(
@@ -1618,17 +1625,35 @@ def t28_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(
             F.sum("e").alias("n_big"),
+            # Same exact-product discipline as t19: (20,12) × (14,0) →
+            # (35,12) fits precision 38 with no scale reduction, so each
+            # logp×e term keeps all 12 fractional digits like DuckDB's
+            # DECIMAL(38,12) multiply does.
             F.sum(
-                (F.col("logp").cast("decimal(28,12)") * F.col("e")).cast(
-                    "decimal(38,12)"
-                )
+                (
+                    F.col("logp").cast("decimal(20,12)")
+                    * F.col("e").cast("decimal(14,0)")
+                ).cast("decimal(38,12)")
             ).alias("_bits"),
         )
         .select(
             "doc_id",
             "lang",
+            # Integer-micro-bit quotient (see r05's integer-cents note):
+            # round(exact_decimal / n, 6) can land on a true decimal tie,
+            # where Spark rounds the shortest repr and DuckDB the binary
+            # value. Rounding (-_bits × 1e6) to an exact integer first and
+            # then rounding the integer ratio keeps every tie on an
+            # exactly-representable .5, which both engines round away
+            # from zero identically (t28 fuzz-seed-2007 finding).
             F.round(
-                -F.col("_bits").cast("double") / F.col("n_big"), 6
+                F.round(
+                    F.round(-F.col("_bits") * 1000000)
+                    .cast("double")
+                    / F.col("n_big")
+                )
+                / 1000000,
+                6,
             ).alias("bpc"),
         )
     )
@@ -1645,9 +1670,16 @@ def t28_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed.groupBy("lang", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
+            # Same integer-micro tie guard as bpc above: the decimal sum
+            # × 1e6 is an exact integer, so the average's round-to-6 tie
+            # is an exactly-representable .5 in both engines.
             F.round(
-                F.sum(F.col("bpc").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
+                F.round(
+                    (F.sum(F.col("bpc").cast("decimal(18,6)")) * 1000000)
+                    .cast("double")
+                    / F.count(F.lit(1))
+                )
+                / 1000000,
                 6,
             ).alias("avg_bpc"),
         )
@@ -1678,10 +1710,15 @@ oracle(
                   count(*) AS e
            FROM bg WHERE NOT is_train GROUP BY 1, 2, 3, 4),
     per_doc AS (
+      -- Integer-micro-bit quotient: exact decimal sum scaled to integer
+      -- micro-bits before the divide, so round-to-6 ties land on an
+      -- exactly-representable .5 (mirrors the Spark plan).
       SELECT doc_id, lang,
-             round(-CAST(sum(CAST(round(log2((coalesce(mb.c, 0) + 1) * 1.0
+             round(round(CAST(round(-sum(CAST(round(log2(
+                       (coalesce(mb.c, 0) + 1) * 1.0
                        / (coalesce(mp.cp, 0) + {_T19_V})), 12)
-                     AS DECIMAL(28,12)) * e) AS DOUBLE) / sum(e), 6) AS bpc
+                     AS DECIMAL(28,12)) * e) * 1000000) AS DOUBLE)
+                   / sum(e)) / 1000000, 6) AS bpc
       FROM ev LEFT JOIN model_big mb USING (big)
               LEFT JOIN model_pre mp USING (pre)
       GROUP BY 1, 2
@@ -1695,8 +1732,8 @@ oracle(
       FROM per_doc
     )
     SELECT lang, bucket, count(*) AS n_docs,
-           round(CAST(sum(CAST(bpc AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 6) AS avg_bpc
+           round(round(CAST(sum(CAST(bpc AS DECIMAL(18,6))) * 1000000
+                            AS DOUBLE) / count(*)) / 1000000, 6) AS avg_bpc
     FROM bucketed GROUP BY 1, 2 ORDER BY lang, bucket
     """,
 )

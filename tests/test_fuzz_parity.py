@@ -29,11 +29,11 @@ registry.load_all()
 SRC = "/root/testdata/sf0.001"
 
 
-def _build_fuzz_corpus(spark, root) -> str:
+def _build_fuzz_corpus(spark, root, seed: int = 20260814) -> str:
     import numpy as np
     import pandas as pd
 
-    rng = random.Random(20260814)
+    rng = random.Random(seed)
     vocab = (
         "key agg row scan slow fast table value part hash merge batch spark "
         "the a line sort window alpha beta gamma delta Unicode Ünïcode 中文 "
@@ -121,7 +121,7 @@ def test_oracle_parity_on_fuzz_corpus(spark, fuzz_dir, name):
     assert_matches_oracle(df, registry.ORACLES[name], fuzz_dir)
 
 
-def _build_relational_fuzz(root) -> str:
+def _build_relational_fuzz(root, seed: int = 424242) -> str:
     """Perturb the REAL sf0.001 relational tables toward the known
     engine-tie edges: exact-second and session-gap-boundary timestamps,
     same-timestamp event ties, power-of-two quantities with odd-cent
@@ -131,7 +131,7 @@ def _build_relational_fuzz(root) -> str:
     import numpy as np
     import pandas as pd
 
-    rng = random.Random(424242)
+    rng = random.Random(seed)
 
     ev = pd.read_parquet(f"{SRC}/events.parquet")
     # Half the timestamps truncated to exact seconds (seconds-vs-micros
@@ -202,3 +202,37 @@ REL_FUZZED = sorted(
 def test_relational_parity_on_fuzz_corpus(spark, rel_fuzz_dir, name):
     df = registry.QUERIES[name](spark, rel_fuzz_dir)
     assert_matches_oracle(df, registry.ORACLES[name], rel_fuzz_dir)
+
+
+# ---------------------------------------------------------------------------
+# Regression pins for bugs only a specific fuzz seed exposed. Seed 2007
+# caught the Spark decimal-multiply scale reduction: decimal(28,12) ×
+# bigint ideally needs precision 49, and Spark resolves the overflow by
+# dropping the result scale to 6 — silently rounding every logp×e term —
+# while DuckDB's same multiply widens to DECIMAL(38,12) and stays exact.
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def seed2007_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("fuzz2007")
+    return _build_fuzz_corpus(spark, root, seed=2007)
+
+
+@pytest.mark.parametrize(
+    "name", ["t19_charlm_crossentropy", "t28_ccnet_buckets"]
+)
+def test_decimal_multiply_scale_regression(spark, seed2007_dir, name):
+    df = registry.QUERIES[name](spark, seed2007_dir)
+    assert_matches_oracle(df, registry.ORACLES[name], seed2007_dir)
+
+
+def test_decimal_multiply_keeps_scale(spark):
+    """The product type used by t19/t28 must keep all 12 fractional
+    digits — decimal(20,12) × decimal(14,0) → decimal(35,12) fits in
+    precision 38 with no scale adjustment."""
+    df = spark.sql(
+        "SELECT CAST(-2.906890595609 AS DECIMAL(20,12))"
+        " * CAST(3 AS DECIMAL(14,0)) AS p"
+    )
+    t = df.schema["p"].dataType
+    assert (t.precision, t.scale) == (35, 12), t
+    assert str(df.collect()[0].p) == "-8.720671786827"
