@@ -483,6 +483,54 @@ def lloyd_ivf_build(
     return centroids_df, final
 
 
+def dynamic_seed_cells(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    target_per_cell: int = 250,
+    min_cells: int = 8,
+) -> DataFrame:
+    """Seed-centroid table whose size GROWS WITH THE CORPUS:
+    ``k = greatest(min_cells, ceil(n / target_per_cell))`` lowest-id
+    vectors become the frozen cells (the d06/p17 seeding rule).
+
+    Why dynamic: IVF-blocked similarity self-joins generate Σ_cell
+    |cell|² candidate pairs. A FIXED cell count makes that quadratic in
+    the corpus (measured: the 8-cell d06 shape went >600 s at sf1 while
+    the cells-∝-n shape stayed linear — SCALE.md "sf1 step"). Growing k
+    with n keeps per-cell population near ``target_per_cell``, so pairs
+    ∝ n·target and the blocking stays scale-safe without retuning.
+
+    The count enters the plan as a 1-row broadcast (scalar fold), so
+    the seed derivation itself is lazy; downstream ``ivf_assign`` /
+    ``ivf_multi_assign`` fold the k-row result to a centroid literal
+    (the documented bounded collect in ``_scored_cells``). The SQL
+    oracle replays the sizing as a scalar subquery:
+    ``WHERE vec_id < (SELECT greatest(8, CAST(ceil(count(*) / 250.0)
+    AS INT)) FROM embeddings)``.
+    """
+    k = (
+        emb.agg(
+            F.greatest(
+                F.lit(min_cells),
+                F.ceil(F.count(F.lit(1)) / F.lit(float(target_per_cell))),
+            )
+            .cast("int")
+            .alias("_k")
+        )
+    )
+    return (
+        emb.crossJoin(F.broadcast(k))
+        .filter(F.col(id_col) < F.col("_k"))
+        .select(
+            F.col(id_col).cast("int").alias("cell"),
+            F.transform(emb_col, lambda x: x.cast("double")).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,

@@ -1145,15 +1145,15 @@ _C21_CELLS = 8
 @query("c21_semdedup_keep")
 def c21_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mtg_vector_db_spark.functions.vector import dot, l2_normalize
-    from mtg_vector_db_spark.operators.ann import ivf_assign
+    from mtg_vector_db_spark.operators.ann import (
+        dynamic_seed_cells,
+        ivf_assign,
+    )
 
     (emb,) = tables(spark, sf_dir, "embeddings")
-    seeds = emb.filter(F.col("vec_id") < _C21_CELLS).select(
-        F.col("vec_id").cast("int").alias("cell"),
-        F.transform("embedding", lambda x: x.cast("double")).alias(
-            "centroid"
-        ),
-    )
+    # Cells ∝ n (greatest(8, ceil(n/250)) seeds) — same scale guard as
+    # d06: fixed cells make the Σ|cell|² pair join quadratic.
+    seeds = dynamic_seed_cells(emb, min_cells=_C21_CELLS)
     assigned = ivf_assign(emb, seeds).select("vec_id", "cell")
     nx = emb.select("vec_id", l2_normalize(F.col("embedding")).alias("nx"))
     a = assigned.join(nx, "vec_id")
@@ -1189,11 +1189,16 @@ def c21_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _c21_oracle() -> str:
     return f"""
-    WITH c AS (
+    WITH k AS (
+      SELECT greatest({_C21_CELLS}, CAST(ceil(count(*) / 250.0) AS INT))
+        AS n_cells
+      FROM embeddings
+    ),
+    c AS (
       SELECT CAST(vec_id AS INT) AS cell, CAST(embedding AS DOUBLE[]) AS cvec,
              list_inner_product(CAST(embedding AS DOUBLE[]),
                                 CAST(embedding AS DOUBLE[])) AS n2
-      FROM embeddings WHERE vec_id < {_C21_CELLS}
+      FROM embeddings WHERE vec_id < (SELECT n_cells FROM k)
     ),
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     n AS (SELECT vec_id,
@@ -1223,3 +1228,67 @@ def _c21_oracle() -> str:
 
 
 oracle("c21_semdedup_keep", _c21_oracle())
+
+
+# ---------------------------------------------------------------------------
+# C22 (extension): weighted reservoir sample (Efraimidis–Spirakis A-ES)
+# — importance-weighted corpus down-sampling, the general form of c04's
+# uniform stratified sample. Each doc draws the deterministic md5
+# uniform u ∈ (0,1] and keys u^(1/w); the top-k keys ARE a weighted
+# sample without replacement. One TakeOrdered pass, no per-group state,
+# merges across shards by construction (top-k of a union = top-k of
+# per-shard top-k) — the standard distributed weighted-sampling recipe.
+# Ranking uses the ROUNDED key (12 dp) with doc_id tie-break, the
+# ln-ulp discipline from SCALE.md, so the boundary can't flip between
+# engines; the reported key is rounded to the driver's 9-digit hash
+# precision.
+# ---------------------------------------------------------------------------
+_C22_K = 20
+
+
+@query("c22_weighted_sample")
+def c22_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 1.0
+    ) / F.lit(4294967297.0)
+    key = F.round(F.pow(u, 1.0 / w), 12)
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").alias("weight_chars"),
+            key.alias("_key"),
+        )
+        .orderBy(F.desc("_key"), "doc_id")
+        .limit(_C22_K)
+        .select(
+            "doc_id",
+            "weight_chars",
+            F.round(F.col("_key"), 9).alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), "doc_id")
+    )
+
+
+oracle(
+    "c22_weighted_sample",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars AS weight_chars,
+             round(power((list_sum(list_transform(range(1, 9), i ->
+                     (strpos('0123456789abcdef',
+                      substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                     * power(16, 8 - i))) + 1.0) / 4294967297.0,
+                   1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)), 12)
+               AS _key
+      FROM documents
+    )
+    SELECT doc_id, weight_chars, round(_key, 9) AS sample_key
+    FROM keyed
+    ORDER BY _key DESC, doc_id LIMIT {_C22_K}
+    """,
+)

@@ -241,13 +241,16 @@ oracle(
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup, IVF-cell blocked — the scale-safe composition:
 # soft-assign every vector to its nprobe=3 nearest frozen cells
-# (operators/ann.py:ivf_multi_assign, seed centroids = the 8 lowest-id
-# vectors, the p17 freeze pattern), candidate pairs share ≥1 cell, then
-# exact-cosine verify at the threshold. Never O(n²): candidate volume is
-# Σ_cell |cell|² and the only shuffle keys on cell. Recall vs the all-pairs
+# (operators/ann.py:ivf_multi_assign; seed centroids = the
+# greatest(8, ceil(n/250)) lowest-id vectors via dynamic_seed_cells, so
+# the cell count GROWS WITH THE CORPUS), candidate pairs share ≥1 cell,
+# then exact-cosine verify at the threshold. Never O(n²): candidate
+# volume is Σ_cell |cell|², and with cells ∝ n the per-cell population
+# stays ~250, so pairs ∝ n (the fixed-8 form measured quadratic at sf1 —
+# SCALE.md). The only shuffle keys on cell. Recall vs the all-pairs
 # ground truth is 0.948 at sf0.01 (pinned ≥ 0.9 in tests/test_dedup.py);
-# the oracle replays the identical assign → block → verify chain, so the
-# approximate pipeline itself is checked exactly.
+# the oracle replays the identical k → assign → block → verify chain, so
+# the approximate pipeline itself is checked exactly.
 # ---------------------------------------------------------------------------
 _D06_NPROBE = 3
 _D06_TAU = 0.35
@@ -256,13 +259,18 @@ _D06_TAU = 0.35
 @query("d06_embedding_neardup")
 def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mtg_vector_db_spark.functions.vector import dot, l2_normalize
-    from mtg_vector_db_spark.operators.ann import ivf_multi_assign
+    from mtg_vector_db_spark.operators.ann import (
+        dynamic_seed_cells,
+        ivf_multi_assign,
+    )
 
     (emb,) = tables(spark, sf_dir, "embeddings")
-    seeds = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").cast("int").alias("cell"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
-    )
+    # Cells grow with the corpus: greatest(8, ceil(n/250)) lowest-id
+    # seeds — 8 at the sf0.01 oracle anchor (unchanged driver gate), 80
+    # at the sf1 fixture, where the fixed-8 form measured quadratic
+    # (SCALE.md "sf1 step"). The count is a 1-row broadcast, not a
+    # driver round-trip.
+    seeds = dynamic_seed_cells(emb)
     blocked = ivf_multi_assign(emb, seeds, nprobe=_D06_NPROBE)
     a = blocked.select(F.col("vec_id").alias("id_a"), "cell")
     b = blocked.select(F.col("vec_id").alias("id_b"), "cell")
@@ -297,11 +305,15 @@ def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 oracle(
     "d06_embedding_neardup",
     f"""
-    WITH c AS (
+    WITH k AS (
+      SELECT greatest(8, CAST(ceil(count(*) / 250.0) AS INT)) AS n_cells
+      FROM embeddings
+    ),
+    c AS (
       SELECT CAST(vec_id AS INT) AS cell, CAST(embedding AS DOUBLE[]) AS cvec,
              list_inner_product(CAST(embedding AS DOUBLE[]),
                                 CAST(embedding AS DOUBLE[])) AS n2
-      FROM embeddings WHERE vec_id < 8
+      FROM embeddings WHERE vec_id < (SELECT n_cells FROM k)
     ),
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     n AS (SELECT vec_id, v,

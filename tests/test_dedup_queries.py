@@ -285,3 +285,29 @@ def test_paragraph_dedup_is_case_insensitive_on_fingerprint(spark):
            paragraph_dedup(docs, para_tokens=8).collect()}
     assert out[1]["n_kept"] == 1 and out[1]["text_kept"] == para
     assert out[2]["n_kept"] == 0
+
+
+def test_dynamic_seed_cells_grow_with_corpus(spark):
+    """Cell count is greatest(min_cells, ceil(n / target)): 8 at the
+    sf0.01 oracle anchor (500 vectors), 80 at the sf1 fixture scale
+    (20k) — the measured linear-vs-quadratic d06 lever in SCALE.md."""
+    from pyspark.sql import functions as F
+
+    from mtg_vector_db_spark.operators.ann import dynamic_seed_cells
+
+    def emb_of(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(1.0), F.col("id").cast("double")).alias(
+                "embedding"
+            ),
+        )
+
+    for n, want in [(1, 8), (500, 8), (2000, 8), (20000, 80), (20001, 81)]:
+        got = dynamic_seed_cells(emb_of(n)).count()
+        assert got == min(want, n), (n, got, want)
+    # The seeds are the LOWEST ids, so the assignment rule is replayable.
+    cells = sorted(
+        r["cell"] for r in dynamic_seed_cells(emb_of(5000)).collect()
+    )
+    assert cells == list(range(20))
