@@ -87,6 +87,9 @@ HEADLINE = [
     "d14_paragraph_dedup",      # CCNet cross-doc paragraph dedup (round 3)
     "c21_semdedup_keep",        # SemDeDup greedy cell-blocked semantic dedup
     "t28_ccnet_buckets",        # per-doc perplexity head/middle/tail bands
+    "t29_hll_source_cardinality",  # HLL register sketch + exact-twin report
+    "t30_cms_heavy_hitters",    # count-min sketch heavy-hitter report
+    "c22_weighted_sample",      # A-ES weighted reservoir sample (0-shuffle)
     # c18_quality_keep is NOT benched: its cluster input is the d02
     # exact-pairs baseline, an intentionally id-bounded O(n²) oracle
     # anchor — benching it would time the demo bound, not the operator.

@@ -1737,3 +1737,161 @@ oracle(
     FROM bucketed GROUP BY 1, 2 ORDER BY lang, bucket
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# T29 (extension): HyperLogLog distinct-text cardinality per source —
+# the sketch that replaces exact COUNT(DISTINCT) at 100 TB, where the
+# exact form shuffles every distinct value and the sketch shuffles at
+# most groups × 4096 register rows (map-side combined max). Registers
+# are md5-derived (operators/sketches.py), so re-runs never drift and
+# the DuckDB oracle replays the registers AND the estimate bit-exactly
+# (Spark's own approx_count_distinct is HLL too, but its hashing is not
+# SQL-replayable — the sketch here is the auditable twin). The exact
+# distinct rides along as the accuracy report; production drops it.
+# ---------------------------------------------------------------------------
+@query("t29_hll_source_cardinality")
+def t29_hll_source_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    nn = docs.filter(F.col("text").isNotNull())
+    regs = hll_registers(nn, F.col("text"), ["source"])
+    est = hll_estimate(regs, ["source"])
+    # Distinct over the 128-bit fingerprint, not the raw text: the
+    # comparison column must not shuffle multi-KB documents as keys
+    # (the p19/p24 discipline; pinned by the raw-text plan gate).
+    exact = nn.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_exact"),
+    )
+    # Integer-milli error ratio (the r05 integer-ratio tie guard): the
+    # estimate has 3 dp, so est×1000 and exact×1000 are exact integers
+    # and the rounded relative error can only tie on representable .5s.
+    diff = F.abs(
+        F.round(F.col("n_hll") * 1000).cast("long")
+        - F.col("n_exact") * 1000
+    )
+    rel = F.round(
+        F.round(diff * F.lit(1000000.0) / (F.col("n_exact") * 1000))
+        / 1000000,
+        6,
+    )
+    return (
+        exact.join(est, "source")
+        .select(
+            "source",
+            "n_rows",
+            "n_exact",
+            "n_hll",
+            F.when(F.col("n_exact") > 0, rel).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
+
+
+def _t29_oracle() -> str:
+    from mtg_vector_db_spark.operators.sketches import hll_oracle_sql
+
+    est = hll_oracle_sql(
+        "text", "(SELECT * FROM documents WHERE text IS NOT NULL)", "source"
+    )
+    return f"""
+    WITH est AS ({est}),
+    ex AS (
+      SELECT source, count(*) AS n_rows,
+             count(DISTINCT md5(text)) AS n_exact
+      FROM documents WHERE text IS NOT NULL GROUP BY 1
+    )
+    SELECT source, n_rows, n_exact, n_hll,
+           CASE WHEN n_exact > 0 THEN
+             round(round(abs(CAST(round(n_hll * 1000) AS BIGINT)
+                             - n_exact * 1000) * 1000000.0
+                         / (n_exact * 1000)) / 1000000, 6)
+           END AS rel_err
+    FROM ex JOIN est USING (source)
+    ORDER BY source
+    """
+
+
+oracle("t29_hll_source_cardinality", _t29_oracle())
+
+
+# ---------------------------------------------------------------------------
+# T30 (extension): count-min heavy hitters — the frequency sketch for
+# token / n-gram / URL hot-list probes at corpus scale. The token
+# stream is shuffled ONCE (the exact count the report compares
+# against); the sketch itself is depth×width = 4×1024 cells (32 KiB),
+# merges across shards by per-cell SUM, and estimates are a broadcast
+# map-side min over 4 cells. Estimates are ≥ exact by construction;
+# the report shows the overestimate on the true top-15. All integer
+# arithmetic on md5-derived cells — no float parity surface at all.
+# ---------------------------------------------------------------------------
+@query("t30_cms_heavy_hitters")
+def t30_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    # Persisted: the token-count relation feeds the sketch build, the
+    # probe set, AND the report join — one token shuffle, shared by all
+    # three (the p24 persist pattern; without it Spark re-runs the
+    # groupBy per consumer).
+    tc = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    sketch = cms_build(tc)
+    est = cms_estimate(tc, sketch)
+    return (
+        tc.join(est, "token")
+        .orderBy(F.desc("cnt"), "token")
+        .limit(15)
+        .select(
+            "token",
+            F.col("cnt").alias("exact_cnt"),
+            "cms_est",
+            (F.col("cms_est") - F.col("cnt")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), "token")
+    )
+
+
+oracle(
+    "t30_cms_heavy_hitters",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS_L}) AS token FROM documents),
+    tc AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+    rws AS (SELECT unnest(range(4)) AS row),
+    cells AS (
+      SELECT rws.row,
+             CAST(concat('0x', substring(md5(concat(
+                    CAST(rws.row AS VARCHAR), ':', token)), 1, 8))
+                  AS BIGINT) % 1024 AS cell,
+             cnt
+      FROM tc CROSS JOIN rws
+    ),
+    sk AS (SELECT row, cell, sum(cnt) AS total FROM cells GROUP BY 1, 2),
+    probe AS (
+      SELECT tc.token, tc.cnt, min(sk.total) AS cms_est
+      FROM tc CROSS JOIN rws
+      JOIN sk ON sk.row = rws.row
+             AND sk.cell = CAST(concat('0x', substring(md5(concat(
+                    CAST(rws.row AS VARCHAR), ':', tc.token)), 1, 8))
+                  AS BIGINT) % 1024
+      GROUP BY 1, 2
+    )
+    SELECT token, cnt AS exact_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - cnt AS BIGINT) AS overestimate
+    FROM probe ORDER BY exact_cnt DESC, token LIMIT 15
+    """,
+)

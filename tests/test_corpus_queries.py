@@ -18,7 +18,7 @@ CORPUS_QUERIES = [n for n in registry.QUERIES if n.startswith("c")]
 
 
 def test_family_registered():
-    assert len(CORPUS_QUERIES) == 21  # c01-c21 (c21 SemDeDup, round 3)
+    assert len(CORPUS_QUERIES) == 22  # c01-c22 (c22 A-ES sample, round 3)
     assert all(n in registry.ORACLES for n in CORPUS_QUERIES)
 
 
