@@ -832,3 +832,60 @@ def streaming_paragraph_dedup(
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def streaming_hll_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    registers_path: str,
+    checkpoint: str,
+    schema: str = "doc_id long, text string, source string",
+) -> "DataStreamWriter":
+    """Incremental distinct-cardinality tracking: documents arriving on a
+    stream fold into a persisted HLL register store
+    (operators/sketches.py) by per-bucket MAX — never a recount over the
+    accumulated history.
+
+    Per batch: sketch the batch's texts (O(batch), map-side combined),
+    merge with the stored registers, atomically replace the store. The
+    serving side (``hll_estimate`` over the store) answers "how many
+    distinct documents has this source ever sent" from ≤ sources × 4096
+    rows no matter how much history the registers summarize. MAX-merge
+    makes replays idempotent: re-folding a batch the checkpoint already
+    covered cannot change any register, so the store is exactly-once
+    WITHOUT a dedup log — the same monotone-accumulation contract as
+    streaming_bloom_maintenance's bit_or.
+    """
+    from mtg_vector_db_spark.operators.sketches import hll_registers
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        new = hll_registers(
+            batch_df.filter(F.col("text").isNotNull()),
+            F.col("text"),
+            ["source"],
+        )
+        try:
+            # Detach the old store from its files before the overwrite
+            # (collect: bounded by sources × 4096 register rows — the
+            # whole point of the sketch is that this cap never grows).
+            old_rows = s.read.parquet(registers_path).collect()
+        except Exception:
+            old_rows = []
+        if old_rows:
+            old = s.createDataFrame(
+                old_rows, "source string, bucket int, m_j int"
+            )
+            new = (
+                new.unionByName(old)
+                .groupBy("source", "bucket")
+                .agg(F.max("m_j").alias("m_j"))
+            )
+        new.write.mode("overwrite").parquet(registers_path)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )

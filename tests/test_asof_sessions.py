@@ -742,3 +742,83 @@ def test_streaming_paragraph_dedup_matches_batch(spark, tmp_path):
     n_fps = spark.read.parquet(store).count()
     distinct_fps = spark.read.parquet(store).distinct().count()
     assert n_fps == distinct_fps
+
+
+def test_streaming_hll_maintenance_equals_oneshot(spark, tmp_path):
+    """Registers after two micro-batches equal a one-shot sketch over
+    both batches' documents (MAX-merge ≡ rebuild), and re-folding a
+    batch is a no-op (idempotent replay — the exactly-once argument)."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from mtg_vector_db_spark.streaming.pipelines import (
+        streaming_hll_maintenance,
+    )
+
+    rows1 = [(i, f"doc text number {i}", "web") for i in range(40)]
+    rows2 = [(i, f"doc text number {i}", "web") for i in range(30, 70)] + [
+        (100 + i, f"book passage {i}", "books") for i in range(20)
+    ]
+    schema = "doc_id long, text string, source string"
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    def run():
+        q = (
+            streaming_hll_maintenance(
+                spark,
+                str(src / "*"),
+                str(tmp_path / "registers"),
+                str(tmp_path / "ckpt"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    run()
+
+    stored = spark.read.parquet(str(tmp_path / "registers"))
+    both = spark.createDataFrame(rows1 + rows2, schema)
+    oneshot = {
+        (r["source"], r["bucket"]): r["m_j"]
+        for r in hll_registers(both, F.col("text"), ["source"]).collect()
+    }
+    got = {
+        (r["source"], r["bucket"]): r["m_j"] for r in stored.collect()
+    }
+    assert got == oneshot
+
+    # Replay batch 1's content: MAX-merge must leave the store unchanged.
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src / "b3")
+    )
+    run()
+    again = {
+        (r["source"], r["bucket"]): r["m_j"]
+        for r in spark.read.parquet(str(tmp_path / "registers")).collect()
+    }
+    assert again == oneshot
+
+    # The estimate over the (re-read — the store was just overwritten)
+    # registers answers per-source cardinality within sketch error
+    # (70 web + 20 books distinct texts here).
+    est = {
+        r["source"]: r["n_hll"]
+        for r in hll_estimate(
+            spark.read.parquet(str(tmp_path / "registers")), ["source"]
+        ).collect()
+    }
+    assert abs(est["web"] - 70) / 70 < 0.15
+    assert abs(est["books"] - 20) / 20 < 0.15
