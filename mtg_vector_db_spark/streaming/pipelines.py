@@ -889,3 +889,67 @@ def streaming_hll_maintenance(
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def streaming_cms_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    sketch_path: str,
+    checkpoint: str,
+    schema: str = "doc_id long, text string, source string",
+) -> "DataStreamWriter":
+    """Incremental token-frequency sketch: arriving documents fold into
+    the persisted count-min cells (operators/sketches.py) by per-cell
+    SUM.
+
+    Unlike the bloom/HLL faces, SUM-merge is NOT idempotent — a
+    replayed micro-batch would double-count — so this face carries the
+    third exactly-once pattern in this module: a ``last_batch``
+    high-watermark stored with the sketch. foreachBatch delivers
+    monotonically increasing ``batch_id``s per checkpoint; a replay
+    (same or lower id, e.g. after a failure between the sink write and
+    the checkpoint commit) is detected and skipped, making the
+    non-idempotent fold effectively-once. (bit_or/MAX faces get this
+    for free from merge algebra; SUM needs the watermark.)
+
+    The store stays ≤ depth × width cells (+ the watermark column)
+    forever — heavy-hitter probes against unbounded history from 32 KiB
+    of state.
+    """
+    from mtg_vector_db_spark.functions.text import tokens
+    from mtg_vector_db_spark.operators.sketches import cms_build
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        try:
+            # collect: bounded by depth × width sketch cells.
+            old_rows = s.read.parquet(sketch_path).collect()
+        except Exception:
+            old_rows = []
+        last = max((r["last_batch"] for r in old_rows), default=-1)
+        if batch_id <= last:
+            return  # replayed batch: already folded, skip
+        toks = batch_df.filter(F.col("text").isNotNull()).select(
+            F.explode(tokens(F.lower(F.col("text")))).alias("token")
+        )
+        tc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        new = cms_build(tc)
+        if old_rows:
+            old = s.createDataFrame(
+                old_rows, "row int, cell long, total long, last_batch long"
+            ).drop("last_batch")
+            new = (
+                new.unionByName(old)
+                .groupBy("row", "cell")
+                .agg(F.sum("total").alias("total"))
+            )
+        new.withColumn("last_batch", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(sketch_path)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )

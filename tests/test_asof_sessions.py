@@ -822,3 +822,74 @@ def test_streaming_hll_maintenance_equals_oneshot(spark, tmp_path):
     }
     assert abs(est["web"] - 70) / 70 < 0.15
     assert abs(est["books"] - 20) / 20 < 0.15
+
+
+def test_streaming_cms_maintenance_sum_merge_with_replay_guard(
+    spark, tmp_path
+):
+    """Cells after two micro-batches equal a one-shot sketch over both
+    batches' tokens, and a simulated double-delivery (fresh checkpoint
+    re-reading the same files as batch 0) is skipped by the last_batch
+    watermark — SUM-merge needs the guard where MAX/bit_or don't."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.functions.text import tokens
+    from mtg_vector_db_spark.operators.sketches import cms_build
+    from mtg_vector_db_spark.streaming.pipelines import (
+        streaming_cms_maintenance,
+    )
+
+    rows1 = [(i, "alpha beta gamma common", "web") for i in range(10)]
+    rows2 = [(50 + i, "delta common epsilon", "web") for i in range(5)]
+    schema = "doc_id long, text string, source string"
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    def run(ckpt):
+        q = (
+            streaming_cms_maintenance(
+                spark,
+                str(src / "*"),
+                str(tmp_path / "sketch"),
+                str(tmp_path / ckpt),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ckpt")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    run("ckpt")
+
+    both = spark.createDataFrame(rows1 + rows2, schema)
+    tc = (
+        both.select(
+            F.explode(tokens(F.lower(F.col("text")))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    oneshot = {
+        (r["row"], r["cell"]): r["total"] for r in cms_build(tc).collect()
+    }
+
+    def stored():
+        return {
+            (r["row"], r["cell"]): r["total"]
+            for r in spark.read.parquet(str(tmp_path / "sketch")).collect()
+        }
+
+    assert stored() == oneshot
+
+    # Double delivery: a FRESH checkpoint re-reads every file as batch 0.
+    # Without the watermark this would double every cell; with it the
+    # replay is skipped and the store is unchanged.
+    run("ckpt-replayed")
+    assert stored() == oneshot
