@@ -914,6 +914,14 @@ oracle(
 # codebooks, so the oracle replays probe → assignment-prune → encode →
 # ADC → rescore end to end. The k-means-trained composition keeps its
 # recall floor in test_quantize.py.
+#
+# NOTE on the fixed nlist across this index family (p16/p17/p26/p27):
+# for a SERVED index, nlist is a build-time constant (FAISS semantics —
+# resizing means rebuilding), so frozen-8 is the honest registered form
+# at the fixture scale; size it per corpus at build time (the
+# ann.dynamic_seed_cells rule, k ≈ n/target_per_cell, is the sizing
+# d06/c21 apply automatically for their self-join blocking, where a
+# fixed count is a measured quadratic — SCALE.md "sf1 step").
 # ---------------------------------------------------------------------------
 @query("p16_ivfpq_search")
 def p16_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
