@@ -698,6 +698,11 @@ def streaming_manifest_maintenance(
     fold into the persisted per-source manifest per micro-batch — the
     manifest-structure analogue of streaming_bloom_maintenance, and the
     proof that c19 never needs a history rescan.
+
+    The additive columns are NOT replay-idempotent (a re-delivered
+    micro-batch would double-count n_docs/n_tokens/checksum), so the
+    store carries the same ``last_batch`` high-watermark as
+    streaming_cms_maintenance; serving reads drop the column.
     """
     from mtg_vector_db_spark.functions.textstats import token_count
 
@@ -708,6 +713,15 @@ def streaming_manifest_maintenance(
         h32 = F.conv(
             F.substring(F.md5("text"), 1, 8), 16, 10
         ).cast("long")
+        try:
+            # collect: bounded by one manifest row per distinct source —
+            # a handful of rows, never corpus-sized.
+            old_rows = s.read.parquet(manifest_path).collect()
+        except Exception:
+            old_rows = []
+        last = max((r["last_batch"] for r in old_rows), default=-1)
+        if batch_id <= last:
+            return  # replayed batch: already folded, skip
         new = batch_df.groupBy("source").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(token_count(F.col("text")).cast("long")).alias(
@@ -717,14 +731,13 @@ def streaming_manifest_maintenance(
             F.max("doc_id").alias("max_doc_id"),
             F.sum(h32).alias("content_checksum"),
         )
-        try:
-            # collect: bounded by one manifest row per distinct source —
-            # a handful of rows, never corpus-sized.
-            old_rows = s.read.parquet(manifest_path).collect()
-        except Exception:
-            old_rows = []
         if old_rows:
-            old = s.createDataFrame(old_rows, new.schema)
+            old = s.createDataFrame(
+                old_rows,
+                "source string, n_docs long, n_tokens long,"
+                " min_doc_id long, max_doc_id long,"
+                " content_checksum long, last_batch long",
+            ).drop("last_batch")
             new = (
                 old.unionByName(new)
                 .groupBy("source")
@@ -736,7 +749,9 @@ def streaming_manifest_maintenance(
                     F.sum("content_checksum").alias("content_checksum"),
                 )
             )
-        new.write.mode("overwrite").parquet(manifest_path)
+        new.withColumn("last_batch", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(manifest_path)
 
     return (
         stream.writeStream.foreachBatch(upsert)

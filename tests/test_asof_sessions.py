@@ -659,25 +659,40 @@ def test_streaming_manifest_equals_batch_manifest(spark, tmp_path):
     docs.repartition(3).write.parquet(src)
 
     manifest = str(tmp_path / "manifest")
-    q = (
-        streaming_manifest_maintenance(
-            spark, src, manifest, str(tmp_path / "ckpt")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
 
-    streamed = sorted(
-        tuple(r) for r in spark.read.parquet(manifest).collect()
-    )
+    def run(ckpt):
+        q = (
+            streaming_manifest_maintenance(
+                spark, src, manifest, str(tmp_path / ckpt)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ckpt")
+
+    def streamed():
+        # serving read drops the replay watermark column
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(manifest)
+            .drop("last_batch")
+            .collect()
+        )
+
     batch = sorted(
         tuple(r)
         for r in registry.QUERIES["c19_provenance_manifest"](
             spark, sf
         ).collect()
     )
-    assert streamed == batch and len(batch) == 20
+    assert streamed() == batch and len(batch) == 20
+
+    # Double delivery (fresh checkpoint, same files): the additive
+    # columns would double without the last_batch watermark.
+    run("ckpt-replayed")
+    assert streamed() == batch
 
 
 def test_streaming_paragraph_dedup_matches_batch(spark, tmp_path):
