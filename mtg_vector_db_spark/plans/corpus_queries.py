@@ -1292,3 +1292,129 @@ oracle(
     ORDER BY _key DESC, doc_id LIMIT {_C22_K}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# C23 (extension): SEMANTIC train→eval contamination — the embedding-
+# space complement of c03's n-gram overlap (paraphrased benchmark
+# leakage shares no shingles but sits next to its source in embedding
+# space; the standard report alongside lexical decontamination). Shape:
+# the r23 md5 split tags each vector train/eval; both sides soft-assign
+# into the SAME dynamic cells (cells ∝ n, the d06 guard); candidates
+# are eval×train pairs sharing a cell — work ∝ eval·per-cell, never
+# eval×train; one exact-cosine verify and a per-eval argmax keep the
+# closest training contaminant. Asymmetric like d09: the eval side is
+# the small probe, the training corpus is never self-joined.
+# ---------------------------------------------------------------------------
+_C23_TAU = 0.35
+_C23_NPROBE = 2
+
+
+@query("c23_semantic_contamination")
+def c23_semantic_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions.text import hash_fraction
+    from mtg_vector_db_spark.functions.vector import dot, l2_normalize
+    from mtg_vector_db_spark.operators.ann import (
+        dynamic_seed_cells,
+        ivf_multi_assign,
+    )
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    seeds = dynamic_seed_cells(emb)
+    blocked = ivf_multi_assign(emb, seeds, nprobe=_C23_NPROBE).select(
+        "vec_id", "cell"
+    )
+    tagged = blocked.withColumn(
+        "is_eval", hash_fraction(F.col("vec_id")) >= 0.9
+    )
+    ev = tagged.filter(F.col("is_eval")).select(
+        F.col("vec_id").alias("eval_id"), "cell"
+    )
+    tr = tagged.filter(~F.col("is_eval")).select(
+        F.col("vec_id").alias("train_id"), "cell"
+    )
+    cand = ev.join(tr, "cell").select("eval_id", "train_id").distinct()
+    nx = emb.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("nx")
+    )
+    ne = nx.select(F.col("vec_id").alias("eval_id"), F.col("nx").alias("nxe"))
+    nt = nx.select(
+        F.col("vec_id").alias("train_id"), F.col("nx").alias("nxt")
+    )
+    sim = F.round(dot(F.col("nxe"), F.col("nxt")), 6)
+    scored = (
+        cand.join(ne, "eval_id")
+        .join(nt, "train_id")
+        .select("eval_id", "train_id", sim.alias("sim"))
+        .filter(F.col("sim") >= _C23_TAU)
+    )
+    w = Window.partitionBy("eval_id").orderBy(
+        F.desc("sim"), F.asc("train_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "eval_id",
+            F.col("train_id").alias("closest_train_id"),
+            F.col("sim").alias("max_sim"),
+        )
+        .orderBy("eval_id")
+    )
+
+
+oracle(
+    "c23_semantic_contamination",
+    f"""
+    WITH k AS (
+      SELECT greatest(8, CAST(ceil(count(*) / 250.0) AS INT)) AS n_cells
+      FROM embeddings
+    ),
+    c AS (
+      SELECT CAST(vec_id AS INT) AS cell, CAST(embedding AS DOUBLE[]) AS cvec,
+             list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS n2
+      FROM embeddings WHERE vec_id < (SELECT n_cells FROM k)
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                   AS nx
+          FROM e),
+    d AS (SELECT n.vec_id, c.cell,
+                 c.n2 - 2 * list_inner_product(c.cvec, n.nx) AS dist
+          FROM n CROSS JOIN c),
+    a AS (SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cell) AS rn
+            FROM d) WHERE rn <= {_C23_NPROBE}),
+    tagged AS (
+      SELECT vec_id, cell,
+             ({_hash_frac("CAST(vec_id AS VARCHAR)")}) >= 0.9 AS is_eval
+      FROM a
+    ),
+    cand AS (
+      SELECT DISTINCT ev.vec_id AS eval_id, tr.vec_id AS train_id
+      FROM tagged ev JOIN tagged tr
+        ON ev.cell = tr.cell AND ev.is_eval AND NOT tr.is_eval
+    ),
+    scored AS (
+      SELECT eval_id, train_id,
+             round(list_inner_product(ne.nx, nt.nx), 6) AS sim
+      FROM cand JOIN n ne ON cand.eval_id = ne.vec_id
+                JOIN n nt ON cand.train_id = nt.vec_id
+      WHERE round(list_inner_product(ne.nx, nt.nx), 6) >= {_C23_TAU}
+    )
+    SELECT eval_id, train_id AS closest_train_id, sim AS max_sim
+    FROM (SELECT eval_id, train_id, sim,
+                 row_number() OVER (PARTITION BY eval_id
+                                    ORDER BY sim DESC, train_id) AS rn
+          FROM scored)
+    WHERE rn = 1 ORDER BY eval_id
+    """,
+)

@@ -18,7 +18,7 @@ CORPUS_QUERIES = [n for n in registry.QUERIES if n.startswith("c")]
 
 
 def test_family_registered():
-    assert len(CORPUS_QUERIES) == 22  # c01-c22 (c22 A-ES sample, round 3)
+    assert len(CORPUS_QUERIES) == 23  # c01-c23 (c23 semantic contam, round 3)
     assert all(n in registry.ORACLES for n in CORPUS_QUERIES)
 
 
