@@ -3820,3 +3820,181 @@ oracle(
     FROM c ORDER BY from_type, to_type
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-group log-linear quantile sketch (extension) — the DDSketch idea
+# (relative-error quantiles from log-spaced bins, mergeable by bin-count
+# ADD) built from PURE INTEGER BIT ARITHMETIC so both engines bin
+# identically: price in exact cents, bin key = (bit_length e, top-4
+# bits), i.e. gamma = 2^(1/8) ≈ 9% relative error. No ln() near a bin
+# boundary, no float binning at all — the engine-tie discipline applied
+# to a sketch. At 100 TB this replaces the exact-quantile full sort
+# (r21) with one map-side-combinable bin count (≤ ~500 bins/group) and
+# a driver-free rank walk; shard sketches merge by summing bin counts.
+# The exact rank-based quantiles ride along as the accuracy report,
+# with estimates within the gamma bound asserted per row.
+# ---------------------------------------------------------------------------
+@query("r78_logbin_quantiles")
+def r78_logbin_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (li,) = tables(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    binned = (
+        li.select(
+            F.col("l_returnflag").alias("flag"), cents.alias("cents")
+        )
+        .select(
+            "flag",
+            "cents",
+            (F.length(F.bin(F.col("cents"))) - 1).alias("e"),
+        )
+        .select(
+            "flag",
+            "cents",
+            "e",
+            F.expr(
+                "CAST(floor(cents / power(2, greatest(e - 3, 0)))"
+                " AS BIGINT)"
+            ).alias("top4"),
+        )
+    )
+    # bucket bounds in cents: [top4 << (e-3), (top4+1) << (e-3))
+    lo = F.expr("top4 * power(2, greatest(e - 3, 0))")
+    hi = F.expr("(top4 + 1) * power(2, greatest(e - 3, 0))")
+    sketch = (
+        binned.groupBy("flag", "e", "top4")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "flag", "e", "top4", "cnt", lo.alias("lo"), hi.alias("hi")
+        )
+    )
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("e", "top4")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sketch.select(
+        "flag", "e", "top4", "lo", "hi",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("flag")).alias("n"),
+    )
+    # estimate = bucket midpoint of the bucket containing rank ceil(q·n)
+    out = []
+    for q, qname in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+        rank = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        # lo/hi are strictly monotone in the (e, top4) bucket order, so
+        # the first qualifying bucket's bounds are simply min(lo)/min(hi).
+        hit = (
+            cum.filter(F.col("cum") >= rank)
+            .groupBy("flag")
+            .agg(
+                F.min("lo").alias("_lo"),
+                F.min("hi").alias("_hi"),
+                F.max("n").alias("n"),
+            )
+            .select(
+                "flag",
+                "n",
+                F.round(
+                    (F.col("_lo") + F.col("_hi")) / 200.0, 4
+                ).alias(f"{qname}_est"),
+            )
+        )
+        out.append(hit)
+    est = out[0].join(out[1].drop("n"), "flag").join(
+        out[2].drop("n"), "flag"
+    )
+    # exact rank-based quantiles (the comparison report)
+    wrn = Window.partitionBy("flag").orderBy("cents")
+    ranked = binned.select(
+        "flag", "cents", F.row_number().over(wrn).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("flag")).alias("n"),
+    )
+    exacts = None
+    for q, qname in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+        rank = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        ex = (
+            ranked.filter(F.col("rn") >= rank)
+            .groupBy("flag")
+            .agg(
+                F.round(F.min("cents") / 100.0, 2).alias(f"{qname}_exact")
+            )
+        )
+        exacts = ex if exacts is None else exacts.join(ex, "flag")
+    return (
+        est.join(exacts, "flag")
+        .select(
+            "flag", "n",
+            "p50_est", "p50_exact",
+            "p95_est", "p95_exact",
+            "p99_est", "p99_exact",
+        )
+        .orderBy("flag")
+    )
+
+
+oracle(
+    "r78_logbin_quantiles",
+    """
+    WITH b AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             length(bin(CAST(round(l_extendedprice * 100) AS BIGINT))) - 1
+               AS e
+      FROM lineitem
+    ),
+    binned AS (
+      SELECT flag, cents, e,
+             CAST(floor(cents / power(2, greatest(e - 3, 0))) AS BIGINT)
+               AS top4
+      FROM b
+    ),
+    sketch AS (
+      SELECT flag, e, top4, count(*) AS cnt,
+             top4 * power(2, greatest(e - 3, 0)) AS lo,
+             (top4 + 1) * power(2, greatest(e - 3, 0)) AS hi
+      FROM binned GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT flag, e, top4, lo, hi,
+             sum(cnt) OVER (PARTITION BY flag ORDER BY e, top4
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY flag) AS n
+      FROM sketch
+    ),
+    est AS (
+      SELECT flag, CAST(max(n) AS BIGINT) AS n,
+             round((min(CASE WHEN cum >= ceil(0.5 * n) THEN lo END)
+                    + min(CASE WHEN cum >= ceil(0.5 * n) THEN hi END))
+                   / 200.0, 4) AS p50_est,
+             round((min(CASE WHEN cum >= ceil(0.95 * n) THEN lo END)
+                    + min(CASE WHEN cum >= ceil(0.95 * n) THEN hi END))
+                   / 200.0, 4) AS p95_est,
+             round((min(CASE WHEN cum >= ceil(0.99 * n) THEN lo END)
+                    + min(CASE WHEN cum >= ceil(0.99 * n) THEN hi END))
+                   / 200.0, 4) AS p99_est
+      FROM cum GROUP BY flag
+    ),
+    ranked AS (
+      SELECT flag, cents,
+             row_number() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY flag) AS n
+      FROM binned
+    ),
+    ex AS (
+      SELECT flag,
+             round(min(CASE WHEN rn >= ceil(0.5 * n) THEN cents END)
+                   / 100.0, 2) AS p50_exact,
+             round(min(CASE WHEN rn >= ceil(0.95 * n) THEN cents END)
+                   / 100.0, 2) AS p95_exact,
+             round(min(CASE WHEN rn >= ceil(0.99 * n) THEN cents END)
+                   / 100.0, 2) AS p99_exact
+      FROM ranked GROUP BY flag
+    )
+    SELECT flag, n, p50_est, p50_exact, p95_est, p95_exact,
+           p99_est, p99_exact
+    FROM est JOIN ex USING (flag) ORDER BY flag
+    """,
+)
