@@ -1418,3 +1418,79 @@ oracle(
     WHERE rn = 1 ORDER BY eval_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# C24 (extension): UniMax language-mix allocation — the multilingual
+# budget planner (Chung et al. 2023): spread a total char budget as
+# uniformly as possible across languages without sampling any language
+# past MAX_EPOCHS passes. Water-filling closed form (operators/corpus.py
+# unimax_allocation): alloc = min(cap, λ), λ = max ascending-capacity
+# fair-share candidate — two window passes over the per-LANGUAGE
+# relation (bounded by #langs, never corpus-sized), one shuffle for the
+# groupBy, integer-exact until the single λ division.
+# ---------------------------------------------------------------------------
+_C24_EPOCHS = 2
+
+
+@query("c24_unimax_mix")
+def c24_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.corpus import unimax_allocation
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(F.sum("n_chars").alias("chars"))
+    out = unimax_allocation(
+        per, group_col="lang", size_col="chars", max_epochs=_C24_EPOCHS
+    )
+    return out.select(
+        F.col("grp").alias("lang"),
+        F.col("sz").alias("corpus_chars"),
+        F.col("cap").alias("capacity"),
+        F.col("budget"),
+        F.col("alloc").alias("alloc_chars"),
+        F.round(F.col("alloc") / F.col("sz").cast("double"), 6).alias(
+            "epochs_used"
+        ),
+        F.round(F.col("alloc") / F.col("budget").cast("double"), 6).alias(
+            "budget_share"
+        ),
+    ).orderBy("lang")
+
+
+oracle(
+    "c24_unimax_mix",
+    f"""
+    WITH per AS (
+      SELECT lang AS grp, CAST(sum(n_chars) AS BIGINT) AS sz,
+             CAST(sum(n_chars) * {_C24_EPOCHS} AS BIGINT) AS cap
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(sz) AS BIGINT) AS total_sz, count(*) AS n_grp FROM per
+    ),
+    st AS (
+      SELECT per.*, tot.n_grp, CAST((tot.total_sz * 3) // 5 AS BIGINT) AS budget
+      FROM per, tot
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY cap, grp) AS rk,
+             coalesce(sum(cap) OVER (ORDER BY cap, grp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix_cap
+      FROM st
+    ),
+    cand AS (
+      SELECT *, round(CAST(budget - prefix_cap AS DOUBLE)
+                      / CAST(n_grp - rk + 1 AS DOUBLE), 12) AS cand
+      FROM ranked
+    ),
+    lam AS (SELECT max(cand) AS lam FROM cand)
+    SELECT grp AS lang, sz AS corpus_chars, cap AS capacity, budget,
+           round(least(CAST(cap AS DOUBLE), lam), 6) AS alloc_chars,
+           round(round(least(CAST(cap AS DOUBLE), lam), 6)
+                 / CAST(sz AS DOUBLE), 6) AS epochs_used,
+           round(round(least(CAST(cap AS DOUBLE), lam), 6)
+                 / CAST(budget AS DOUBLE), 6) AS budget_share
+    FROM cand, lam ORDER BY lang
+    """,
+)

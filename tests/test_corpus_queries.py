@@ -18,7 +18,7 @@ CORPUS_QUERIES = [n for n in registry.QUERIES if n.startswith("c")]
 
 
 def test_family_registered():
-    assert len(CORPUS_QUERIES) == 23  # c01-c23 (c23 semantic contam, round 3)
+    assert len(CORPUS_QUERIES) == 24  # c01-c24 (c24 UniMax mix, round 3)
     assert all(n in registry.ORACLES for n in CORPUS_QUERIES)
 
 
@@ -226,3 +226,44 @@ def test_semdedup_drops_planted_semantic_twin(spark, sf001):
            sum(r["n_vectors"] for r in base.values()) + 1
     assert sum(r["n_dropped"] for r in with_twin.values()) == \
            sum(r["n_dropped"] for r in base.values()) + 1
+
+
+def test_unimax_matches_sequential_waterfill(spark):
+    # The closed form (alloc = min(cap, λ)) must reproduce the paper's
+    # sequential ascending-capacity scan exactly, including the
+    # all-capacity regime (budget > Σcap) and singleton groups.
+    import random
+
+    rng = random.Random(77)
+    for trial in range(4):
+        sizes = [(f"g{i:02d}", rng.randint(1, 5000)) for i in range(rng.randint(1, 12))]
+        epochs = rng.choice([1, 2, 3])
+        df = spark.createDataFrame(sizes, ["lang", "chars"])
+        out = {
+            r["grp"]: r["alloc"]
+            for r in C.unimax_allocation(
+                df, group_col="lang", size_col="chars", max_epochs=epochs
+            ).collect()
+        }
+        # sequential reference model
+        total = sum(s for _, s in sizes)
+        budget = (total * 3) // 5
+        caps = sorted(((s * epochs, g) for g, s in sizes))
+        remaining, left = float(budget), len(caps)
+        expect = {}
+        for cap, g in caps:
+            fair = remaining / left
+            a = min(float(cap), fair)
+            expect[g] = a
+            remaining -= a
+            left -= 1
+        for g, a in expect.items():
+            assert math.isclose(out[g], a, rel_tol=0, abs_tol=5e-6), (
+                trial, g, out[g], a
+            )
+        # conservation: allocations spend min(budget, total capacity)
+        assert math.isclose(
+            sum(out.values()),
+            min(float(budget), float(sum(c for c, _ in caps))),
+            abs_tol=1e-4,
+        )
