@@ -455,3 +455,50 @@ def unimax_allocation(
             "alloc"
         ),
     )
+
+
+def canonical_by_quality(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resolve each near-dup cluster to its HIGHEST-QUALITY member (the
+    curation-grade alternative to :func:`dedup_keep_set`'s min-id rule:
+    when several near-copies survive crawling, keep the cleanest one,
+    not the one that happened to get the smallest id).
+
+    Returns one row per cluster: ``(cluster_id, keep_id, keep_quality,
+    n_members, moved)`` where ``moved`` flags clusters whose canonical
+    choice differs from the min-id policy.
+
+    Shape at scale: ``clusters`` holds only documents that appeared in a
+    near-dup pair, so it broadcasts; scoring joins map-side against the
+    corpus (the corpus is never shuffled), and the per-cluster argmax
+    windows only over the clustered subset. Ties break on the ROUNDED
+    quality (quality_score rounds to 6 dp) then ascending id — the
+    engine-tie discipline, so the argmax cannot flip between engines.
+    """
+    members = docs.join(F.broadcast(clusters), id_col).select(
+        F.col(id_col).alias("member_id"),
+        "cluster_id",
+        quality.alias("member_quality"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("member_quality"), F.asc("member_id")
+    )
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("member_id").alias("keep_id"),
+            F.col("member_quality").alias("keep_quality"),
+            "n_members",
+            (F.col("member_id") != F.col("cluster_id")).alias("moved"),
+        )
+    )

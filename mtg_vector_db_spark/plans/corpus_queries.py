@@ -1494,3 +1494,73 @@ oracle(
     FROM cand, lam ORDER BY lang
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# C25 (extension): QUALITY-canonical dedup — resolve each near-dup
+# cluster to its highest-quality member instead of c07's min-id rule
+# (keep the cleanest near-copy, the curation-grade policy). Clusters
+# broadcast (only docs that appeared in a pair); the corpus joins
+# map-side and the argmax windows over the clustered subset only. Ties
+# break on the ROUNDED quality then ascending id, so the argmax cannot
+# flip between engines.
+# ---------------------------------------------------------------------------
+@query("c25_quality_canonical")
+def c25_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions import textstats as TS
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    bounded = docs.filter(F.col("doc_id") < 1000)
+    pairs = D.exact_jaccard_pairs(bounded, threshold=0.5)
+    clusters = C.dup_clusters(pairs, iters=3)
+    return C.canonical_by_quality(
+        bounded, clusters, TS.quality_score(F.col("text"))
+    ).orderBy("cluster_id")
+
+
+def _c25_oracle() -> str:
+    from mtg_vector_db_spark.plans.text_queries import _NOISE, _NTOK, _SW_RATIO
+
+    quality = (
+        f"round(least(1.0, 0.3 + 0.4 * least(1.0, ({_SW_RATIO}) * 4)"
+        f" + 0.3 * least(1.0, ({_NTOK}) / 100.0)"
+        f" - 0.5 * ({_NOISE})), 6)"
+    )
+    return f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+                WHERE doc_id < 1000),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE {_JACC} >= 0.5
+    ),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    edges AS (SELECT u, v FROM sym UNION ALL SELECT node, node FROM nodes),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    l1 AS ({_PROP.format(prev="l0")}),
+    l2 AS ({_PROP.format(prev="l1")}),
+    l3 AS ({_PROP.format(prev="l2")}),
+    q AS (SELECT doc_id, {quality} AS member_quality FROM documents
+          WHERE doc_id < 1000),
+    members AS (
+      SELECT l3.label AS cluster_id, l3.node AS member_id,
+             q.member_quality
+      FROM l3 JOIN q ON l3.node = q.doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY member_quality DESC, member_id ASC) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM members
+    )
+    SELECT cluster_id, member_id AS keep_id,
+           member_quality AS keep_quality,
+           CAST(n_members AS BIGINT) AS n_members,
+           member_id <> cluster_id AS moved
+    FROM ranked WHERE rn = 1 ORDER BY cluster_id
+    """
+
+
+oracle("c25_quality_canonical", _c25_oracle())

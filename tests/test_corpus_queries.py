@@ -18,7 +18,7 @@ CORPUS_QUERIES = [n for n in registry.QUERIES if n.startswith("c")]
 
 
 def test_family_registered():
-    assert len(CORPUS_QUERIES) == 24  # c01-c24 (c24 UniMax mix, round 3)
+    assert len(CORPUS_QUERIES) == 25  # c01-c25 (c25 quality-canonical, r3)
     assert all(n in registry.ORACLES for n in CORPUS_QUERIES)
 
 
@@ -267,3 +267,27 @@ def test_unimax_matches_sequential_waterfill(spark):
             min(float(budget), float(sum(c for c, _ in caps))),
             abs_tol=1e-4,
         )
+
+
+def test_canonical_by_quality_argmax_and_ties(spark):
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, 0.1), (11, 0.1)],
+        ["doc_id", "q"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        ["doc_id", "cluster_id"],
+    )
+    rows = {
+        r["cluster_id"]: r
+        for r in C.canonical_by_quality(
+            docs, clusters, F.col("q")
+        ).collect()
+    }
+    # cluster 1: quality argmax (2 beats 1), id tie-break (2 beats 3)
+    assert rows[1]["keep_id"] == 2 and rows[1]["moved"] is True
+    assert rows[1]["n_members"] == 3
+    # cluster 10: tie on quality -> min id, same as min-id policy
+    assert rows[10]["keep_id"] == 10 and rows[10]["moved"] is False
