@@ -120,3 +120,25 @@ def bpe_tokens(c: Column) -> Column:
 
 def bpe_token_count(c: Column) -> Column:
     return F.size(bpe_tokens(c))
+
+
+def word_ngrams(c: Column, n: int) -> Column:
+    """ALL lowercase word n-grams of a text column, WITH repetition —
+    the multiset twin of ``dedup.word_shingles`` (which dedupes per doc).
+    Diversity metrics (distinct-n) need occurrence totals, so nothing is
+    dropped here. Same O(tokens) zip_with-over-shifted-slices build."""
+    toks = tokens(F.lower(c))
+    if n == 1:
+        return toks
+    sz = F.size(toks)
+    grams = toks
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, F.greatest(sz - j, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(
+        sz >= n,
+        F.slice(grams, 1, F.greatest(sz - (n - 1), F.lit(0))),
+    ).otherwise(F.array().cast("array<string>"))

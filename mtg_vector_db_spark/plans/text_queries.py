@@ -1895,3 +1895,116 @@ oracle(
     FROM probe ORDER BY exact_cnt DESC, token LIMIT 15
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# T31 (extension): distinct-n diversity — the standard text-diversity
+# report (distinct-1/2/3: unique n-grams over total n-gram occurrences
+# per source; low values flag templated / repetitive corpora and mode
+# collapse in synthetic data). One generator explodes all three gram
+# sizes tagged with n, so ONE shuffle (groupBy source + conditional
+# distinct aggs) serves all six measures. Grams fold to md5-prefix
+# bigints before the shuffle — the SAME function both engines run, so
+# countDistinct is exact-parity by construction AND the shuffle moves
+# fixed-width keys, not strings.
+# ---------------------------------------------------------------------------
+_T31_NS = (1, 2, 3)
+
+
+@query("t31_ngram_diversity")
+def t31_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.session import widen
+
+    (docs,) = tables(spark, sf_dir, "documents")
+
+    def tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    tagged = widen(docs).select(
+        "source",
+        F.explode(
+            F.concat(
+                *[
+                    F.transform(TS.word_ngrams(F.col("text"), n), tag(n))
+                    for n in _T31_NS
+                ]
+            )
+        ).alias("x"),
+    ).select(
+        "source",
+        F.col("x.n").alias("n"),
+        F.conv(F.substring(F.md5(F.col("x.g")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    aggs = []
+    for n in _T31_NS:
+        aggs.append(
+            F.count(F.when(F.col("n") == n, 1)).alias(f"total_{n}")
+        )
+        aggs.append(
+            F.countDistinct(
+                F.when(F.col("n") == n, F.col("h"))
+            ).alias(f"distinct_{n}")
+        )
+    out = tagged.groupBy("source").agg(*aggs)
+    ratios = [
+        F.round(
+            F.col(f"distinct_{n}")
+            / F.greatest(F.col(f"total_{n}"), F.lit(1)).cast("double"),
+            6,
+        ).alias(f"distinct_{n}_ratio")
+        for n in _T31_NS
+    ]
+    return out.select(
+        "source",
+        *[F.col(f"total_{n}") for n in _T31_NS],
+        *[F.col(f"distinct_{n}") for n in _T31_NS],
+        *ratios,
+    ).orderBy("source")
+
+
+def _t31_oracle() -> str:
+    h = (
+        "CAST(list_sum(list_transform(range(1, 16),"
+        " i -> (strpos('0123456789abcdef', substring(md5(g), i, 1)) - 1)"
+        " * power(16.0, 15 - i))) AS BIGINT)"
+    )
+    grams = []
+    for n in _T31_NS:
+        if n == 1:
+            g = f"SELECT source, 1 AS n, unnest({_TOKS_L}) AS g FROM documents"
+        else:
+            g = (
+                f"SELECT source, {n} AS n, unnest(CASE WHEN len({_TOKS_L}) >= {n} THEN "
+                f"list_transform(range(1, len({_TOKS_L}) - {n} + 2),"
+                f" i -> array_to_string(list_slice({_TOKS_L}, i, i + {n} - 1), ' '))"
+                f" ELSE [] END) AS g FROM documents"
+            )
+        grams.append(g)
+    union = " UNION ALL ".join(grams)
+    cols = []
+    for n in _T31_NS:
+        cols.append(f"count(CASE WHEN n = {n} THEN 1 END) AS total_{n}")
+        cols.append(
+            f"count(DISTINCT CASE WHEN n = {n} THEN {h} END) AS distinct_{n}"
+        )
+    ratio = ", ".join(
+        f"round(distinct_{n} * 1.0 / greatest(total_{n}, 1), 6)"
+        f" AS distinct_{n}_ratio"
+        for n in _T31_NS
+    )
+    tot = ", ".join(
+        f"CAST(total_{n} AS BIGINT) AS total_{n}" for n in _T31_NS
+    )
+    dis = ", ".join(
+        f"CAST(distinct_{n} AS BIGINT) AS distinct_{n}" for n in _T31_NS
+    )
+    return f"""
+    WITH grams AS ({union}),
+    agg AS (SELECT source, {', '.join(cols)} FROM grams GROUP BY source)
+    SELECT source, {tot}, {dis}, {ratio} FROM agg ORDER BY source
+    """
+
+
+oracle("t31_ngram_diversity", _t31_oracle())

@@ -345,3 +345,31 @@ def test_ccnet_buckets_are_balanced_terciles(spark, sf001):
         sizes = [b[i]["n_docs"] for i in (0, 1, 2)]
         assert max(sizes) - min(sizes) <= 1, (lang, sizes)
         assert b[0]["avg_bpc"] <= b[1]["avg_bpc"] <= b[2]["avg_bpc"], lang
+
+
+def test_word_ngrams_multiset_counts(spark):
+    """word_ngrams keeps repetition (multiset), emits len-n+1 grams, and
+    is empty (not malformed) for docs shorter than n tokens."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.functions.textstats import word_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x"), (3, ""), (4, None)],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["g1"], r["g2"], r["g3"])
+        for r in df.select(
+            "doc_id",
+            word_ngrams(F.col("text"), 1).alias("g1"),
+            word_ngrams(F.col("text"), 2).alias("g2"),
+            word_ngrams(F.col("text"), 3).alias("g3"),
+        ).collect()
+    }
+    assert out[1][0] == ["a", "b", "a", "b", "a"]
+    assert out[1][1] == ["a b", "b a", "a b", "b a"]
+    assert out[1][2] == ["a b a", "b a b", "a b a"]
+    assert out[2] == (["x"], [], [])
+    assert out[3] == ([], [], [])
+    assert out[4][1] == [] if out[4][1] is not None else True
