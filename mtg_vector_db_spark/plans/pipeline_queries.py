@@ -2515,3 +2515,154 @@ def _p33_oracle() -> str:
 
 
 oracle("p33_arm_agreement", _p33_oracle())
+
+
+# ---------------------------------------------------------------------------
+# P34 (extension): MaxSim late-interaction retrieval (the ColBERT
+# scoring rule): score(q, d) = Σ over unique query terms of the MAX
+# cosine between the term vector and any passage-chunk vector of d —
+# multi-vector retrieval re-expressed relationally. Chunk and term
+# vectors are md5-derived unit vectors BOTH engines compute identically
+# (the repo's engine-portable embedding surrogate), so the oracle
+# replays scoring end to end. Shape at scale: the term table (a few
+# rows) broadcasts into the chunk relation — corpus-side work is
+# #chunks × #terms map-side rows into two keyed aggregations
+# ((qid,term,doc) max then (qid,doc) decimal-exact sum); the corpus is
+# never self-joined and never globally sorted (per-query top-k window
+# over the doc-level relation only).
+# ---------------------------------------------------------------------------
+_P34_QUERIES = {
+    1: "vector table scan",
+    2: "stream window agg",
+    3: "customer join merge",
+}
+_P34_DIM = 8
+_P34_K = 5
+
+
+def _p34_embed(col):
+    from mtg_vector_db_spark.functions.text import hash_fraction
+    from mtg_vector_db_spark.functions.vector import l2_normalize
+
+    v = F.array(
+        *[
+            hash_fraction(F.concat(col, F.lit(f":{d}"))) - 0.5
+            for d in range(_P34_DIM)
+        ]
+    )
+    return l2_normalize(v)
+
+
+@query("p34_maxsim_late_interaction")
+def p34_maxsim_late_interaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions.vector import dot
+    from mtg_vector_db_spark.operators.corpus import chunk_documents
+    from mtg_vector_db_spark.session import widen
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    chunks = chunk_documents(widen(docs), size=16, stride=16).select(
+        "doc_id", _p34_embed(F.col("chunk_text")).alias("cv")
+    )
+    qterms = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, s in _P34_QUERIES.items()
+            for t in dict.fromkeys(s.split())
+        ],
+        ["qid", "term"],
+    )
+    qvecs = qterms.select("qid", "term", _p34_embed(F.col("term")).alias("qv"))
+    sims = chunks.crossJoin(F.broadcast(qvecs)).select(
+        "qid",
+        "term",
+        "doc_id",
+        F.round(dot(F.col("cv"), F.col("qv")), 6).alias("sim"),
+    )
+    mx = sims.groupBy("qid", "term", "doc_id").agg(F.max("sim").alias("mx"))
+    sc = mx.groupBy("qid", "doc_id").agg(
+        F.round(
+            F.sum(F.round(F.col("mx"), 12).cast("decimal(28,12)")).cast(
+                "double"
+            ),
+            6,
+        ).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _P34_K)
+        .select("qid", "rank", "doc_id", "score")
+        .orderBy("qid", "rank")
+    )
+
+
+def _p34_oracle() -> str:
+    from mtg_vector_db_spark.plans.text_queries import _TOKS_L
+
+    def hf(e: str) -> str:
+        return (
+            "(list_sum(list_transform(range(1, 9),"
+            " i -> (strpos('0123456789abcdef',"
+            f" substring(md5({e}), i, 1)) - 1)"
+            " * power(16, 8 - i))) / 4294967296.0)"
+        )
+
+    def emb(e: str) -> str:
+        return (
+            f"list_transform(range(0, {_P34_DIM}),"
+            f" d -> {hf(f'{e} || chr(58) || CAST(d AS VARCHAR)')} - 0.5)"
+        )
+
+    terms = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, s in _P34_QUERIES.items()
+        for t in dict.fromkeys(s.split())
+    )
+    return f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_L} AS toks FROM documents),
+    ch AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, k * 16 + 1, k * 16 + 16), ' ')
+               AS chunk_text
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks) / 16.0) AS INT))) AS k
+            FROM tk WHERE len(toks) > 0)
+    ),
+    cv0 AS (SELECT doc_id, {emb('chunk_text')} AS v FROM ch),
+    cv AS (SELECT doc_id,
+                  list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                    AS cv
+           FROM cv0),
+    qt AS (SELECT * FROM (VALUES {terms}) AS q(qid, term)),
+    qv0 AS (SELECT qid, term, {emb('term')} AS v FROM qt),
+    qv AS (SELECT qid, term,
+                  list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                    AS qv
+           FROM qv0),
+    sims AS (
+      SELECT qv.qid, qv.term, cv.doc_id,
+             round(list_inner_product(cv.cv, qv.qv), 6) AS sim
+      FROM cv CROSS JOIN qv
+    ),
+    mx AS (SELECT qid, term, doc_id, max(sim) AS mx FROM sims
+           GROUP BY qid, term, doc_id),
+    sc AS (SELECT qid, doc_id,
+                  round(CAST(sum(CAST(round(mx, 12) AS DECIMAL(28,12)))
+                        AS DOUBLE), 6) AS score
+           FROM mx GROUP BY qid, doc_id),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id ASC) AS rank
+      FROM sc
+    )
+    SELECT qid, rank, doc_id, score FROM ranked
+    WHERE rank <= {_P34_K} ORDER BY qid, rank
+    """
+
+
+oracle("p34_maxsim_late_interaction", _p34_oracle())

@@ -242,3 +242,25 @@ def test_ivf_index_append_incremental_equals_batch(spark, sf001, tmp_path):
         F.col("cell") != F.col("expected_cell")
     )
     assert diff.count() == 0
+
+
+def test_maxsim_dominates_single_term_and_is_bounded(spark, sf001):
+    """MaxSim invariants: every score is ≤ n_terms (each term's max
+    cosine ≤ 1) and ≥ the best single-term contribution; ranks are
+    dense 1..k per query."""
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["p34_maxsim_late_interaction"](
+        spark, sf001
+    ).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(-3.0 <= s <= 3.0 for s in scores)  # 3 unit terms
