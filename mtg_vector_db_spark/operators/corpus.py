@@ -502,3 +502,20 @@ def canonical_by_quality(
             (F.col("member_id") != F.col("cluster_id")).alias("moved"),
         )
     )
+
+
+def aes_key(key_col: Column, weight: Column) -> Column:
+    """Efraimidis–Spirakis weighted-reservoir key: ``u^(1/w)`` with an
+    md5-derived uniform u ∈ (0,1] — deterministic per row, so any
+    union of partial top-K sets re-resolves to the global top-K
+    (shard- AND stream-mergeable by construction). Rounded to 12 dp (the
+    ln-ulp tie discipline) so rank boundaries cannot flip between
+    engines. Shared by c22 and the streaming reservoir face."""
+    u = (
+        F.conv(F.substring(F.md5(key_col.cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        + 1.0
+    ) / F.lit(4294967297.0)
+    w = F.greatest(weight.cast("double"), F.lit(1.0))
+    return F.round(F.pow(u, 1.0 / w), 12)

@@ -1249,14 +1249,7 @@ _C22_K = 20
 @query("c22_weighted_sample")
 def c22_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
-    w = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("double")
-        + 1.0
-    ) / F.lit(4294967297.0)
-    key = F.round(F.pow(u, 1.0 / w), 12)
+    key = C.aes_key(F.col("doc_id"), F.col("n_chars"))
     return (
         docs.select(
             "doc_id",

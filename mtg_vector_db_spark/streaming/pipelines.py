@@ -968,3 +968,64 @@ def streaming_cms_maintenance(
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def streaming_reservoir_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    reservoir_path: str,
+    checkpoint: str,
+    k: int = 20,
+    schema: str = "doc_id long, text string, source string, n_chars long",
+) -> "DataStreamWriter":
+    """Incremental weighted reservoir (Efraimidis–Spirakis A-ES):
+    arriving documents keep a quality/size-weighted sample of the WHOLE
+    stream history in k rows of state.
+
+    The A-ES key (operators/corpus.py aes_key) is deterministic per
+    doc, which turns sampling into merge algebra: the global top-K by
+    key over all history equals the top-K of (stored top-K ∪ batch) —
+    so each micro-batch unions k + |batch| rows, dedups by doc_id (a
+    replayed batch contributes byte-identical rows), and takes the
+    top-K again. Like the bloom/HLL faces, idempotence falls out of the
+    merge itself (distinct ∘ top-K), no watermark needed; unlike
+    reservoir algorithms with mutable random state, a crash replay
+    cannot skew inclusion probabilities because nothing is random at
+    fold time.
+
+    State stays exactly ≤ k rows forever; the fold is one TakeOrdered
+    over k + |batch| rows per micro-batch.
+    """
+    from mtg_vector_db_spark.operators.corpus import aes_key
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        new = batch_df.select(
+            "doc_id",
+            F.col("n_chars").alias("weight_chars"),
+            aes_key(F.col("doc_id"), F.col("n_chars")).alias("es_key"),
+        )
+        try:
+            # collect: bounded by the k stored reservoir rows.
+            old_rows = s.read.parquet(reservoir_path).collect()
+        except Exception:
+            old_rows = []
+        if old_rows:
+            old = s.createDataFrame(
+                old_rows, "doc_id long, weight_chars long, es_key double"
+            )
+            new = new.unionByName(old)
+        (
+            new.distinct()
+            .orderBy(F.desc("es_key"), "doc_id")
+            .limit(k)
+            .write.mode("overwrite")
+            .parquet(reservoir_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )

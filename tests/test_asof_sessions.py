@@ -908,3 +908,81 @@ def test_streaming_cms_maintenance_sum_merge_with_replay_guard(
     # replay is skipped and the store is unchanged.
     run("ckpt-replayed")
     assert stored() == oneshot
+
+
+def test_streaming_reservoir_equals_oneshot_with_replay(spark, tmp_path):
+    """Reservoir after two micro-batches equals the one-shot A-ES top-K
+    over both batches (merge ≡ rebuild); replaying a batch is a no-op
+    (distinct ∘ top-K idempotence — the exactly-once argument)."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.operators.corpus import aes_key
+    from mtg_vector_db_spark.streaming.pipelines import (
+        streaming_reservoir_maintenance,
+    )
+
+    rows1 = [(i, f"text {i}", "web", 10 + 7 * i) for i in range(40)]
+    rows2 = [(100 + i, f"text {i}", "books", 500 - 3 * i) for i in range(40)]
+    schema = "doc_id long, text string, source string, n_chars long"
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    def run():
+        q = (
+            streaming_reservoir_maintenance(
+                spark,
+                str(src / "*"),
+                str(tmp_path / "reservoir"),
+                str(tmp_path / "ckpt"),
+                k=15,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    run()
+
+    both = spark.createDataFrame(rows1 + rows2, schema)
+    oneshot = [
+        (r["doc_id"], r["weight_chars"], r["es_key"])
+        for r in both.select(
+            "doc_id",
+            F.col("n_chars").alias("weight_chars"),
+            aes_key(F.col("doc_id"), F.col("n_chars")).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(15)
+        .collect()
+    ]
+    stored = sorted(
+        (
+            (r["doc_id"], r["weight_chars"], r["es_key"])
+            for r in spark.read.parquet(str(tmp_path / "reservoir")).collect()
+        ),
+        key=lambda t: (-t[2], t[0]),
+    )
+    assert stored == oneshot
+    assert len(stored) == 15
+
+    # Replay batch 1: the merged top-K must not change.
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src / "b3")
+    )
+    run()
+    again = sorted(
+        (
+            (r["doc_id"], r["weight_chars"], r["es_key"])
+            for r in spark.read.parquet(str(tmp_path / "reservoir")).collect()
+        ),
+        key=lambda t: (-t[2], t[0]),
+    )
+    assert again == oneshot
