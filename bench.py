@@ -95,6 +95,7 @@ HEADLINE = [
     "c24_unimax_mix",           # UniMax water-filling mix allocation
     "t31_ngram_diversity",      # distinct-n diversity, one-shuffle 6 measures
     "p34_maxsim_late_interaction",  # ColBERT MaxSim multi-vector scoring
+    "d16_winnow_overlap",       # MOSS winnowing, array-domain minima
     # c18_quality_keep is NOT benched: its cluster input is the d02
     # exact-pairs baseline, an intentionally id-bounded O(n²) oracle
     # anchor — benching it would time the demo bound, not the operator.

@@ -819,3 +819,57 @@ def doc_paragraphs(
         F.col("p.para_id").alias("para_id"),
         F.col("p.ptext").alias("ptext"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    local fingerprinting algorithm): hash every word ``k``-gram, slide a
+    window of ``w`` consecutive hashes, keep each window's MINIMUM —
+    a ~2/(w+1)-density sample of the gram stream with the guarantee
+    that any shared run of ≥ ``w+k-1`` tokens between two documents
+    yields at least one shared fingerprint. The contamination /
+    plagiarism screen that exact-gram methods (d07) pay ~w× more
+    shuffle for.
+
+    Scale shape: the entire select-the-minima step happens in the ARRAY
+    domain on the scan side — gram hashes via one transform, window
+    minima via ``array_min`` over sliced views, dedup via
+    ``array_distinct`` — so NOTHING shuffles until the winnowed
+    fingerprint relation itself, already k·w× smaller than the gram
+    stream and carrying fixed-width 60-bit keys.
+
+    Returns the distinct ``(doc_id, fp)`` fingerprint relation.
+    """
+    grams = positional_ngrams(F.col(text_col), k)
+    hs = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+            "bigint"
+        ),
+    )
+    nwin = F.size(hs) - (w - 1)
+    fps = F.when(
+        F.size(hs) >= w,
+        F.array_distinct(
+            F.transform(
+                # guard: F.sequence(0, nwin-1) would DESCEND for nwin<1
+                F.sequence(F.lit(0), nwin - 1),
+                lambda s: F.array_min(F.slice(hs, s + 1, w)),
+            )
+        ),
+    ).otherwise(
+        F.when(F.size(hs) > 0, F.array(F.array_min(hs))).otherwise(
+            F.array().cast("array<bigint>")
+        )
+    )
+    return (
+        widen(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(fps).alias("fp"))
+        .distinct()
+    )

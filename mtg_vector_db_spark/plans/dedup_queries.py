@@ -766,3 +766,83 @@ oracle(
     FROM flagged GROUP BY doc_id ORDER BY doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# D16 (extension): winnowing overlap — MOSS-style local fingerprints
+# (Schleimer et al. 2003): per-window minimum of rolling k-gram hashes,
+# a ~2/(w+1)-density sample that still guarantees a shared fingerprint
+# for any shared run of >= w+k-1 tokens. The select-the-minima step
+# runs wholly in the array domain scan-side (operators/dedup.py
+# winnow_fingerprints) — nothing shuffles until the winnowed relation,
+# ~k·w× smaller than d07's exact gram stream. The report: per document
+# with any cross-document fingerprint, how much of its fingerprint set
+# is shared.
+# ---------------------------------------------------------------------------
+_D16_K = 5
+_D16_W = 4
+
+
+@query("d16_winnow_overlap")
+def d16_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    fp = D.winnow_fingerprints(docs, k=_D16_K, w=_D16_W)
+    shared = (
+        fp.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp")
+    )
+    per = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    shr = (
+        fp.join(shared, "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+    )
+    return (
+        per.join(shr, "doc_id")
+        .select(
+            "doc_id",
+            "n_fp",
+            "n_shared_fp",
+            F.round(
+                F.col("n_shared_fp") / F.col("n_fp").cast("double"), 6
+            ).alias("shared_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+oracle(
+    "d16_winnow_overlap",
+    f"""
+    WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+    w AS (SELECT doc_id, i - 1 AS pos,
+                 array_to_string(toks[i:i + {_D16_K - 1}], ' ') AS gram
+          FROM t, unnest(range(1, greatest(len(toks) - {_D16_K} + 2, 1)))
+               AS u(i)),
+    h AS (SELECT doc_id, pos, {_H60} AS hh FROM w),
+    wm AS (SELECT doc_id, pos,
+                  min(hh) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND {_D16_W - 1} FOLLOWING)
+                    AS fp,
+                  count(*) OVER (PARTITION BY doc_id) AS ng
+           FROM h),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= ng - {_D16_W}
+      UNION
+      SELECT doc_id, min(hh) AS fp FROM h
+      GROUP BY doc_id HAVING count(*) < {_D16_W}
+    ),
+    shared AS (SELECT fp FROM fps GROUP BY fp
+               HAVING count(DISTINCT doc_id) >= 2),
+    per AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
+    shr AS (SELECT doc_id, count(*) AS n_shared_fp
+            FROM fps JOIN shared USING (fp) GROUP BY doc_id)
+    SELECT per.doc_id, CAST(per.n_fp AS BIGINT) AS n_fp,
+           CAST(shr.n_shared_fp AS BIGINT) AS n_shared_fp,
+           round(shr.n_shared_fp * 1.0 / per.n_fp, 6) AS shared_ratio
+    FROM per JOIN shr ON per.doc_id = shr.doc_id
+    ORDER BY per.doc_id
+    """.format(toks=_TOKS_L),
+)

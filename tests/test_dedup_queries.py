@@ -311,3 +311,33 @@ def test_dynamic_seed_cells_grow_with_corpus(spark):
         r["cell"] for r in dynamic_seed_cells(emb_of(5000)).collect()
     )
     assert cells == list(range(20))
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Winnowing contract (k=5, w=4): two documents sharing a run of
+    >= w+k-1 = 8 tokens MUST share a fingerprint; fingerprint count is
+    at most the window count; disjoint docs share nothing."""
+    from mtg_vector_db_spark.operators.dedup import winnow_fingerprints
+
+    shared_run = "q w e r t y u i"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"a b c d e {shared_run} f g h j k"),
+            (2, f"z x c v b n m {shared_run} l o p"),
+            (3, "one two three four five six seven eight nine ten"),
+            (4, "tiny doc"),  # fewer tokens than k: no grams, no fps
+        ],
+        ["doc_id", "text"],
+    )
+    fp = winnow_fingerprints(docs, k=5, w=4)
+    rows = fp.collect()
+    by_doc: dict[int, set] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fp"
+    assert not (by_doc[3] & by_doc[1]) and not (by_doc[3] & by_doc[2])
+    assert 4 not in by_doc  # sub-k doc emits nothing
+    for d in (1, 2, 3):
+        n_tokens = len(docs.where(f"doc_id={d}").first()["text"].split())
+        n_windows = n_tokens - 5 + 1 - (4 - 1)
+        assert 1 <= len(by_doc[d]) <= n_windows
