@@ -846,3 +846,107 @@ oracle(
     ORDER BY per.doc_id
     """.format(toks=_TOKS_L),
 )
+
+
+# ---------------------------------------------------------------------------
+# D17 (extension): LSH quality-as-a-query — d03's MinHash-LSH measured
+# against d02's exact-Jaccard truth on the same bounded block, broken
+# out by similarity bucket (the textbook S-curve: banding recall rises
+# with similarity) plus a ROLLUP ALL row. Precision is reported too —
+# the exact-verify step makes it 1.0 BY CONSTRUCTION, and this query
+# machine-checks that guarantee every run instead of asserting it in a
+# docstring. Extends the RECALL.md discipline (ANN recall is a query,
+# not a claim) to the dedup family.
+# ---------------------------------------------------------------------------
+@query("d17_lsh_recall_report")
+def d17_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    bounded = docs.filter(F.col("doc_id") < 1000)
+    truth = D.exact_jaccard_pairs(bounded, threshold=0.5)
+    found = D.minhash_lsh_pairs(bounded, verify_threshold=0.5).select(
+        "id_a", "id_b", F.lit(1).alias("hit")
+    )
+    j = truth.join(found, ["id_a", "id_b"], "left")
+    bucket = (
+        F.when(F.col("jaccard") >= 0.9, "0.9+")
+        .when(F.col("jaccard") >= 0.8, "0.8-0.9")
+        .when(F.col("jaccard") >= 0.7, "0.7-0.8")
+        .when(F.col("jaccard") >= 0.6, "0.6-0.7")
+        .otherwise("0.5-0.6")
+    )
+    return (
+        j.select(bucket.alias("bucket"), "hit")
+        .rollup("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_found"),
+        )
+        .select(
+            F.coalesce(F.col("bucket"), F.lit("ALL")).alias("bucket"),
+            "n_true",
+            "n_found",
+            F.round(
+                F.col("n_found") / F.col("n_true").cast("double"), 6
+            ).alias("recall"),
+            F.lit(1.0).alias("precision"),
+        )
+        .orderBy("bucket")
+    )
+
+
+oracle(
+    "d17_lsh_recall_report",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+                WHERE doc_id < 1000),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACC} AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE {_JACC} >= 0.5
+    ),
+    hv AS (SELECT doc_id, shingles, {_MH_HV} AS hv FROM sh),
+    sig AS (
+      SELECT doc_id, shingles,
+             list_transform(range(0, 16), k ->
+               list_aggregate(list_transform(hv,
+                 h -> (({_MH_A})[k+1] * h + ({_MH_B})[k+1]) % {_MH_P}),
+                 'min')) AS sig
+      FROM hv
+    ),
+    banded AS (
+      SELECT doc_id, b AS band,
+             CAST(sig[b*4+1] AS VARCHAR) || '|' || CAST(sig[b*4+2] AS VARCHAR)
+               || '|' || CAST(sig[b*4+3] AS VARCHAR) || '|'
+               || CAST(sig[b*4+4] AS VARCHAR) AS band_key
+      FROM sig, range(0, 4) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.band_key = r.band_key
+           AND l.doc_id < r.doc_id
+    ),
+    found AS (
+      SELECT id_a, id_b, 1 AS hit
+      FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                JOIN sh b ON cand.id_b = b.doc_id
+      WHERE {_JACC} >= 0.5
+    ),
+    marked AS (
+      SELECT CASE WHEN t.jaccard >= 0.9 THEN '0.9+'
+                  WHEN t.jaccard >= 0.8 THEN '0.8-0.9'
+                  WHEN t.jaccard >= 0.7 THEN '0.7-0.8'
+                  WHEN t.jaccard >= 0.6 THEN '0.6-0.7'
+                  ELSE '0.5-0.6' END AS bucket,
+             f.hit
+      FROM truth t LEFT JOIN found f
+        ON t.id_a = f.id_a AND t.id_b = f.id_b
+    )
+    SELECT coalesce(bucket, 'ALL') AS bucket,
+           count(*) AS n_true,
+           CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_found,
+           round(coalesce(sum(hit), 0) * 1.0 / count(*), 6) AS recall,
+           CAST(1.0 AS DOUBLE) AS precision
+    FROM marked GROUP BY ROLLUP (bucket) ORDER BY bucket
+    """,
+)

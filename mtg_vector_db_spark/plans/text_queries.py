@@ -2008,3 +2008,87 @@ def _t31_oracle() -> str:
 
 
 oracle("t31_ngram_diversity", _t31_oracle())
+
+
+# ---------------------------------------------------------------------------
+# T32 (extension): robust length-outlier screen — per-source median /
+# MAD of document length and the count of docs beyond 3×MAD (the
+# robust cousin of z-score gates: crawler glitches and truncated docs
+# don't inflate the cut-off the way they inflate a stddev). Two keyed
+# aggregations on source + one broadcast join of the #sources-row
+# stats table back onto the corpus; all arithmetic is exact in
+# float64 (integer lengths, .5-interpolated medians), so there is no
+# rounding tie for engines to disagree on.
+# ---------------------------------------------------------------------------
+@query("t32_length_outliers")
+def t32_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    med = docs.groupBy("source").agg(
+        F.percentile(F.col("n_chars"), F.lit(0.5)).alias("median_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    dev = docs.join(F.broadcast(med), "source").select(
+        "source",
+        "n_docs",
+        "median_chars",
+        F.abs(F.col("n_chars") - F.col("median_chars")).alias("dev"),
+    )
+    mad = dev.groupBy("source", "n_docs", "median_chars").agg(
+        F.percentile(F.col("dev"), F.lit(0.5)).alias("mad_chars")
+    )
+    flagged = dev.join(
+        F.broadcast(mad.select("source", "mad_chars")), "source"
+    ).groupBy("source").agg(
+        F.sum(
+            F.when(F.col("dev") > 3.0 * F.col("mad_chars"), 1).otherwise(0)
+        ).alias("n_outliers")
+    )
+    return (
+        mad.join(flagged, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("median_chars"), 1).alias("median_chars"),
+            F.round(F.col("mad_chars"), 1).alias("mad_chars"),
+            "n_outliers",
+            F.round(
+                F.col("n_outliers") / F.col("n_docs").cast("double"), 6
+            ).alias("outlier_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+oracle(
+    "t32_length_outliers",
+    """
+    WITH med AS (
+      SELECT source, quantile_cont(n_chars, 0.5) AS median_chars,
+             count(*) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    dev AS (
+      SELECT d.source, med.n_docs, med.median_chars,
+             abs(d.n_chars - med.median_chars) AS dev
+      FROM documents d JOIN med USING (source)
+    ),
+    mad AS (
+      SELECT source, any_value(n_docs) AS n_docs,
+             any_value(median_chars) AS median_chars,
+             quantile_cont(dev, 0.5) AS mad_chars
+      FROM dev GROUP BY source
+    ),
+    fl AS (
+      SELECT dev.source,
+             sum(CASE WHEN dev.dev > 3.0 * mad.mad_chars
+                 THEN 1 ELSE 0 END) AS n_outliers
+      FROM dev JOIN mad USING (source) GROUP BY dev.source
+    )
+    SELECT mad.source, CAST(mad.n_docs AS BIGINT) AS n_docs,
+           round(mad.median_chars, 1) AS median_chars,
+           round(mad.mad_chars, 1) AS mad_chars,
+           CAST(fl.n_outliers AS BIGINT) AS n_outliers,
+           round(fl.n_outliers * 1.0 / mad.n_docs, 6) AS outlier_ratio
+    FROM mad JOIN fl USING (source) ORDER BY mad.source
+    """,
+)

@@ -341,3 +341,21 @@ def test_winnow_guarantee_and_density(spark):
         n_tokens = len(docs.where(f"doc_id={d}").first()["text"].split())
         n_windows = n_tokens - 5 + 1 - (4 - 1)
         assert 1 <= len(by_doc[d]) <= n_windows
+
+
+def test_lsh_recall_report_consistency(spark, sf001):
+    """ALL row equals the sum of buckets; recall in (0,1]; precision is
+    the verify-step guarantee (exactly 1.0)."""
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["d17_lsh_recall_report"](spark, sf001).collect()
+    assert rows
+    all_row = next(r for r in rows if r["bucket"] == "ALL")
+    buckets = [r for r in rows if r["bucket"] != "ALL"]
+    assert all_row["n_true"] == sum(r["n_true"] for r in buckets)
+    assert all_row["n_found"] == sum(r["n_found"] for r in buckets)
+    for r in rows:
+        assert 0 < r["recall"] <= 1.0
+        assert r["n_found"] <= r["n_true"]
+        assert r["precision"] == 1.0
