@@ -1557,3 +1557,142 @@ def _c25_oracle() -> str:
 
 
 oracle("c25_quality_canonical", _c25_oracle())
+
+
+# ---------------------------------------------------------------------------
+# C26 (extension): packing-budget sweep — c02's packing stats for FOUR
+# sequence budgets from ONE corpus scan. The per-block running sum
+# (the only window pass) is budget-independent; every budget-specific
+# quantity is a floor-division of it, so the sweep is conditional
+# aggregates over one pass + a 4-row stack — never one rescan per
+# budget (the p23 threshold-sweep discipline applied to the packing
+# knob). Answers "what does moving 512 → 1024 cost in fill rate and
+# split docs" with zero extra shuffles.
+# ---------------------------------------------------------------------------
+_C26_BUDGETS = (128, 256, 512, 1024)
+_C26_BLOCK = 256
+
+
+@query("c26_packing_sweep")
+def c26_packing_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.textstats import token_count
+    from mtg_vector_db_spark.session import widen
+    from pyspark.sql import Window
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    d = (
+        widen(docs)
+        .select(
+            "doc_id", token_count(F.col("text")).alias("n_tokens")
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "block",
+            F.floor(F.col("doc_id") / F.lit(_C26_BLOCK)).cast("bigint"),
+        )
+        .withColumn(
+            "cum",
+            F.sum("n_tokens").over(
+                Window.partitionBy("block").orderBy("doc_id")
+            ),
+        )
+    )
+    split_aggs = [
+        F.sum(
+            (
+                F.floor((F.col("cum") - 1) / F.lit(b))
+                > F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(b))
+            ).cast("long")
+        ).alias(f"s_{b}")
+        for b in _C26_BUDGETS
+    ]
+    splits = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        *split_aggs,
+    )
+    bl = d.groupBy("block").agg(F.max("cum").alias("max_cum"))
+    seq_aggs = [
+        F.sum(F.floor((F.col("max_cum") - 1) / F.lit(b)) + 1).alias(
+            f"q_{b}"
+        )
+        for b in _C26_BUDGETS
+    ]
+    seqs = bl.agg(*seq_aggs)
+    stack_args = ", ".join(
+        f"{b}, s_{b}, q_{b}" for b in _C26_BUDGETS
+    )
+    return (
+        splits.crossJoin(F.broadcast(seqs))
+        .select(
+            "n_docs",
+            "total_tokens",
+            F.expr(
+                f"stack({len(_C26_BUDGETS)}, {stack_args})"
+                " AS (budget, n_split_docs, n_sequences)"
+            ),
+        )
+        .select(
+            F.col("budget").cast("long").alias("budget"),
+            "n_docs",
+            "total_tokens",
+            "n_sequences",
+            "n_split_docs",
+            F.round(
+                F.col("total_tokens")
+                / (F.col("n_sequences") * F.col("budget")).cast("double"),
+                6,
+            ).alias("fill_rate"),
+            F.round(
+                F.col("n_split_docs") / F.col("n_docs").cast("double"), 6
+            ).alias("split_ratio"),
+        )
+        .orderBy("budget")
+    )
+
+
+def _c26_oracle() -> str:
+    from mtg_vector_db_spark.plans.text_queries import _TOKS
+
+    branches = " UNION ALL ".join(
+        f"SELECT {b} AS budget, s_{b} AS n_split_docs, q_{b} AS n_sequences"
+        " FROM sp, sq"
+        for b in _C26_BUDGETS
+    )
+    s_cols = ", ".join(
+        f"CAST(sum(CASE WHEN floor((cum - 1) / {b}.0)"
+        f" > floor((cum - n_tokens) / {b}.0) THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS s_{b}"
+        for b in _C26_BUDGETS
+    )
+    q_cols = ", ".join(
+        f"CAST(sum(floor((max_cum - 1) / {b}.0) + 1) AS BIGINT) AS q_{b}"
+        for b in _C26_BUDGETS
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKS}) AS n_tokens,
+             CAST(floor(doc_id / {_C26_BLOCK}.0) AS BIGINT) AS block
+      FROM documents WHERE len({_TOKS}) > 0
+    ),
+    c AS (SELECT block, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY block ORDER BY doc_id)
+                   AS cum
+          FROM t),
+    sp AS (SELECT count(*) AS n_docs,
+                  CAST(sum(n_tokens) AS BIGINT) AS total_tokens, {s_cols}
+           FROM c),
+    bl AS (SELECT block, max(cum) AS max_cum FROM c GROUP BY block),
+    sq AS (SELECT {q_cols} FROM bl),
+    st AS ({branches})
+    SELECT st.budget, sp.n_docs, sp.total_tokens, st.n_sequences,
+           st.n_split_docs,
+           round(sp.total_tokens
+                 / CAST(st.n_sequences * st.budget AS DOUBLE), 6)
+             AS fill_rate,
+           round(st.n_split_docs * 1.0 / sp.n_docs, 6) AS split_ratio
+    FROM st, sp ORDER BY st.budget
+    """
+
+
+oracle("c26_packing_sweep", _c26_oracle())

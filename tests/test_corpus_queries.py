@@ -18,7 +18,7 @@ CORPUS_QUERIES = [n for n in registry.QUERIES if n.startswith("c")]
 
 
 def test_family_registered():
-    assert len(CORPUS_QUERIES) == 25  # c01-c25 (c25 quality-canonical, r3)
+    assert len(CORPUS_QUERIES) == 26  # c01-c26 (c26 packing sweep, r3)
     assert all(n in registry.ORACLES for n in CORPUS_QUERIES)
 
 
@@ -291,3 +291,32 @@ def test_canonical_by_quality_argmax_and_ties(spark):
     assert rows[1]["n_members"] == 3
     # cluster 10: tie on quality -> min id, same as min-id policy
     assert rows[10]["keep_id"] == 10 and rows[10]["moved"] is False
+
+
+def test_packing_sweep_matches_per_budget_pack(spark, sf001):
+    """Each sweep row must equal a standalone pack_sequences run at that
+    budget (sum over blocks), so the one-scan sweep is exact."""
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    sweep = {
+        r["budget"]: r
+        for r in registry.QUERIES["c26_packing_sweep"](spark, sf001).collect()
+    }
+    for budget in (128, 1024):
+        blocks = C.pack_sequences(docs, budget=budget, block_rows=256).collect()
+        assert sweep[budget]["n_sequences"] == sum(
+            b["n_sequences"] for b in blocks
+        )
+        assert sweep[budget]["n_split_docs"] == sum(
+            b["n_split_docs"] for b in blocks
+        )
+        assert sweep[budget]["n_docs"] == sum(b["n_docs"] for b in blocks)
+        assert sweep[budget]["total_tokens"] == sum(
+            b["n_tokens"] for b in blocks
+        )
+    # monotonicity: a larger budget can only reduce the sequence count
+    bs = sorted(sweep)
+    for a, b in zip(bs, bs[1:]):
+        assert sweep[a]["n_sequences"] >= sweep[b]["n_sequences"]
