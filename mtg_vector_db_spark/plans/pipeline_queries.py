@@ -2564,7 +2564,12 @@ def p34_maxsim_late_interaction(
     from mtg_vector_db_spark.session import widen
 
     (docs,) = tables(spark, sf_dir, "documents")
-    chunks = chunk_documents(widen(docs), size=16, stride=16).select(
+    # Lowercase BEFORE chunking: term vectors are lowercase, and the
+    # oracle tokenizes lowercased text — raw-case chunks would hash to
+    # different vectors (fuzz-parity finding: the all-lowercase driver
+    # fixture masked this).
+    lowered = widen(docs).withColumn("text", F.lower(F.col("text")))
+    chunks = chunk_documents(lowered, size=16, stride=16).select(
         "doc_id", _p34_embed(F.col("chunk_text")).alias("cv")
     )
     qterms = spark.createDataFrame(
