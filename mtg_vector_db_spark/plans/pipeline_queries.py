@@ -2671,3 +2671,87 @@ def _p34_oracle() -> str:
 
 
 oracle("p34_maxsim_late_interaction", _p34_oracle())
+
+
+# ---------------------------------------------------------------------------
+# P35 (extension): hard-negative mining — for each seed vector, the
+# top-k most-similar vectors with a DIFFERENT label (the retrieval /
+# contrastive-training staple: the best negatives are the near-misses,
+# not random draws). Shape: the seed set broadcasts (seeds ≪ corpus);
+# similarity + the cross-label filter are one map stage over the
+# corpus; the per-seed top-k is a window keyed on query_id over rows
+# that survive — the corpus is never self-joined at large. Rank ties
+# break on ROUNDED sim then doc_id (engine-tie discipline).
+# ---------------------------------------------------------------------------
+_P35_SEEDS = 8
+_P35_K = 5
+
+
+@query("p35_hard_negatives")
+def p35_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions.vector import dot, l2_normalize
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    nx = emb.select(
+        "vec_id", "label", l2_normalize(F.col("embedding")).alias("nx")
+    )
+    seeds = nx.filter(F.col("vec_id") < _P35_SEEDS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("nx").alias("qx"),
+    )
+    scored = (
+        nx.join(F.broadcast(seeds), nx["label"] != seeds["query_label"])
+        .select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(dot(F.col("nx"), F.col("qx")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neg_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _P35_K)
+        .select(
+            "query_id", "query_label", "rank", "neg_id", "neg_label", "sim"
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+oracle(
+    "p35_hard_negatives",
+    f"""
+    WITH n AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_inner_product(
+                 CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))
+               AS nx
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS query_id, label AS query_label, nx AS qx
+      FROM n WHERE vec_id < {_P35_SEEDS}
+    ),
+    scored AS (
+      SELECT s.query_id, s.query_label, n.vec_id AS neg_id,
+             n.label AS neg_label,
+             round(list_inner_product(n.nx, s.qx), 6) AS sim
+      FROM n JOIN seeds s ON n.label <> s.query_label
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neg_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, query_label, rank, neg_id, neg_label, sim
+    FROM ranked WHERE rank <= {_P35_K} ORDER BY query_id, rank
+    """,
+)

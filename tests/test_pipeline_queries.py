@@ -264,3 +264,23 @@ def test_maxsim_dominates_single_term_and_is_bounded(spark, sf001):
         scores = [r["score"] for r in rs]
         assert scores == sorted(scores, reverse=True)
         assert all(-3.0 <= s <= 3.0 for s in scores)  # 3 unit terms
+
+
+def test_hard_negatives_are_cross_label_and_hard(spark, sf001):
+    """Every mined negative has a different label than its seed; ranks
+    are dense; and each seed's top negative is at least as similar as
+    its k-th (ordering invariant)."""
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["p35_hard_negatives"](spark, sf001).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["neg_label"] != r["query_label"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
