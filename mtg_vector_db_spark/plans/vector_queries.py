@@ -683,3 +683,105 @@ oracle(
     ORDER BY label
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# V13 (extension): embedding dispersion — per-label MEAN PAIRWISE
+# cosine, computed WITHOUT the O(n²) pair join: for unit vectors,
+# Σ_{i≠j} cos(v_i, v_j) = ‖Σ_i v_i‖² − Σ_i ‖v_i‖², so the whole
+# statistic reduces to per-dimension sums — one explode + two keyed
+# aggregations, O(n·d) at any corpus size. (The collapse-detection
+# metric for synthetic/curated data: dispersion → 1 means the corpus
+# is folding onto one direction.) Components are rounded then summed
+# as DECIMAL(28,12) — partition-order-independent, engine-exact.
+# ---------------------------------------------------------------------------
+_V13_DIM = 64
+
+
+@query("v13_embedding_dispersion")
+def v13_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.vector import l2_normalize
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    nx = emb.select(
+        "label",
+        F.transform(
+            l2_normalize(F.col("embedding")), lambda x: F.round(x, 9)
+        ).alias("nx"),
+    )
+    ex = nx.select(
+        "label", F.posexplode(F.col("nx")).alias("dim", "val")
+    )
+    per_dim = ex.groupBy("label", "dim").agg(
+        F.sum(F.round(F.col("val"), 12).cast("decimal(28,12)")).alias("sd"),
+        F.sum(
+            F.round(F.col("val") * F.col("val"), 12).cast("decimal(28,12)")
+        ).alias("sq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    agg = per_dim.groupBy("label").agg(
+        F.sum(
+            F.round(
+                F.col("sd").cast("double") * F.col("sd").cast("double"), 12
+            ).cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("s2"),
+        F.sum("sq").cast("double").alias("ssq"),
+        F.max("n").alias("n_vecs"),
+    )
+    return agg.select(
+        "label",
+        "n_vecs",
+        F.round(F.sqrt(F.col("s2")) / F.col("n_vecs"), 6).alias(
+            "centroid_norm"
+        ),
+        F.round(
+            (F.col("s2") - F.col("ssq"))
+            / (F.col("n_vecs") * (F.col("n_vecs") - F.lit(1))).cast(
+                "double"
+            ),
+            6,
+        ).alias("mean_pairwise_cos"),
+    ).orderBy("label")
+
+
+oracle(
+    "v13_embedding_dispersion",
+    f"""
+    WITH n0 AS (
+      SELECT label,
+             list_transform(
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x / sqrt(list_inner_product(
+                   CAST(embedding AS DOUBLE[]),
+                   CAST(embedding AS DOUBLE[])))),
+               x -> round(x, 9)) AS nx
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT label, i - 1 AS dim, nx[i] AS val
+      FROM n0, unnest(range(1, {_V13_DIM + 1})) u(i)
+    ),
+    per_dim AS (
+      SELECT label, dim,
+             sum(CAST(round(val, 12) AS DECIMAL(28,12))) AS sd,
+             sum(CAST(round(val * val, 12) AS DECIMAL(28,12))) AS sq,
+             count(*) AS n
+      FROM ex GROUP BY label, dim
+    ),
+    agg AS (
+      SELECT label,
+             CAST(sum(CAST(round(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE),
+                  12) AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+             CAST(sum(sq) AS DOUBLE) AS ssq,
+             CAST(max(n) AS BIGINT) AS n_vecs
+      FROM per_dim GROUP BY label
+    )
+    SELECT label, n_vecs,
+           round(sqrt(s2) / n_vecs, 6) AS centroid_norm,
+           round((s2 - ssq) / CAST(n_vecs * (n_vecs - 1) AS DOUBLE), 6)
+             AS mean_pairwise_cos
+    FROM agg ORDER BY label
+    """,
+)

@@ -79,3 +79,29 @@ def test_mrl_prefix_search_plan_shape(spark, sf001):
     )
     assert plan.count("TakeOrderedAndProject") >= 2
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_dispersion_closed_form_equals_brute_force(spark, sf001):
+    """The O(n·d) closed form must equal the O(n²) brute-force mean
+    pairwise cosine (computed in numpy on the same normalized,
+    9-dp-rounded vectors)."""
+    import numpy as np
+
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    got = {
+        r["label"]: r["mean_pairwise_cos"]
+        for r in registry.QUERIES["v13_embedding_dispersion"](
+            spark, sf001
+        ).collect()
+    }
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet").toPandas()
+    for label, grp in emb.groupby("label"):
+        v = np.array([np.asarray(e, dtype=np.float64) for e in grp["embedding"]])
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        v = np.round(v, 9)
+        n = len(v)
+        g = v @ v.T
+        brute = (g.sum() - np.trace(g)) / (n * (n - 1))
+        assert abs(got[label] - brute) < 5e-6, (label, got[label], brute)
