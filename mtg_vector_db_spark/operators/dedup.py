@@ -883,3 +883,68 @@ def winnow_fingerprints(
         .select(F.col(id_col).alias("doc_id"), F.explode(fps).alias("fp"))
         .distinct()
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    min_shingles: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment |A∩B| / |A| — the quote / subset
+    detector Jaccard structurally misses: a paragraph fully embedded in
+    a much longer document has containment 1.0 but Jaccard ≈ |A|/|B|.
+    Returns directed pairs ``(id_a, id_b, containment)`` where at least
+    ``threshold`` of a's shingles appear in b (a ≠ b, a has ≥
+    ``min_shingles`` shingles so trivially-short docs can't flood).
+
+    Shape at scale: NO pair cross join — shingles fold to 60-bit md5
+    ints and the candidate pairs come from a posting-list self-join
+    keyed on that fixed-width hash (work ∝ Σ posting_size², i.e. only
+    co-occurring shingles), then one (a, b) count-aggregate joined back
+    against the per-doc shingle counts (the PAIR side is the small
+    relation — never broadcast the corpus-sized size table). Same skew story
+    as the LSH bucket join: a boilerplate shingle with a huge posting
+    list is the hot key — cap or pre-drop via d08's boilerplate profile
+    in production.
+    """
+    sh = widen(docs).select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col)).alias("shingles"),
+    )
+    sizes = sh.select(
+        "doc_id", F.size("shingles").alias("n_sh")
+    ).filter(F.col("n_sh") >= min_shingles)
+    posts = sh.select(
+        "doc_id",
+        F.explode("shingles").alias("s"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    pa = posts.select(F.col("doc_id").alias("id_a"), "h")
+    pb = posts.select(F.col("doc_id").alias("id_b"), "h")
+    inter = (
+        pa.join(pb, "h")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), "n_sh"), "id_a"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / F.col("n_sh").cast("double"),
+                round_digits,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -950,3 +950,43 @@ oracle(
     FROM marked GROUP BY ROLLUP (bucket) ORDER BY bucket
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# D18 (extension): asymmetric containment |A∩B|/|A| — the quote /
+# subset detector Jaccard structurally misses (a paragraph embedded in
+# a long doc has containment 1.0, Jaccard ≈ |A|/|B|). Directed pairs
+# from a posting-list self-join on 60-bit shingle hashes (work ∝
+# co-occurring shingles, no cross join), bounded to the same block as
+# the other exact baselines.
+# ---------------------------------------------------------------------------
+@query("d18_containment_pairs")
+def d18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    bounded = docs.filter(F.col("doc_id") < 1000)
+    return D.containment_pairs(bounded, threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+oracle(
+    "d18_containment_pairs",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+                WHERE doc_id < 1000),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh
+              WHERE len(shingles) >= 3),
+    posts AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM posts a JOIN posts b
+        ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(n_inter * 1.0 / sizes.n_sh, 6) AS containment
+    FROM inter JOIN sizes ON inter.id_a = sizes.doc_id
+    WHERE round(n_inter * 1.0 / sizes.n_sh, 6) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)

@@ -359,3 +359,28 @@ def test_lsh_recall_report_consistency(spark, sf001):
         assert 0 < r["recall"] <= 1.0
         assert r["n_found"] <= r["n_true"]
         assert r["precision"] == 1.0
+
+
+def test_containment_detects_embedded_quote(spark):
+    """A short doc fully embedded in a longer one scores containment 1.0
+    in the short→long direction, while the reverse direction (and the
+    Jaccard detector at the same threshold) miss it."""
+    from mtg_vector_db_spark.operators.dedup import (
+        containment_pairs,
+        exact_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"word{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote} {filler}"), (3, filler)],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert got.get((1, 2)) == 1.0      # quote fully inside the long doc
+    assert (2, 1) not in got           # reverse direction is tiny
+    jac = exact_jaccard_pairs(docs, threshold=0.5).collect()
+    assert not [r for r in jac if {r["id_a"], r["id_b"]} == {1, 2}]
