@@ -96,6 +96,9 @@ HEADLINE = [
     "t31_ngram_diversity",      # distinct-n diversity, one-shuffle 6 measures
     "p34_maxsim_late_interaction",  # ColBERT MaxSim multi-vector scoring
     "d16_winnow_overlap",       # MOSS winnowing, array-domain minima
+    "d18_containment_pairs",    # asymmetric containment, posting join
+    "v13_embedding_dispersion", # O(n*d) closed-form pairwise cosine
+    "p35_hard_negatives",       # cross-label hard-negative mining
     # c18_quality_keep is NOT benched: its cluster input is the d02
     # exact-pairs baseline, an intentionally id-bounded O(n²) oracle
     # anchor — benching it would time the demo bound, not the operator.
