@@ -1029,3 +1029,63 @@ def streaming_reservoir_maintenance(
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def streaming_winnow_decontamination(
+    spark: SparkSession,
+    source_dir: str,
+    eval_fp_path: str,
+    report_path: str,
+    checkpoint: str,
+    k: int = 5,
+    w: int = 4,
+    max_shared: int = 0,
+    schema: str = "doc_id long, text string, source string",
+) -> "DataStreamWriter":
+    """Exact-span decontamination of a training stream against a FROZEN
+    eval set: arriving documents are winnowed (operators/dedup.py
+    winnow_fingerprints — any shared run of ≥ w+k−1 tokens with an eval
+    doc is guaranteed to share a fingerprint) and probed against the
+    eval set's persisted fingerprint store; docs sharing more than
+    ``max_shared`` fingerprints are reported as contaminated.
+
+    The complement of streaming_bloom_maintenance: the Bloom face grows
+    a probabilistic SET of the eval corpus and answers "probably seen",
+    this face keeps the EXACT winnowed span sample (state bounded by
+    the EVAL set — ~2/(w+1) of its gram stream, built once offline via
+    winnow_fingerprints and never touched by the stream) and answers
+    with zero false negatives for runs ≥ w+k−1 tokens. Per batch: the
+    batch is winnowed (O(batch), scan-side array domain), one join
+    against the store keyed on 60-bit fingerprint ints, one append of
+    the per-doc report — the stream never rewrites the store, so
+    replays can only re-append the same deterministic rows, deduped by
+    (batch_id, doc_id) on read.
+    """
+    from mtg_vector_db_spark.operators.dedup import winnow_fingerprints
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        fp = winnow_fingerprints(batch_df, k=k, w=w)
+        store = s.read.parquet(eval_fp_path).select(
+            F.col("fp").alias("fp"), F.lit(1).alias("hit")
+        )
+        shared = (
+            fp.join(store, "fp", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_fp"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias(
+                    "n_shared"
+                ),
+            )
+            .filter(F.col("n_shared") > max_shared)
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        shared.write.mode("append").parquet(report_path)
+
+    return (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", checkpoint)
+    )

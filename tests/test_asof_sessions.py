@@ -986,3 +986,88 @@ def test_streaming_reservoir_equals_oneshot_with_replay(spark, tmp_path):
         key=lambda t: (-t[2], t[0]),
     )
     assert again == oneshot
+
+
+def test_streaming_winnow_decontamination_flags_eval_overlap(
+    spark, tmp_path
+):
+    """A streamed doc sharing a >= w+k-1-token run with the frozen eval
+    set is flagged; clean docs are not; stream report rows equal the
+    one-shot batch probe over the same arrivals."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.operators.dedup import winnow_fingerprints
+    from mtg_vector_db_spark.streaming.pipelines import (
+        streaming_winnow_decontamination,
+    )
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    eval_docs = spark.createDataFrame(
+        [(900, f"intro {leak} outro closing words here"),
+         (901, "completely different evaluation content here today")],
+        ["doc_id", "text"],
+    )
+    winnow_fingerprints(eval_docs).select("fp").distinct().write.parquet(
+        str(tmp_path / "evalfp")
+    )
+
+    rows1 = [
+        (1, f"training doc with {leak} copied inside", "web"),
+        (2, "benign training doc one two three four five six", "web"),
+    ]
+    rows2 = [(3, f"another leak {leak} again", "books"),
+             (4, "more benign content seven eight nine ten eleven", "books")]
+    schema = "doc_id long, text string, source string"
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    def run():
+        q = (
+            streaming_winnow_decontamination(
+                spark,
+                str(src / "*"),
+                str(tmp_path / "evalfp"),
+                str(tmp_path / "report"),
+                str(tmp_path / "ckpt"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    run()
+
+    rep = spark.read.parquet(str(tmp_path / "report"))
+    flagged = {r["doc_id"] for r in rep.collect()}
+    assert flagged == {1, 3}  # exactly the planted leaks
+    for r in rep.collect():
+        assert r["n_shared"] >= 1 and r["n_fp"] >= r["n_shared"]
+
+    # One-shot equivalence: batch probe over all arrivals = stream rows.
+    both = spark.createDataFrame(rows1 + rows2, schema)
+    store = spark.read.parquet(str(tmp_path / "evalfp")).withColumn(
+        "hit", F.lit(1)
+    )
+    oneshot = {
+        (r["doc_id"], r["n_fp"], r["n_shared"])
+        for r in winnow_fingerprints(both)
+        .join(store, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_shared"),
+        )
+        .filter("n_shared > 0")
+        .collect()
+    }
+    got = {
+        (r["doc_id"], r["n_fp"], r["n_shared"]) for r in rep.collect()
+    }
+    assert got == oneshot
