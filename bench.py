@@ -99,6 +99,7 @@ HEADLINE = [
     "d18_containment_pairs",    # asymmetric containment, posting join
     "v13_embedding_dispersion", # O(n*d) closed-form pairwise cosine
     "p35_hard_negatives",       # cross-label hard-negative mining
+    "p36_nprobe_sweep",         # one-scan ANN knob sweep (recall curve)
     # c18_quality_keep is NOT benched: its cluster input is the d02
     # exact-pairs baseline, an intentionally id-bounded O(n²) oracle
     # anchor — benching it would time the demo bound, not the operator.

@@ -633,6 +633,37 @@ def ivf_multi_assign(
     )
 
 
+def ivf_ranked_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    emb_col: str = "embedding",
+    cluster_col: str = "cell",
+    centroid_col: str = "centroid",
+    rank_col: str = "cell_rank",
+) -> DataFrame:
+    """:func:`ivf_multi_assign` with the probe ORDER kept: each vector
+    lands in its ``nprobe`` nearest frozen cells tagged with the 1-based
+    cell rank — the carrier for one-scan nprobe SWEEPS (candidate sets
+    are nested in rank, so "candidates at nprobe=n" is a rank filter,
+    never a re-assignment). Same (dist, cell) tie-break; a SQL oracle
+    replays with ``row_number() OVER (ORDER BY dist, cell) <= nprobe``."""
+    from mtg_vector_db_spark.functions.vector import l2_normalize
+
+    scored = _scored_cells(centroids, cluster_col, centroid_col)
+    ranked = F.slice(F.array_sort(scored), 1, nprobe)
+    return (
+        emb.withColumn("_nx", l2_normalize(F.col(emb_col)))
+        .select(
+            "*",
+            F.posexplode(ranked).alias("_pos", "_sc"),
+        )
+        .withColumn(cluster_col, F.col("_sc")["cell"])
+        .withColumn(rank_col, (F.col("_pos") + 1).cast("int"))
+        .drop("_nx", "_pos", "_sc")
+    )
+
+
 def ivf_index_append(
     batch: DataFrame,
     centroids: DataFrame,

@@ -2755,3 +2755,179 @@ oracle(
     FROM ranked WHERE rank <= {_P35_K} ORDER BY query_id, rank
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# P36 (extension): one-scan nprobe sweep — recall@10 and candidate cost
+# for nprobe = 1..5 from a SINGLE cell-scoring pass (p23's knob-sweep
+# discipline applied to the ANN serving knob). Probe cells carry their
+# rank, candidate sets are NESTED in that rank, so each sweep point is
+# a rank filter + per-query top-k over the one scored candidate
+# relation — the corpus is scanned once, not once per knob. The output
+# is the recall-vs-cost curve an operator reads to pick nprobe.
+# ---------------------------------------------------------------------------
+_P36_K = 10
+_P36_MAX_NPROBE = 5
+
+
+@query("p36_nprobe_sweep")
+def p36_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions.vector import cosine_similarity
+    from mtg_vector_db_spark.operators.ann import (
+        ivf_assign,
+        ivf_ranked_assign,
+    )
+    from mtg_vector_db_spark.operators.knn import knn_join
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = knn_join(emb, queries_df, k=_P36_K, round_digits=R).select(
+        "query_id", "vec_id", F.lit(1).alias("is_true")
+    )
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "centroid"
+        ),
+    )
+    assigned = ivf_assign(emb, seeds)
+    probe = ivf_ranked_assign(
+        queries_df.select(
+            F.col("query_id").alias("vec_id"),
+            F.col("query_vec").alias("embedding"),
+        ),
+        seeds,
+        nprobe=_P36_MAX_NPROBE,
+    ).select(F.col("vec_id").alias("query_id"), "cell", "cell_rank")
+    sim = F.round(
+        cosine_similarity(F.col("embedding"), F.col("query_vec")), R
+    )
+    cand = (
+        assigned.join(probe, "cell")
+        .join(F.broadcast(queries_df), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "cell_rank", sim.alias("sim"))
+    )
+    per_n = []
+    for n in range(1, _P36_MAX_NPROBE + 1):
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("vec_id")
+        )
+        sub = cand.filter(F.col("cell_rank") <= n)
+        hits = (
+            sub.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _P36_K)
+            .join(exact, ["query_id", "vec_id"], "left")
+            .agg(
+                F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias(
+                    "n_hits"
+                )
+            )
+        )
+        ncand = sub.agg(F.count(F.lit(1)).alias("n_cand"))
+        per_n.append(
+            hits.crossJoin(F.broadcast(ncand)).select(
+                F.lit(n).alias("nprobe"), "n_hits", "n_cand"
+            )
+        )
+    out = per_n[0]
+    for df in per_n[1:]:
+        out = out.unionByName(df)
+    n_q = 10  # vec_id < 10 — fixed probe set, same as p27
+    return out.select(
+        "nprobe",
+        F.round(F.col("n_hits") / F.lit(float(n_q * _P36_K)), 6).alias(
+            "avg_recall_at_10"
+        ),
+        F.round(F.col("n_cand") / F.lit(float(n_q)), 6).alias(
+            "avg_candidates"
+        ),
+    ).orderBy("nprobe")
+
+
+def _p36_oracle() -> str:
+    branches = " UNION ALL ".join(
+        f"""
+      SELECT {n} AS nprobe,
+        (SELECT count(*) FROM topk t JOIN exact x
+          ON t.query_id = x.query_id AND t.doc_id = x.doc_id
+          WHERE t.nprobe = {n}) AS n_hits,
+        (SELECT count(*) FROM cand WHERE cell_rank <= {n}) AS n_cand
+        """
+        for n in range(1, _P36_MAX_NPROBE + 1)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    exact AS (
+      SELECT query_id, doc_id FROM (
+        SELECT q.query_id, e.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              q.qv), {R}) DESC,
+                 e.vec_id ASC) AS rank
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+      ) WHERE rank <= {_P36_K}
+    ),
+    c AS (
+      SELECT CAST(vec_id AS INT) AS cell, CAST(embedding AS DOUBLE[]) AS cvec,
+             list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS n2
+      FROM embeddings WHERE vec_id < 8
+    ),
+    n AS (SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> x / sqrt(list_inner_product(
+                     CAST(embedding AS DOUBLE[]),
+                     CAST(embedding AS DOUBLE[])))) AS nx
+          FROM embeddings),
+    d AS (SELECT n.vec_id, c.cell,
+                 c.n2 - 2 * list_inner_product(c.cvec, n.nx) AS dist
+          FROM n CROSS JOIN c),
+    assigned AS (SELECT vec_id, cell FROM (
+                   SELECT vec_id, cell,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY dist, cell) AS rn
+                   FROM d) WHERE rn = 1),
+    probe AS (SELECT vec_id AS query_id, cell, rn AS cell_rank FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cell) AS rn
+                FROM d WHERE vec_id < 10)
+              WHERE rn <= {_P36_MAX_NPROBE}),
+    cand AS (
+      SELECT p.query_id, a.vec_id, p.cell_rank,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.qv), {R}) AS sim
+      FROM assigned a
+      JOIN probe p USING (cell)
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      JOIN q ON q.query_id = p.query_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    topk AS (
+      SELECT nprobe, query_id, vec_id AS doc_id FROM (
+        SELECT nr.n AS nprobe, cand.query_id, cand.vec_id,
+               row_number() OVER (PARTITION BY nr.n, cand.query_id
+                 ORDER BY cand.sim DESC, cand.vec_id ASC) AS rank
+        FROM cand JOIN (SELECT unnest(range(1, {_P36_MAX_NPROBE + 1})) AS n)
+                       nr ON cand.cell_rank <= nr.n
+      ) WHERE rank <= {_P36_K}
+    ),
+    sweep AS ({branches})
+    SELECT nprobe,
+           round(n_hits / {float(10 * _P36_K)}, 6) AS avg_recall_at_10,
+           round(n_cand / 10.0, 6) AS avg_candidates
+    FROM sweep ORDER BY nprobe
+    """
+
+
+oracle("p36_nprobe_sweep", _p36_oracle())

@@ -284,3 +284,26 @@ def test_hard_negatives_are_cross_label_and_hard(spark, sf001):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         sims = [r["sim"] for r in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_nprobe_sweep_monotone_and_converges(spark, sf001):
+    """Recall and candidate cost are non-decreasing in nprobe (nested
+    candidate sets), and the sweep's recall at p27's nprobe matches the
+    standalone report's average."""
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["p36_nprobe_sweep"](spark, sf001).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 3, 4, 5]
+    recalls = [r["avg_recall_at_10"] for r in rows]
+    cands = [r["avg_candidates"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert cands == sorted(cands)
+    assert 0 < recalls[0] <= recalls[-1] <= 1.0
+    p27 = registry.QUERIES["p27_ivf_recall_report"](spark, sf001).collect()
+    avg27 = sum(r["recall_at_10"] for r in p27) / len(p27)
+    sweep4 = next(r for r in rows if r["nprobe"] == 4)
+    assert abs(sweep4["avg_recall_at_10"] - avg27) < 1e-6
