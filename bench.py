@@ -100,6 +100,7 @@ HEADLINE = [
     "v13_embedding_dispersion", # O(n*d) closed-form pairwise cosine
     "p35_hard_negatives",       # cross-label hard-negative mining
     "p36_nprobe_sweep",         # one-scan ANN knob sweep (recall curve)
+    "p37_cascade_search",       # BM25 -> Hamming -> exact cascade
     # c18_quality_keep is NOT benched: its cluster input is the d02
     # exact-pairs baseline, an intentionally id-bounded O(n²) oracle
     # anchor — benching it would time the demo bound, not the operator.

@@ -2931,3 +2931,102 @@ def _p36_oracle() -> str:
 
 
 oracle("p36_nprobe_sweep", _p36_oracle())
+
+
+# ---------------------------------------------------------------------------
+# P37 (extension): multi-stage retrieval CASCADE — the production
+# serving shape: a cheap wide recall stage (BM25 keyword top-100), a
+# cheap vector re-rank over candidates only (packed sign-bit Hamming →
+# top-20), then the expensive exact-cosine rescore on 20 rows. Each
+# stage touches only the previous stage's survivors: the corpus is
+# scanned once by BM25's posting filter, the Hamming stage joins the
+# 100-row candidate table (broadcast) against embeddings, and exact
+# math runs on 20 rows. Per-stage scores ride to the output so the
+# cascade is auditable end to end.
+# ---------------------------------------------------------------------------
+_P37_S1 = 100
+_P37_S2 = 20
+_P37_K = 10
+
+
+@query("p37_cascade_search")
+def p37_cascade_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions.vector import cosine_similarity
+    from mtg_vector_db_spark.operators.quantize import (
+        binary_signature,
+        hamming_packed,
+        signature_of,
+    )
+    from mtg_vector_db_spark.operators.text_search import bm25_topk
+    from mtg_vector_db_spark.plans.text_queries import BM25_TERMS
+    from mtg_vector_db_spark.plans.vector_queries import query_vector
+
+    docs, emb = tables(spark, sf_dir, "documents", "embeddings")
+    qv = query_vector(spark, sf_dir)
+    s1 = bm25_topk(docs, BM25_TERMS, k=_P37_S1, round_digits=R)
+    q_sig = F.array(*[F.lit(w).cast("long") for w in signature_of(qv)])
+    s2 = (
+        emb.join(
+            F.broadcast(s1), emb["vec_id"] == s1["doc_id"]
+        )
+        .select(
+            "doc_id",
+            "bm25",
+            "embedding",
+            hamming_packed(
+                binary_signature(F.col("embedding"), len(qv)), q_sig
+            ).alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("doc_id"))
+        .limit(_P37_S2)
+    )
+    s3 = s2.select(
+        "doc_id",
+        "bm25",
+        "hamming",
+        F.round(cosine_similarity(F.col("embedding"), qv), R).alias("sim"),
+    )
+    w = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
+    return (
+        s3.orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(_P37_K)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "doc_id", "bm25", "hamming", "sim")
+        .orderBy("rank")
+    )
+
+
+def _p37_oracle() -> str:
+    from mtg_vector_db_spark.plans.text_queries import bm25_sql_ctes
+
+    return f"""
+    WITH {bm25_sql_ctes()},
+    s1 AS (SELECT doc_id, bm25 FROM bm
+           ORDER BY bm25 DESC, doc_id LIMIT {_P37_S1}),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s2 AS (
+      SELECT s1.doc_id, s1.bm25,
+             CAST(list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN (e.embedding[i] > 0) <> (q.qe[i] > 0)
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS hamming,
+             e.embedding
+      FROM s1 JOIN embeddings e ON e.vec_id = s1.doc_id CROSS JOIN q
+      ORDER BY hamming ASC, s1.doc_id ASC LIMIT {_P37_S2}
+    ),
+    s3 AS (
+      SELECT doc_id, bm25, hamming,
+             round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                   {_Q_SUB}), {R}) AS sim
+      FROM s2
+    )
+    SELECT CAST(row_number() OVER (ORDER BY sim DESC, doc_id ASC)
+                AS BIGINT) AS rank,
+           doc_id, bm25, hamming, sim
+    FROM (SELECT * FROM s3 ORDER BY sim DESC, doc_id ASC LIMIT {_P37_K})
+    ORDER BY rank
+    """
+
+
+oracle("p37_cascade_search", _p37_oracle())

