@@ -990,3 +990,152 @@ oracle(
     ORDER BY id_a, id_b
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# D19 (extension): MinHash accuracy sweep — estimator error vs
+# signature size from ONE 32-hash pass: a k-hash MinHash signature is
+# the PREFIX of a larger one (same coefficient sequence), so Ĵ_k for
+# k ∈ {4, 8, 16, 32} are prefix-agreement counts over one equality
+# array — conditional folds + a stack, never one signature pass per k
+# (the knob-sweep discipline on the dedup estimator). Reported MAE
+# tracks the binomial √(J(1−J)/k) law; the table is what an operator
+# reads to size signatures against a recall budget.
+# ---------------------------------------------------------------------------
+_D19_KS = (4, 8, 16, 32)
+_D19_BLOCK = 500
+_D19_TAU = 0.3
+
+
+@query("d19_minhash_k_sweep")
+def d19_minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    bounded = docs.filter(F.col("doc_id") < _D19_BLOCK)
+    pairs = D.exact_jaccard_pairs(bounded, threshold=_D19_TAU)
+    sh = bounded.select(
+        "doc_id", D.word_shingles(F.col("text")).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sig = sh.select(
+        "doc_id",
+        D.minhash_signature(
+            D.minhash_hash_values(F.col("shingles")), num_hashes=32
+        ).alias("sig"),
+    )
+    j = (
+        pairs.join(
+            sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb")),
+            "id_b",
+        )
+        .withColumn(
+            "eqs",
+            F.zip_with(
+                "sa",
+                "sb",
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+        )
+    )
+    est_cols = [
+        F.round(
+            F.aggregate(
+                F.slice("eqs", 1, k), F.lit(0), lambda a, x: a + x
+            ).cast("double")
+            / k,
+            6,
+        ).alias(f"e_{k}")
+        for k in _D19_KS
+    ]
+    stacked = j.select("jaccard", *est_cols).select(
+        "jaccard",
+        F.expr(
+            f"stack({len(_D19_KS)}, "
+            + ", ".join(f"{k}, e_{k}" for k in _D19_KS)
+            + ") AS (k, est)"
+        ),
+    )
+    return (
+        stacked.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(
+                    F.round(F.abs(F.col("est") - F.col("jaccard")), 12).cast(
+                        "decimal(28,12)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mae"),
+            F.round(
+                F.sum(
+                    F.round(F.col("est") - F.col("jaccard"), 12).cast(
+                        "decimal(28,12)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("bias"),
+        )
+        .select(F.col("k").cast("long").alias("k"), "n_pairs", "mae", "bias")
+        .orderBy("k")
+    )
+
+
+def _d19_oracle() -> str:
+    a32 = "[" + ", ".join(str(a) for a, _ in D.minhash_coeffs(32)) + "]"
+    b32 = "[" + ", ".join(str(b) for _, b in D.minhash_coeffs(32)) + "]"
+    hv32 = (
+        "list_transform(shingles, s -> list_reduce("
+        "list_transform(range(1, 16), i -> "
+        "CAST(strpos('0123456789abcdef', substring(md5(s), i, 1)) AS BIGINT)"
+        " - 1), "
+        f"(x, y) -> x * 16 + y) % {_MH_P})"
+    )
+    est = ", ".join(
+        f"round(CAST(list_sum(list_transform(range(0, {k}), i ->"
+        f" CASE WHEN sa[i+1] = sb[i+1] THEN 1 ELSE 0 END)) AS DOUBLE)"
+        f" / {k}, 6) AS e_{k}"
+        for k in _D19_KS
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT jaccard, {k} AS k, e_{k} AS est FROM est"
+        for k in _D19_KS
+    )
+    return f"""
+    WITH sh0 AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+                 WHERE doc_id < {_D19_BLOCK}),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACC} AS jaccard
+      FROM sh0 a JOIN sh0 b ON a.doc_id < b.doc_id
+      WHERE {_JACC} >= {_D19_TAU}
+    ),
+    hv AS (SELECT doc_id, {hv32} AS hv FROM sh0 WHERE len(shingles) > 0),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 32), k ->
+               list_aggregate(list_transform(hv,
+                 h -> (({a32})[k+1] * h + ({b32})[k+1]) % {_MH_P}),
+                 'min')) AS sig
+      FROM hv
+    ),
+    est AS (
+      SELECT p.jaccard, {est}
+      FROM pairs p JOIN sig x ON p.id_a = x.doc_id
+                   JOIN sig y ON p.id_b = y.doc_id,
+           LATERAL (SELECT x.sig AS sa, y.sig AS sb) z
+    ),
+    st AS ({branches})
+    SELECT CAST(k AS BIGINT) AS k, count(*) AS n_pairs,
+           round(CAST(sum(CAST(round(abs(est - jaccard), 12)
+                 AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mae,
+           round(CAST(sum(CAST(round(est - jaccard, 12)
+                 AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS bias
+    FROM st GROUP BY k ORDER BY k
+    """
+
+
+oracle("d19_minhash_k_sweep", _d19_oracle())

@@ -384,3 +384,22 @@ def test_containment_detects_embedded_quote(spark):
     assert (2, 1) not in got           # reverse direction is tiny
     jac = exact_jaccard_pairs(docs, threshold=0.5).collect()
     assert not [r for r in jac if {r["id_a"], r["id_b"]} == {1, 2}]
+
+
+def test_minhash_k_sweep_error_shrinks_with_k(spark, sf001):
+    """Estimator MAE is (weakly) decreasing in signature size, the
+    estimate is unbiased-ish (|bias| < MAE), and all four sweep points
+    score the same pair set."""
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["d19_minhash_k_sweep"](spark, sf001).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == [4, 8, 16, 32]
+    assert len({r["n_pairs"] for r in rows}) == 1
+    maes = [r["mae"] for r in rows]
+    assert maes[0] >= maes[-1]           # 4-hash noisier than 32-hash
+    for r in rows:
+        assert abs(r["bias"]) <= r["mae"] + 1e-9
