@@ -1139,3 +1139,82 @@ def _d19_oracle() -> str:
 
 
 oracle("d19_minhash_k_sweep", _d19_oracle())
+
+
+# ---------------------------------------------------------------------------
+# D20 (extension): novel-token budget — the planning number behind
+# "how many epochs of NOVEL data do we actually have": per source,
+# total tokens minus tokens covered by cross-document repeated 5-gram
+# spans (d07's coverage machinery, same hash-keyed shuffle), i.e. the
+# effective corpus size a trainer sees after span-level dedup. Docs
+# with no repeated span contribute all their tokens (left join +
+# coalesce — the d07 report only lists affected docs).
+# ---------------------------------------------------------------------------
+@query("d20_novel_token_budget")
+def d20_novel_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.text import tokens
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    cov = D.repeated_ngram_spans(docs, n=5, min_docs=2).select(
+        "doc_id", "covered_tokens"
+    )
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.lower(F.col("text")))).alias("n_tokens"),
+    ).join(cov, "doc_id", "left")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.coalesce(F.col("covered_tokens"), F.lit(0))).alias(
+                "covered_tokens"
+            ),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "covered_tokens",
+            (F.col("total_tokens") - F.col("covered_tokens")).alias(
+                "novel_tokens"
+            ),
+            F.round(
+                (F.col("total_tokens") - F.col("covered_tokens"))
+                / F.greatest(F.col("total_tokens"), F.lit(1)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("novel_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+oracle(
+    "d20_novel_token_budget",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS_L} AS toks FROM documents),
+    base AS (SELECT doc_id, source, len(toks) AS n_tokens, toks FROM t),
+    w AS (SELECT doc_id, i - 1 AS pos,
+                 array_to_string(toks[i:i + 4], ' ') AS gram
+          FROM base, unnest(range(1, greatest(len(toks) - 5 + 2, 1)))
+               AS u(i)),
+    h AS (SELECT doc_id, pos, {_H60} AS hh FROM w),
+    dup AS (SELECT hh FROM h GROUP BY hh
+            HAVING count(DISTINCT doc_id) >= 2),
+    dw AS (SELECT h.* FROM h JOIN dup USING (hh)),
+    cov AS (SELECT doc_id, count(DISTINCT p) AS covered_tokens
+            FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS p FROM dw)
+            GROUP BY doc_id)
+    SELECT base.source,
+           CAST(sum(base.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(coalesce(cov.covered_tokens, 0)) AS BIGINT)
+             AS covered_tokens,
+           CAST(sum(base.n_tokens) - sum(coalesce(cov.covered_tokens, 0))
+             AS BIGINT) AS novel_tokens,
+           round((sum(base.n_tokens) - sum(coalesce(cov.covered_tokens, 0)))
+                 * 1.0 / greatest(sum(base.n_tokens), 1), 6) AS novel_ratio
+    FROM base LEFT JOIN cov USING (doc_id)
+    GROUP BY base.source ORDER BY base.source
+    """,
+)

@@ -403,3 +403,22 @@ def test_minhash_k_sweep_error_shrinks_with_k(spark, sf001):
     assert maes[0] >= maes[-1]           # 4-hash noisier than 32-hash
     for r in rows:
         assert abs(r["bias"]) <= r["mae"] + 1e-9
+
+
+def test_novel_token_budget_consistent_with_d07(spark, sf001):
+    """Corpus-wide covered_tokens equals the sum of d07's per-doc
+    coverage; novel + covered = total; ratios in (0, 1]."""
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["d20_novel_token_budget"](spark, sf001).collect()
+    assert rows
+    d07 = registry.QUERIES["d07_repeated_ngram_spans"](
+        spark, sf001
+    ).collect()
+    assert sum(r["covered_tokens"] for r in rows) == sum(
+        r["covered_tokens"] for r in d07
+    )
+    for r in rows:
+        assert r["novel_tokens"] + r["covered_tokens"] == r["total_tokens"]
+        assert 0 < r["novel_ratio"] <= 1.0
