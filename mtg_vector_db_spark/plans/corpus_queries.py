@@ -1696,3 +1696,131 @@ def _c26_oracle() -> str:
 
 
 oracle("c26_packing_sweep", _c26_oracle())
+
+
+# ---------------------------------------------------------------------------
+# C27 (extension): UniMax APPLY + audit — closes the mix loop: c24
+# plans per-language char allocations; this query materializes them
+# with the repo's deterministic md5 keep-rule (keep iff
+# hash_fraction(doc_id:lang-mix) < alloc/capacity-available chars) and
+# audits realized vs planned shares in the same result. The sample is
+# reproducible, never reshuffles as the corpus grows (per-doc md5
+# keys, no rand()), and the audit column is what a pipeline alerts on.
+# Rates are per-LANGUAGE scalars (broadcast); the corpus pass is one
+# map-side filter + one aggregation.
+# ---------------------------------------------------------------------------
+@query("c27_unimax_apply")
+def c27_unimax_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.text import hash_fraction
+    from mtg_vector_db_spark.operators.corpus import unimax_allocation
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(F.sum("n_chars").alias("chars"))
+    plan = unimax_allocation(
+        per, group_col="lang", size_col="chars", max_epochs=_C24_EPOCHS
+    ).select(
+        F.col("grp").alias("lang"),
+        F.col("sz").alias("corpus_chars"),
+        F.col("budget"),
+        F.col("alloc").alias("alloc_chars"),
+        F.round(
+            F.least(F.col("alloc") / F.col("sz").cast("double"), F.lit(1.0)),
+            12,
+        ).alias("rate"),
+    )
+    kept = (
+        docs.join(F.broadcast(plan), "lang")
+        .filter(
+            hash_fraction(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))
+            )
+            < F.col("rate")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+    return (
+        plan.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "corpus_chars",
+            "alloc_chars",
+            F.coalesce(F.col("kept_docs"), F.lit(0)).alias("kept_docs"),
+            F.coalesce(F.col("kept_chars"), F.lit(0)).alias("kept_chars"),
+            F.round(
+                F.col("alloc_chars") / F.col("budget").cast("double"), 6
+            ).alias("planned_share"),
+            F.round(
+                F.coalesce(F.col("kept_chars"), F.lit(0))
+                / F.col("alloc_chars"),
+                6,
+            ).alias("realized_over_planned"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _c27_oracle() -> str:
+    hf = (
+        "(list_sum(list_transform(range(1, 9), i -> "
+        "(strpos('0123456789abcdef', "
+        "substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), i, 1)) - 1)"
+        " * power(16, 8 - i))) / 4294967296.0)"
+    )
+    return f"""
+    WITH per AS (
+      SELECT lang AS grp, CAST(sum(n_chars) AS BIGINT) AS sz,
+             CAST(sum(n_chars) * {_C24_EPOCHS} AS BIGINT) AS cap
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(sz) AS BIGINT) AS total_sz, count(*) AS n_grp FROM per
+    ),
+    st AS (
+      SELECT per.*, tot.n_grp, CAST((tot.total_sz * 3) // 5 AS BIGINT)
+               AS budget
+      FROM per, tot
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY cap, grp) AS rk,
+             coalesce(sum(cap) OVER (ORDER BY cap, grp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix_cap
+      FROM st
+    ),
+    cand AS (
+      SELECT *, round(CAST(budget - prefix_cap AS DOUBLE)
+                      / CAST(n_grp - rk + 1 AS DOUBLE), 12) AS cand
+      FROM ranked
+    ),
+    lam AS (SELECT max(cand) AS lam FROM cand),
+    plan AS (
+      SELECT grp AS lang, sz AS corpus_chars, budget,
+             round(least(CAST(cap AS DOUBLE), lam), 6) AS alloc_chars,
+             round(least(round(least(CAST(cap AS DOUBLE), lam), 6)
+                   / CAST(sz AS DOUBLE), 1.0), 12) AS rate
+      FROM cand, lam
+    ),
+    kept AS (
+      SELECT d.lang, count(*) AS kept_docs,
+             CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+      FROM documents d JOIN plan ON d.lang = plan.lang
+      WHERE {hf} < plan.rate
+      GROUP BY d.lang
+    )
+    SELECT plan.lang, plan.corpus_chars, plan.alloc_chars,
+           coalesce(kept.kept_docs, 0) AS kept_docs,
+           coalesce(kept.kept_chars, 0) AS kept_chars,
+           round(plan.alloc_chars / CAST(plan.budget AS DOUBLE), 6)
+             AS planned_share,
+           round(coalesce(kept.kept_chars, 0) / plan.alloc_chars, 6)
+             AS realized_over_planned
+    FROM plan LEFT JOIN kept ON plan.lang = kept.lang
+    ORDER BY plan.lang
+    """
+
+
+oracle("c27_unimax_apply", _c27_oracle())

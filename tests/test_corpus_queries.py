@@ -18,7 +18,7 @@ CORPUS_QUERIES = [n for n in registry.QUERIES if n.startswith("c")]
 
 
 def test_family_registered():
-    assert len(CORPUS_QUERIES) == 26  # c01-c26 (c26 packing sweep, r3)
+    assert len(CORPUS_QUERIES) == 27  # c01-c27 (c27 UniMax apply, r3)
     assert all(n in registry.ORACLES for n in CORPUS_QUERIES)
 
 
@@ -320,3 +320,23 @@ def test_packing_sweep_matches_per_budget_pack(spark, sf001):
     bs = sorted(sweep)
     for a, b in zip(bs, bs[1:]):
         assert sweep[a]["n_sequences"] >= sweep[b]["n_sequences"]
+
+
+def test_unimax_apply_realizes_the_plan(spark, sf001):
+    """Capacity-capped languages (rate = 1.0, epochs = 2 means alloc may
+    exceed corpus — rate clamps) keep everything; sampled languages land
+    within sampling noise of the planned allocation; kept <= corpus."""
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["c27_unimax_apply"](spark, sf001).collect()
+    assert rows
+    for r in rows:
+        assert r["kept_chars"] <= r["corpus_chars"]
+        assert r["kept_docs"] > 0
+        # realized/planned within 35% at sf0.01 doc counts (70-220 docs
+        # per lang -> binomial noise); exact-keep langs hit the cap.
+        if r["alloc_chars"] >= r["corpus_chars"]:
+            assert r["kept_chars"] == r["corpus_chars"]
+        else:
+            assert 0.6 < r["realized_over_planned"] < 1.4
