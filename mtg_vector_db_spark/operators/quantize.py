@@ -142,10 +142,16 @@ def sq_train(
     return [float(r["lo"]) for r in mm], [float(r["hi"]) for r in mm]
 
 
-def sq_quantize(c: Column, lo: Sequence[float], hi: Sequence[float]) -> Column:
-    """array<float> → array<int> of 0..255 codes:
-    ``floor((x-lo)/(hi-lo)*255 + 0.5)`` (explicit half-up — identical
-    SQL semantics everywhere, unlike engine-specific round())."""
+def sq_quantize(
+    c: Column,
+    lo: Sequence[float],
+    hi: Sequence[float],
+    levels: int = 255,
+) -> Column:
+    """array<float> → array<int> of 0..``levels`` codes:
+    ``floor((x-lo)/(hi-lo)*levels + 0.5)`` (explicit half-up — identical
+    SQL semantics everywhere, unlike engine-specific round()).
+    ``levels = 2^bits − 1``: 255 for int8, 15 for 4-bit, 3 for 2-bit."""
     lo_a = F.array(*[F.lit(v) for v in lo])
     hi_a = F.array(*[F.lit(v) for v in hi])
     return F.transform(
@@ -157,7 +163,7 @@ def sq_quantize(c: Column, lo: Sequence[float], hi: Sequence[float]) -> Column:
             F.floor(
                 (F.element_at(c, i).cast("double") - F.element_at(lo_a, i))
                 / (F.element_at(hi_a, i) - F.element_at(lo_a, i))
-                * 255
+                * levels
                 + 0.5
             )
         )
@@ -166,15 +172,18 @@ def sq_quantize(c: Column, lo: Sequence[float], hi: Sequence[float]) -> Column:
 
 
 def sq_dequantize(
-    q: Column, lo: Sequence[float], hi: Sequence[float]
+    q: Column,
+    lo: Sequence[float],
+    hi: Sequence[float],
+    levels: int = 255,
 ) -> Column:
-    """Codes → reconstructed doubles: ``lo + q/255*(hi-lo)``."""
+    """Codes → reconstructed doubles: ``lo + q/levels*(hi-lo)``."""
     lo_a = F.array(*[F.lit(v) for v in lo])
     hi_a = F.array(*[F.lit(v) for v in hi])
     return F.transform(
         F.sequence(F.lit(1), F.lit(len(lo))),
         lambda i: F.element_at(lo_a, i)
-        + F.element_at(q, i) / 255.0
+        + F.element_at(q, i) / float(levels)
         * (F.element_at(hi_a, i) - F.element_at(lo_a, i)),
     )
 
@@ -436,10 +445,13 @@ def sq_reconstruction_error(
     lo: Sequence[float],
     hi: Sequence[float],
     emb_col: str = "embedding",
+    levels: int = 255,
 ) -> Column:
     """Squared L2 reconstruction error per row (fold over dims — fixed
     evaluation order, so an SQL engine replays it exactly)."""
-    deq = sq_dequantize(sq_quantize(F.col(emb_col), lo, hi), lo, hi)
+    deq = sq_dequantize(
+        sq_quantize(F.col(emb_col), lo, hi, levels), lo, hi, levels
+    )
     dbl = F.transform(F.col(emb_col), lambda x: x.cast("double"))
     return F.aggregate(
         F.zip_with(dbl, deq, lambda x, y: (x - y) * (x - y)),

@@ -785,3 +785,91 @@ oracle(
     FROM agg ORDER BY label
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# V14 (extension): scalar-quantization bit-width sweep — reconstruction
+# MSE at 2/4/8 bits per dim from ONE corpus scan: the per-dim min/max
+# train step is bit-independent, so each bit width is one more
+# conditional reconstruction expression over the same row, stacked to
+# rows (the knob-sweep discipline on the storage knob). The output is
+# the error-vs-compression curve read against a recall budget; 32/bits
+# is the compression factor vs float32.
+# ---------------------------------------------------------------------------
+_V14_BITS = (2, 4, 8)
+
+
+@query("v14_sq_bits_sweep")
+def v14_sq_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.quantize import (
+        sq_reconstruction_error,
+        sq_train,
+    )
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    lo, hi = sq_train(emb)
+    errs = [
+        sq_reconstruction_error(emb, lo, hi, levels=2**b - 1).alias(
+            f"e_{b}"
+        )
+        for b in _V14_BITS
+    ]
+    one = emb.select(*errs)
+    stacked = one.select(
+        F.expr(
+            f"stack({len(_V14_BITS)}, "
+            + ", ".join(f"{b}, e_{b}" for b in _V14_BITS)
+            + ") AS (bits, err2)"
+        )
+    )
+    return (
+        stacked.groupBy("bits")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("err2"), 6).alias("mse"),
+            F.round(F.max("err2"), 6).alias("max_err2"),
+        )
+        .select(
+            F.col("bits").cast("long").alias("bits"),
+            (F.lit(32.0) / F.col("bits")).alias("compression_x"),
+            "n_vecs",
+            "mse",
+            "max_err2",
+        )
+        .orderBy("bits")
+    )
+
+
+def _v14_oracle() -> str:
+    def xhat(levels: int) -> str:
+        return (
+            f"a.los[i] + (CASE WHEN a.his[i] = a.los[i] THEN 0 "
+            f"ELSE floor((v[i] - a.los[i]) / (a.his[i] - a.los[i])"
+            f" * {levels} + 0.5) END) / {levels}.0 * (a.his[i] - a.los[i])"
+        )
+
+    errs = ", ".join(
+        f"list_sum(list_transform(list_transform(range(1, 65),"
+        f" i -> v[i] - ({xhat(2**b - 1)})), d -> d * d)) AS e_{b}"
+        for b in _V14_BITS
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT {b} AS bits, e_{b} AS err2 FROM r" for b in _V14_BITS
+    )
+    return f"""
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    mm AS (SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+           FROM e, range(1, 65) t(i) GROUP BY i),
+    arrs AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his
+             FROM mm),
+    r AS (SELECT {errs} FROM e CROSS JOIN arrs a),
+    st AS ({branches})
+    SELECT CAST(bits AS BIGINT) AS bits,
+           32.0 / bits AS compression_x,
+           count(*) AS n_vecs,
+           round(avg(err2), 6) AS mse, round(max(err2), 6) AS max_err2
+    FROM st GROUP BY bits ORDER BY bits
+    """
+
+
+oracle("v14_sq_bits_sweep", _v14_oracle())

@@ -105,3 +105,19 @@ def test_dispersion_closed_form_equals_brute_force(spark, sf001):
         g = v @ v.T
         brute = (g.sum() - np.trace(g)) / (n * (n - 1))
         assert abs(got[label] - brute) < 5e-6, (label, got[label], brute)
+
+
+def test_sq_bits_sweep_error_vs_compression_tradeoff(spark, sf001):
+    """More bits -> strictly smaller MSE on real data; 8-bit matches
+    v07's corpus MSE scale; compression factors are 16/8/4x."""
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["v14_sq_bits_sweep"](spark, sf001).collect(),
+        key=lambda r: r["bits"],
+    )
+    assert [r["bits"] for r in rows] == [2, 4, 8]
+    assert [r["compression_x"] for r in rows] == [16.0, 8.0, 4.0]
+    mses = [r["mse"] for r in rows]
+    assert mses[0] > mses[1] > mses[2] > 0
