@@ -1218,3 +1218,92 @@ oracle(
     GROUP BY base.source ORDER BY base.source
     """,
 )
+
+
+_PROP_D21 = (
+    "SELECT e.u AS node, min(l.label) AS label "
+    "FROM edges e JOIN {prev} l ON e.v = l.node GROUP BY e.u"
+)
+
+
+# ---------------------------------------------------------------------------
+# D21 (extension): cluster-chaining audit — connected components merge
+# transitively, so a near-dup "cluster" can chain pairwise-similar docs
+# into a blob whose ends share nothing (the classic over-merge failure
+# of union-find dedup). Per cluster: member count, observed edge count,
+# the WEAKEST edge, and edge density 2e/(n(n−1)) — low density + a weak
+# min edge = chaining risk; the audit a curation pipeline reads before
+# trusting cluster-level canonical keeps (c07/c25). Reuses c01's
+# clusters and d02's exact edges on the same bounded block.
+# ---------------------------------------------------------------------------
+@query("d21_cluster_chaining_audit")
+def d21_cluster_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators import corpus as C
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    bounded = docs.filter(F.col("doc_id") < 1000)
+    pairs = D.exact_jaccard_pairs(bounded, threshold=0.5)
+    clusters = C.dup_clusters(pairs, iters=3)
+    lab = clusters.select(
+        F.col("doc_id").alias("id_a"), F.col("cluster_id")
+    )
+    edges = pairs.join(lab, "id_a")
+    per = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    ed = edges.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.min("jaccard").alias("min_edge_jaccard"),
+    )
+    return (
+        per.join(ed, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_members",
+            "n_edges",
+            "min_edge_jaccard",
+            F.round(
+                2.0
+                * F.col("n_edges")
+                / (
+                    F.col("n_members") * (F.col("n_members") - F.lit(1))
+                ).cast("double"),
+                6,
+            ).alias("edge_density"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+oracle(
+    "d21_cluster_chaining_audit",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+                WHERE doc_id < 1000),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACC} AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE {_JACC} >= 0.5
+    ),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    edges AS (SELECT u, v FROM sym UNION ALL SELECT node, node FROM nodes),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    l1 AS ({_PROP_D21.format(prev="l0")}),
+    l2 AS ({_PROP_D21.format(prev="l1")}),
+    l3 AS ({_PROP_D21.format(prev="l2")}),
+    per AS (SELECT label AS cluster_id, count(*) AS n_members
+            FROM l3 GROUP BY label),
+    ed AS (SELECT l3.label AS cluster_id, count(*) AS n_edges,
+                  min(p.jaccard) AS min_edge_jaccard
+           FROM pairs p JOIN l3 ON p.id_a = l3.node
+           GROUP BY l3.label)
+    SELECT per.cluster_id, CAST(per.n_members AS BIGINT) AS n_members,
+           CAST(ed.n_edges AS BIGINT) AS n_edges, ed.min_edge_jaccard,
+           round(2.0 * ed.n_edges
+                 / (per.n_members * (per.n_members - 1)), 6)
+             AS edge_density
+    FROM per JOIN ed USING (cluster_id) ORDER BY per.cluster_id
+    """,
+)

