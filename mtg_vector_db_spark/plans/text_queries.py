@@ -2092,3 +2092,71 @@ oracle(
     FROM mad JOIN fl USING (source) ORDER BY mad.source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# T33 (extension): field-completeness profile — the first report any
+# ingest pipeline runs: per source, the fraction of NULL/empty values
+# per column plus basic payload stats. One conditional-aggregation
+# pass (no explode, no joins); at 100 TB this is a map-side-combined
+# scan whatever the column count.
+# ---------------------------------------------------------------------------
+@query("t33_completeness_profile")
+def t33_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    def null_frac(c, empty_aware):
+        bad = F.col(c).isNull()
+        if empty_aware:
+            bad = bad | (F.length(F.trim(F.col(c))) == 0)
+        return F.round(
+            F.sum(bad.cast("long")) / F.count(F.lit(1)).cast("double"), 6
+        )
+
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            null_frac("text", True).alias("text_missing_frac"),
+            null_frac("lang", True).alias("lang_missing_frac"),
+            F.round(
+                F.sum(
+                    (F.col("n_chars").isNull() | (F.col("n_chars") <= 0))
+                    .cast("long")
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("n_chars_invalid_frac"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("n_chars")
+                        != F.length(F.coalesce(F.col("text"), F.lit("")))
+                    ).cast("long")
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("n_chars_mismatch_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+oracle(
+    "t33_completeness_profile",
+    """
+    SELECT source, count(*) AS n_docs,
+           round(sum(CASE WHEN text IS NULL OR length(trim(text)) = 0
+                 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS text_missing_frac,
+           round(sum(CASE WHEN lang IS NULL OR length(trim(lang)) = 0
+                 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS lang_missing_frac,
+           round(sum(CASE WHEN n_chars IS NULL OR n_chars <= 0
+                 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS n_chars_invalid_frac,
+           round(sum(CASE WHEN n_chars <> length(coalesce(text, ''))
+                 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS n_chars_mismatch_frac
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
