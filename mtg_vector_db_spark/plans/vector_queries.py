@@ -865,7 +865,7 @@ def _v14_oracle() -> str:
     r AS (SELECT {errs} FROM e CROSS JOIN arrs a),
     st AS ({branches})
     SELECT CAST(bits AS BIGINT) AS bits,
-           32.0 / bits AS compression_x,
+           CAST(32.0 / bits AS DOUBLE) AS compression_x,
            count(*) AS n_vecs,
            round(avg(err2), 6) AS mse, round(max(err2), 6) AS max_err2
     FROM st GROUP BY bits ORDER BY bits
