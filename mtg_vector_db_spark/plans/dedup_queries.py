@@ -1307,3 +1307,161 @@ oracle(
     FROM per JOIN ed USING (cluster_id) ORDER BY per.cluster_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# D22 (extension): dedup method matrix — the side-by-side a curation
+# team reads before picking a policy: on the same bounded block, how
+# many documents each detector flags (exact md5, Jaccard >= 0.5
+# near-dup, containment >= 0.8 subset/quote, winnowing shared-span)
+# and what the union covers. Each arm reuses its production operator;
+# one union + one aggregation produce the whole table.
+# ---------------------------------------------------------------------------
+@query("d22_dedup_method_matrix")
+def d22_dedup_method_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    bounded = docs.filter(F.col("doc_id") < 1000)
+
+    fp = bounded.groupBy(F.md5("text").alias("h")).agg(
+        F.collect_list("doc_id").alias("ids"), F.count(F.lit(1)).alias("n")
+    )
+    exact = (
+        fp.filter(F.col("n") >= 2)
+        .select(F.explode("ids").alias("doc_id"))
+        .withColumn("method", F.lit("exact_md5"))
+    )
+    jp = D.exact_jaccard_pairs(bounded, threshold=0.5)
+    jac = (
+        jp.select(F.col("id_a").alias("doc_id"))
+        .unionByName(jp.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("method", F.lit("jaccard_050"))
+    )
+    cont = (
+        D.containment_pairs(bounded, threshold=0.8)
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+        .withColumn("method", F.lit("containment_080"))
+    )
+    wfp = D.winnow_fingerprints(bounded)
+    wshared = (
+        wfp.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp")
+    )
+    winnow = (
+        wfp.join(wshared, "fp")
+        .select("doc_id")
+        .distinct()
+        .withColumn("method", F.lit("winnow_span"))
+    )
+    flags = exact.unionByName(jac).unionByName(cont).unionByName(winnow)
+    any_m = flags.select("doc_id").distinct().withColumn(
+        "method", F.lit("any")
+    )
+    n_docs = bounded.agg(F.count(F.lit(1)).alias("n_docs"))
+    methods = spark.createDataFrame(
+        [(m,) for m in (
+            "any", "containment_080", "exact_md5", "jaccard_050",
+            "winnow_span",
+        )],
+        ["method"],
+    )
+    counts = (
+        flags.unionByName(any_m)
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("flagged"))
+    )
+    return (
+        methods.join(counts, "method", "left")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "method",
+            F.coalesce(F.col("flagged"), F.lit(0)).alias("flagged_docs"),
+            F.round(
+                F.coalesce(F.col("flagged"), F.lit(0))
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("flagged_frac"),
+        )
+        .orderBy("method")
+    )
+
+
+def _d22_oracle() -> str:
+    return f"""
+    WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+           WHERE doc_id < 1000),
+    exact AS (
+      SELECT doc_id, 'exact_md5' AS method FROM b
+      WHERE md5(text) IN (SELECT md5(text) FROM b
+                          GROUP BY md5(text) HAVING count(*) >= 2)
+    ),
+    jp AS (
+      SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id
+      WHERE {_JACC.replace('b.shingles', 'b2.shingles')} >= 0.5
+    ),
+    jac AS (
+      SELECT DISTINCT doc_id, 'jaccard_050' AS method FROM (
+        SELECT id_a AS doc_id FROM jp UNION SELECT id_b FROM jp)
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh
+              WHERE len(shingles) >= 3),
+    posts AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    cin AS (
+      SELECT a.doc_id AS id_a, b2.doc_id AS id_b, count(*) AS n_inter
+      FROM posts a JOIN posts b2
+        ON a.s = b2.s AND a.doc_id <> b2.doc_id
+      GROUP BY a.doc_id, b2.doc_id
+    ),
+    cont AS (
+      SELECT DISTINCT cin.id_a AS doc_id, 'containment_080' AS method
+      FROM cin JOIN sizes ON cin.id_a = sizes.doc_id
+      WHERE round(n_inter * 1.0 / sizes.n_sh, 6) >= 0.8
+    ),
+    tkw AS (SELECT doc_id, {{toks}} AS toks FROM documents
+            WHERE doc_id < 1000),
+    ww AS (SELECT doc_id, i - 1 AS pos,
+                  array_to_string(toks[i:i + 4], ' ') AS gram
+           FROM tkw, unnest(range(1, greatest(len(toks) - 5 + 2, 1)))
+                AS u(i)),
+    wh AS (SELECT doc_id, pos, {_H60} AS hh FROM ww),
+    wm AS (SELECT doc_id, pos,
+                  min(hh) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                  count(*) OVER (PARTITION BY doc_id) AS ng
+           FROM wh),
+    wfps AS (
+      SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= ng - 4
+      UNION
+      SELECT doc_id, min(hh) AS fp FROM wh
+      GROUP BY doc_id HAVING count(*) < 4
+    ),
+    wsh AS (SELECT fp FROM wfps GROUP BY fp
+            HAVING count(DISTINCT doc_id) >= 2),
+    winnow AS (
+      SELECT DISTINCT wfps.doc_id, 'winnow_span' AS method
+      FROM wfps JOIN wsh USING (fp)
+    ),
+    flags AS (
+      SELECT * FROM exact UNION ALL SELECT * FROM jac
+      UNION ALL SELECT * FROM cont UNION ALL SELECT * FROM winnow
+    ),
+    anym AS (SELECT DISTINCT doc_id, 'any' AS method FROM flags),
+    allf AS (SELECT * FROM flags UNION ALL SELECT * FROM anym),
+    nd AS (SELECT count(*) AS n_docs FROM b),
+    ms AS (SELECT * FROM (VALUES ('any'), ('containment_080'),
+           ('exact_md5'), ('jaccard_050'), ('winnow_span')) AS m(method)),
+    cnt AS (SELECT method, count(*) AS flagged FROM allf GROUP BY method)
+    SELECT ms.method,
+           CAST(coalesce(cnt.flagged, 0) AS BIGINT) AS flagged_docs,
+           round(coalesce(cnt.flagged, 0) * 1.0 / nd.n_docs, 6)
+             AS flagged_frac
+    FROM ms LEFT JOIN cnt USING (method), nd ORDER BY ms.method
+    """.format(toks=_TOKS_L)
+
+
+oracle("d22_dedup_method_matrix", _d22_oracle())

@@ -449,3 +449,24 @@ def test_chaining_audit_flags_planted_chain(spark):
     n, e = 3, len(got)
     density = 2.0 * e / (n * (n - 1))
     assert 0 < density <= 1.0
+
+
+def test_method_matrix_union_dominates_arms(spark, sf001):
+    """'any' >= every single method; all five methods always present
+    (zero-filled); fractions in [0, 1]."""
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    rows = {
+        r["method"]: r
+        for r in registry.QUERIES["d22_dedup_method_matrix"](
+            spark, sf001
+        ).collect()
+    }
+    assert set(rows) == {
+        "any", "containment_080", "exact_md5", "jaccard_050", "winnow_span"
+    }
+    for m, r in rows.items():
+        assert 0 <= r["flagged_frac"] <= 1.0
+        if m != "any":
+            assert r["flagged_docs"] <= rows["any"]["flagged_docs"]
