@@ -2160,3 +2160,83 @@ oracle(
     FROM documents GROUP BY source ORDER BY source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# T34 (extension): per-source language entropy — H = −Σ p·ln p over the
+# language mix within each source (0 = monolingual, ln(5) ≈ 1.609 =
+# uniform over this corpus's five languages), plus the majority
+# language and its share. The mixture-health metric read next to c24's
+# allocator. Two keyed aggregations; entropy terms are rounded to 12 dp
+# and summed as DECIMAL(28,12) (associative, engine-exact).
+# ---------------------------------------------------------------------------
+@query("t34_source_lang_entropy")
+def t34_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("source")
+    terms = sl.select(
+        "source",
+        "lang",
+        "n",
+        F.round(
+            -(F.col("n") / F.sum("n").over(tot))
+            * F.log(F.col("n") / F.sum("n").over(tot)),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("term"),
+        F.sum("n").over(tot).alias("n_src"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    top = terms.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    ent = terms.groupBy("source").agg(
+        F.round(F.sum("term").cast("double"), 6).alias("lang_entropy")
+    )
+    return (
+        top.select(
+            "source",
+            F.col("n_src").alias("n_docs"),
+            F.col("lang").alias("majority_lang"),
+            F.round(F.col("n") / F.col("n_src").cast("double"), 6).alias(
+                "majority_share"
+            ),
+        )
+        .join(ent, "source")
+        .orderBy("source")
+    )
+
+
+oracle(
+    "t34_source_lang_entropy",
+    """
+    WITH sl AS (
+      SELECT source, lang, count(*) AS n FROM documents
+      GROUP BY source, lang
+    ),
+    t AS (
+      SELECT source, lang, n,
+             CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_src,
+             CAST(round(-(n * 1.0 / sum(n) OVER (PARTITION BY source))
+                  * ln(n * 1.0 / sum(n) OVER (PARTITION BY source)), 12)
+               AS DECIMAL(28,12)) AS term,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n DESC, lang ASC) AS rk
+      FROM sl
+    ),
+    ent AS (SELECT source, round(CAST(sum(term) AS DOUBLE), 6)
+                     AS lang_entropy
+            FROM t GROUP BY source)
+    SELECT t.source, t.n_src AS n_docs, t.lang AS majority_lang,
+           round(t.n * 1.0 / t.n_src, 6) AS majority_share,
+           ent.lang_entropy
+    FROM t JOIN ent ON t.source = ent.source
+    WHERE t.rk = 1 ORDER BY t.source
+    """,
+)
