@@ -3998,3 +3998,91 @@ oracle(
     FROM est JOIN ex USING (flag) ORDER BY flag
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# R79 (extension): weighted median — the quantity-weighted median unit
+# price per return flag (revenue analytics weight rows by volume; the
+# plain median over-counts one-unit lines). Closed form: order by
+# integer cents, running weight sum, report the first value whose
+# doubled cumulative weight reaches the total. All integer comparisons
+# (cents, long weights), and the crossing VALUE is invariant to
+# intra-tie partition order even though per-row cumsums are not — the
+# crossing stays inside a tied run for any order, so min(cents) over
+# crossing rows is deterministic in both engines.
+# ---------------------------------------------------------------------------
+@query("r79_weighted_median_price")
+def r79_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (li,) = tables(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("flag")
+    cumd = base.select(
+        "flag",
+        "cents",
+        F.sum("qty").over(wcum).alias("cum"),
+        F.sum("qty").over(wall).alias("tot"),
+    )
+    crossing = (
+        cumd.filter(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("flag")
+        .agg(F.min("cents").alias("med_cents"))
+    )
+    stats = base.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("qty").alias("total_qty"),
+    )
+    return (
+        stats.join(crossing, "flag")
+        .select(
+            "flag",
+            "n_rows",
+            "total_qty",
+            F.round(F.col("med_cents") / 100.0, 2).alias(
+                "weighted_median_price"
+            ),
+        )
+        .orderBy("flag")
+    )
+
+
+oracle(
+    "r79_weighted_median_price",
+    """
+    WITH base AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    c AS (
+      SELECT flag, cents,
+             sum(qty) OVER (PARTITION BY flag ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(qty) OVER (PARTITION BY flag) AS tot
+      FROM base
+    ),
+    crossing AS (
+      SELECT flag, CAST(min(cents) AS BIGINT) AS med_cents FROM c
+      WHERE cum * 2 >= tot GROUP BY flag
+    ),
+    stats AS (
+      SELECT flag, count(*) AS n_rows,
+             CAST(sum(qty) AS BIGINT) AS total_qty
+      FROM base GROUP BY flag
+    )
+    SELECT stats.flag, stats.n_rows, stats.total_qty,
+           round(crossing.med_cents / 100.0, 2) AS weighted_median_price
+    FROM stats JOIN crossing USING (flag) ORDER BY stats.flag
+    """,
+)

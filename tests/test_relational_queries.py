@@ -123,3 +123,32 @@ def test_retrieval_metrics_in_unit_range(spark, sf001):
         assert 0.0 <= r["mrr"] <= 1.0
         assert 0.0 <= r["ndcg10"] <= 1.0 + 1e-9
         assert 0 <= r["n_rel_topk"] <= 10
+
+
+def test_weighted_median_matches_python_model(spark, sf001):
+    """The window-crossing closed form equals a direct Python weighted
+    median (lower median convention) per group."""
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    got = {
+        r["flag"]: r["weighted_median_price"]
+        for r in registry.QUERIES["r79_weighted_median_price"](
+            spark, sf001
+        ).collect()
+    }
+    li = spark.read.parquet(f"{sf001}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).toPandas()
+    for flag, grp in li.groupby("l_returnflag"):
+        rows = sorted(
+            (round(p * 100), int(q))
+            for p, q in zip(grp["l_extendedprice"], grp["l_quantity"])
+        )
+        tot = sum(q for _, q in rows)
+        cum = 0
+        for cents, q in rows:
+            cum += q
+            if 2 * cum >= tot:
+                assert got[flag] == round(cents / 100.0, 2), flag
+                break
