@@ -2240,3 +2240,85 @@ oracle(
     WHERE t.rk = 1 ORDER BY t.source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# T35 (extension): readability profile — Flesch reading ease with the
+# standard cheap proxies (sentences = terminator runs, syllables =
+# vowel groups), aggregated per language. A pure column-expression
+# scan (two regexp_extract_all counts + one tokenize), no UDFs; the
+# classic quality-filter feature family (readability gates in C4/
+# RefinedWeb-style cleaning). Guards: floors of 1 on sentences/words/
+# syllables so empty docs score the formula's constants, not NaN.
+# ---------------------------------------------------------------------------
+@query("t35_readability")
+def t35_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    words = F.greatest(
+        F.size(T.tokens(F.col("text"))), F.lit(1)
+    ).cast("double")
+    sentences = F.greatest(
+        F.size(
+            F.regexp_extract_all(
+                F.coalesce(F.col("text"), F.lit("")), F.lit("[.!?]+"), 0
+            )
+        ),
+        F.lit(1),
+    ).cast("double")
+    syllables = F.greatest(
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                F.lit("[aeiou]+"),
+                0,
+            )
+        ),
+        F.lit(1),
+    ).cast("double")
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / words),
+        6,
+    )
+    per_doc = docs.select("lang", flesch.alias("flesch"))
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(
+                    F.round(F.col("flesch"), 12).cast("decimal(28,12)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_flesch"),
+            F.round(F.min("flesch"), 6).alias("min_flesch"),
+            F.round(F.max("flesch"), 6).alias("max_flesch"),
+        )
+        .orderBy("lang")
+    )
+
+
+oracle(
+    "t35_readability",
+    f"""
+    WITH per AS (
+      SELECT lang,
+             round(206.835
+               - 1.015 * (greatest(len({_TOKS}), 1) * 1.0
+                          / greatest(len(regexp_extract_all(
+                              coalesce(text, ''), '[.!?]+')), 1))
+               - 84.6 * (greatest(len(regexp_extract_all(
+                            lower(coalesce(text, '')), '[aeiou]+')), 1)
+                         * 1.0 / greatest(len({_TOKS}), 1)), 6) AS flesch
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(CAST(sum(CAST(round(flesch, 12) AS DECIMAL(28,12)))
+                 AS DOUBLE) / count(*), 6) AS avg_flesch,
+           round(min(flesch), 6) AS min_flesch,
+           round(max(flesch), 6) AS max_flesch
+    FROM per GROUP BY lang ORDER BY lang
+    """,
+)
