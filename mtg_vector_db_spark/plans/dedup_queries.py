@@ -1465,3 +1465,172 @@ def _d22_oracle() -> str:
 
 
 oracle("d22_dedup_method_matrix", _d22_oracle())
+
+
+# ---------------------------------------------------------------------------
+# D23 (extension): LSH banding sweep — candidate recall vs candidate
+# cost for bands × rows layouts (2×16, 4×8, 8×4, 16×2) of the SAME
+# 32-hash signature, against d02's exact truth on the same block. The
+# expensive work (shingles, base hashes, 32 universal mixes) happens
+# once; each banding is a re-grouping of signature slices over the
+# small signature relation. Together with d17 (recall at the
+# production config) and d19 (estimator error vs k), this is the full
+# tuning story: d23 answers "which banding", before verify cost.
+# ---------------------------------------------------------------------------
+_D23_BANDS = (2, 4, 8, 16)
+_D23_BLOCK = 500
+_D23_TAU = 0.5
+
+
+@query("d23_lsh_banding_sweep")
+def d23_lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    bounded = docs.filter(F.col("doc_id") < _D23_BLOCK)
+    truth = D.exact_jaccard_pairs(bounded, threshold=_D23_TAU).select(
+        "id_a", "id_b", F.lit(1).alias("is_true")
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    sh = bounded.select(
+        "doc_id", D.word_shingles(F.col("text")).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sig = sh.select(
+        "doc_id",
+        D.minhash_signature(
+            D.minhash_hash_values(F.col("shingles")), num_hashes=32
+        ).alias("sig"),
+    )
+    per_b = []
+    for b in _D23_BANDS:
+        r = 32 // b
+        banded = sig.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(b - 1)),
+                    lambda i: F.struct(
+                        i.alias("band"),
+                        F.concat_ws(
+                            "|",
+                            F.transform(
+                                F.slice("sig", i * r + 1, r),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("key"),
+                    ),
+                )
+            ).alias("bk"),
+        ).select("doc_id", "bk.band", "bk.key")
+        left = banded.select(
+            F.col("doc_id").alias("id_a"), "band", "key"
+        )
+        right = banded.select(
+            F.col("doc_id").alias("id_b"), "band", "key"
+        )
+        cand = (
+            left.join(right, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        hits = cand.join(truth, ["id_a", "id_b"]).agg(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        ncand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        per_b.append(
+            hits.crossJoin(F.broadcast(ncand)).select(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                "n_candidates",
+                "n_hit",
+            )
+        )
+    out = per_b[0]
+    for df in per_b[1:]:
+        out = out.unionByName(df)
+    return (
+        out.crossJoin(F.broadcast(n_true))
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_true",
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("candidate_recall"),
+        )
+        .orderBy("bands")
+    )
+
+
+def _d23_oracle() -> str:
+    a32 = "[" + ", ".join(str(a) for a, _ in D.minhash_coeffs(32)) + "]"
+    b32 = "[" + ", ".join(str(b) for _, b in D.minhash_coeffs(32)) + "]"
+    hv32 = (
+        "list_transform(shingles, s -> list_reduce("
+        "list_transform(range(1, 16), i -> "
+        "CAST(strpos('0123456789abcdef', substring(md5(s), i, 1)) AS BIGINT)"
+        " - 1), "
+        f"(x, y) -> x * 16 + y) % {_MH_P})"
+    )
+    branches = []
+    for b in _D23_BANDS:
+        r = 32 // b
+        branches.append(f"""
+      SELECT {b} AS bands, {r} AS rows_per_band,
+        (SELECT count(*) FROM (
+           SELECT DISTINCT l.doc_id AS id_a, rr.doc_id AS id_b
+           FROM banded{b} l JOIN banded{b} rr
+             ON l.band = rr.band AND l.key = rr.key
+                AND l.doc_id < rr.doc_id)) AS n_candidates,
+        (SELECT count(*) FROM (
+           SELECT DISTINCT l.doc_id AS id_a, rr.doc_id AS id_b
+           FROM banded{b} l JOIN banded{b} rr
+             ON l.band = rr.band AND l.key = rr.key
+                AND l.doc_id < rr.doc_id) c
+           JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b)
+          AS n_hit""")
+    banded_ctes = ",\n    ".join(
+        f"""banded{b} AS (
+      SELECT doc_id, i AS band,
+             array_to_string(list_transform(
+               list_slice(sig, i * {32 // b} + 1, (i + 1) * {32 // b}),
+               x -> CAST(x AS VARCHAR)), '|') AS key
+      FROM sig, range(0, {b}) t(i)
+    )"""
+        for b in _D23_BANDS
+    )
+    union = " UNION ALL ".join(branches)
+    return f"""
+    WITH sh0 AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+                 WHERE doc_id < {_D23_BLOCK}),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh0 a JOIN sh0 b ON a.doc_id < b.doc_id
+      WHERE {_JACC} >= {_D23_TAU}
+    ),
+    nt AS (SELECT count(*) AS n_true FROM truth),
+    hv AS (SELECT doc_id, {hv32} AS hv FROM sh0 WHERE len(shingles) > 0),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 32), k ->
+               list_aggregate(list_transform(hv,
+                 h -> (({a32})[k+1] * h + ({b32})[k+1]) % {_MH_P}),
+                 'min')) AS sig
+      FROM hv
+    ),
+    {banded_ctes},
+    sweep AS ({union})
+    SELECT CAST(bands AS BIGINT) AS bands,
+           CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(nt.n_true AS BIGINT) AS n_true,
+           round(n_hit * 1.0 / greatest(nt.n_true, 1), 6)
+             AS candidate_recall
+    FROM sweep, nt ORDER BY bands
+    """
+
+
+oracle("d23_lsh_banding_sweep", _d23_oracle())

@@ -470,3 +470,25 @@ def test_method_matrix_union_dominates_arms(spark, sf001):
         assert 0 <= r["flagged_frac"] <= 1.0
         if m != "any":
             assert r["flagged_docs"] <= rows["any"]["flagged_docs"]
+
+
+def test_banding_sweep_monotone_in_bands(spark, sf001):
+    """More, shorter bands can only ADD candidate pairs: band
+    boundaries nest (32 = 2×16 = 4×8 = ...), so a full r-row band match
+    implies both its r/2-row halves match as full bands at 2× the band
+    count — candidates(b) ⊆ candidates(2b) is a theorem here, so both
+    recall and cost must be monotone in bands, and recall ≤ 1."""
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["d23_lsh_banding_sweep"](spark, sf001).collect(),
+        key=lambda r: r["bands"],
+    )
+    assert [r["bands"] for r in rows] == [2, 4, 8, 16]
+    assert [r["rows_per_band"] for r in rows] == [16, 8, 4, 2]
+    recs = [r["candidate_recall"] for r in rows]
+    cands = [r["n_candidates"] for r in rows]
+    assert recs == sorted(recs) and cands == sorted(cands)
+    assert all(0 <= x <= 1 for x in recs)
+    assert len({r["n_true"] for r in rows}) == 1
