@@ -948,3 +948,62 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def edit_distance_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sim: float = 0.62,
+    max_hamming_prefilter: int = 16,
+    bands: int = 4,
+    max_chars: int = 2048,
+    max_bucket_size: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Near-dup pairs verified by EXACT normalized edit distance —
+    ``edit_sim = 1 - levenshtein(a, b) / max(len(a), len(b))`` — over
+    SimHash-banded candidates. The character-level verify catches
+    reorder-light mutations (word swaps, small insertions) that set
+    sketches score identically but humans call "the same doc", and its
+    O(L·D) DP cost is why it only ever runs on the banded candidate set,
+    never all pairs (the reference's pg_trgm path plays the analogous
+    verify role behind its GIN index, db/init.sql:159-176).
+
+    Scale posture: candidates come from the same banded Hamming-LSH as
+    :func:`simhash_neardup_pairs` (one bucket-keyed shuffle, skew-cappable
+    via ``max_bucket_size``), loosened to ``max_hamming_prefilter`` so
+    the edit verify does real work beyond the sketch. Texts join onto the
+    id-pair table by id key — the wide text column never rides a shuffle
+    key — and are capped at ``max_chars`` so the DP verify is bounded per
+    pair regardless of document size (``levenshtein`` is JVM-side
+    whole-stage codegen; no Python in the loop).
+    """
+    fps = simhash_fingerprints(docs, id_col, text_col)
+    cand = simhash_neardup_pairs(
+        fps,
+        max_hamming=max_hamming_prefilter,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
+    )
+    capped = widen(docs).select(
+        F.col(id_col), F.substring(F.col(text_col), 1, max_chars).alias("_t")
+    )
+    sim = F.round(
+        F.lit(1.0)
+        - F.levenshtein("_ta", "_tb")
+        / F.greatest(F.length("_ta"), F.length("_tb")),
+        round_digits,
+    )
+    return (
+        cand.join(
+            capped.select(F.col(id_col).alias("id_a"), F.col("_t").alias("_ta")),
+            "id_a",
+        )
+        .join(
+            capped.select(F.col(id_col).alias("id_b"), F.col("_t").alias("_tb")),
+            "id_b",
+        )
+        .select("id_a", "id_b", "hamming", sim.alias("edit_sim"))
+        .filter(F.col("edit_sim") >= min_sim)
+    )

@@ -1634,3 +1634,57 @@ def _d23_oracle() -> str:
 
 
 oracle("d23_lsh_banding_sweep", _d23_oracle())
+
+
+# ---------------------------------------------------------------------------
+# D24: edit-distance near-dup — SimHash-banded candidates (prefilter
+# Hamming ≤ 16, looser than d05's 10 so the verify stage does real work)
+# verified by EXACT normalized Levenshtein similarity. The character-level
+# DP is the one verify in the dedup family that sees ORDER, so it separates
+# small in-place mutations (planted dups score ≥ 0.9) from background
+# docs that merely share a vocabulary (~0.33 here) — a gap set sketches
+# can't see. Candidates ∝ n via banding; the O(L·D) verify is bounded by
+# the max_chars cap and runs as codegen'd JVM `levenshtein`, never Python.
+# Reference analog: the pg_trgm verify behind the GIN index
+# (db/init.sql:159-176) — same block-then-exact-verify shape.
+# ---------------------------------------------------------------------------
+@query("d24_edit_distance_neardup")
+def d24_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.edit_distance_neardup_pairs(docs).orderBy("id_a", "id_b")
+
+
+oracle(
+    "d24_edit_distance_neardup",
+    f"""
+    WITH {_SIMHASH_CTE},
+    banded AS (
+      SELECT doc_id, simhash, b AS band, substring(simhash, 1 + b * 16, 16) AS block
+      FROM fp, range(0, 4) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.simhash AS fp_a, r.simhash AS fp_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.block = r.block AND l.doc_id < r.doc_id
+    ),
+    ham AS (
+      SELECT id_a, id_b,
+             CAST(len(list_filter(range(1, 65),
+                  i -> substring(fp_a, i, 1) <> substring(fp_b, i, 1))) AS BIGINT)
+               AS hamming
+      FROM cand
+    ),
+    tx AS (SELECT doc_id, substring(text, 1, 2048) AS t FROM documents)
+    SELECT h.id_a, h.id_b, h.hamming,
+           round(1.0 - levenshtein(a.t, b.t) * 1.0
+                     / greatest(len(a.t), len(b.t)), 6) AS edit_sim
+    FROM ham h
+    JOIN tx a ON h.id_a = a.doc_id
+    JOIN tx b ON h.id_b = b.doc_id
+    WHERE h.hamming <= 16
+      AND round(1.0 - levenshtein(a.t, b.t) * 1.0
+                    / greatest(len(a.t), len(b.t)), 6) >= 0.62
+    ORDER BY h.id_a, h.id_b
+    """,
+)

@@ -492,3 +492,31 @@ def test_banding_sweep_monotone_in_bands(spark, sf001):
     assert recs == sorted(recs) and cands == sorted(cands)
     assert all(0 <= x <= 1 for x in recs)
     assert len({r["n_true"] for r in rows}) == 1
+
+
+def test_edit_distance_verify_is_order_sensitive(spark):
+    """The Levenshtein verify sees ORDER: a reversed-word copy shares the
+    exact bag of tokens (identical SimHash → hamming 0 → candidate) but
+    scores low edit similarity and is dropped, while a one-word in-place
+    mutation survives with edit_sim near 1."""
+    from mtg_vector_db_spark.operators.dedup import edit_distance_neardup_pairs
+
+    import hashlib
+
+    words = [hashlib.md5(str(i).encode()).hexdigest()[:8] for i in range(120)]
+    base = " ".join(words)
+    mutated = " ".join(words[:60] + ["CHANGED"] + words[61:])
+    reversed_ = " ".join(reversed(words))
+    docs = spark.createDataFrame(
+        [(1, base), (2, mutated), (3, reversed_)], ["doc_id", "text"]
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r["edit_sim"]
+        for r in edit_distance_neardup_pairs(docs, min_sim=0.0).collect()
+    }
+    assert rows[(1, 3)] < 0.62 < rows[(1, 2)], rows
+    kept = {
+        (r["id_a"], r["id_b"])
+        for r in edit_distance_neardup_pairs(docs).collect()
+    }
+    assert (1, 2) in kept and (1, 3) not in kept
