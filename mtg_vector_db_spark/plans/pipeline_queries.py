@@ -3030,3 +3030,112 @@ def _p37_oracle() -> str:
 
 
 oracle("p37_cascade_search", _p37_oracle())
+
+
+# ---------------------------------------------------------------------------
+# P38 (extension): margin-based bitext mining (Artetxe & Schwenk 2019 —
+# the CCMatrix/LASER scoring rule). Cross-language candidate pairs from
+# the corpus-sized IVF soft-assignment blocking (cells ∝ n, same as
+# d06/c23 — the FAISS role in the real pipelines); margin = cos / mean
+# of the two sides' top-k candidate neighborhoods, so hubs (docs near
+# everything) are demoted and only pairs much closer to each other than
+# to background pass. Top-k sums ride DECIMAL(12,6) over pre-rounded
+# sims — addition-order-independent, hence bit-identical to the SQL
+# replay. Forward-best pair per source doc, margin ≥ 1.2.
+# ---------------------------------------------------------------------------
+_P38_SRC, _P38_TGT = "de", "en"
+_P38_K, _P38_NPROBE, _P38_MARGIN = 4, 3, 1.2
+
+
+@query("p38_bitext_margin_mining")
+def p38_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.bitext import margin_bitext_pairs
+
+    docs, emb = tables(spark, sf_dir, "documents", "embeddings")
+    return margin_bitext_pairs(
+        docs,
+        emb,
+        _P38_SRC,
+        _P38_TGT,
+        k=_P38_K,
+        nprobe=_P38_NPROBE,
+        min_margin=_P38_MARGIN,
+    ).orderBy("src_id")
+
+
+def _p38_oracle() -> str:
+    return f"""
+    WITH k AS (
+      SELECT greatest(8, CAST(ceil(count(*) / 250.0) AS INT)) AS n_cells
+      FROM embeddings
+    ),
+    c AS (
+      SELECT CAST(vec_id AS INT) AS cell, CAST(embedding AS DOUBLE[]) AS cvec,
+             list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS n2
+      FROM embeddings WHERE vec_id < (SELECT n_cells FROM k)
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                   AS nx
+          FROM e),
+    d AS (SELECT n.vec_id, c.cell,
+                 c.n2 - 2 * list_inner_product(c.cvec, n.nx) AS dist
+          FROM n CROSS JOIN c),
+    a AS (SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cell) AS rn
+            FROM d) WHERE rn <= {_P38_NPROBE}),
+    src AS (SELECT a.vec_id AS src_id, a.cell
+            FROM a JOIN documents dd ON dd.doc_id = a.vec_id
+            WHERE dd.lang = '{_P38_SRC}'),
+    tgt AS (SELECT a.vec_id AS tgt_id, a.cell
+            FROM a JOIN documents dd ON dd.doc_id = a.vec_id
+            WHERE dd.lang = '{_P38_TGT}'),
+    cand AS (SELECT DISTINCT src_id, tgt_id
+             FROM src JOIN tgt ON src.cell = tgt.cell),
+    scored AS (
+      SELECT * FROM (
+        SELECT cand.src_id, cand.tgt_id,
+               round(list_inner_product(na.nx, nb.nx), 6) AS sim
+        FROM cand JOIN n na ON cand.src_id = na.vec_id
+                  JOIN n nb ON cand.tgt_id = nb.vec_id
+      ) WHERE sim > 0
+    ),
+    da AS (
+      SELECT src_id,
+             CAST(sum(CAST(sim AS DECIMAL(12,6))) AS DOUBLE) / count(*) AS den_s
+      FROM (SELECT src_id, sim,
+                   row_number() OVER (PARTITION BY src_id
+                                      ORDER BY sim DESC, tgt_id) AS rn
+            FROM scored)
+      WHERE rn <= {_P38_K} GROUP BY src_id
+    ),
+    db AS (
+      SELECT tgt_id,
+             CAST(sum(CAST(sim AS DECIMAL(12,6))) AS DOUBLE) / count(*) AS den_t
+      FROM (SELECT tgt_id, sim,
+                   row_number() OVER (PARTITION BY tgt_id
+                                      ORDER BY sim DESC, src_id) AS rn
+            FROM scored)
+      WHERE rn <= {_P38_K} GROUP BY tgt_id
+    ),
+    m AS (
+      SELECT s.src_id, s.tgt_id, s.sim,
+             round(s.sim / ((da.den_s + db.den_t) / 2), 6) AS margin
+      FROM scored s JOIN da ON s.src_id = da.src_id
+                    JOIN db ON s.tgt_id = db.tgt_id
+    )
+    SELECT src_id, tgt_id, sim, margin
+    FROM (SELECT src_id, tgt_id, sim, margin,
+                 row_number() OVER (PARTITION BY src_id
+                                    ORDER BY margin DESC, tgt_id) AS rn
+          FROM m WHERE margin >= {_P38_MARGIN})
+    WHERE rn = 1
+    ORDER BY src_id
+    """
+
+
+oracle("p38_bitext_margin_mining", _p38_oracle())

@@ -328,3 +328,49 @@ def test_cascade_stages_nest_and_agree_with_arms(spark, sf001):
         for r in bm25_topk(docs, BM25_TERMS, k=100, round_digits=6).collect()
     }
     assert {r["doc_id"] for r in rows} <= top100
+
+
+def test_bitext_margin_demotes_hubs(spark):
+    """The margin ratio is the point of the operator: a hub vector that is
+    fairly close to EVERYTHING in the other language can beat a true pair
+    on raw cosine's neighborhood, but its denominator (its own top-k mean)
+    is just as high, so its margin stays near 1 — while a true pair that
+    is uniquely close scores a margin well above its background."""
+    import numpy as np
+
+    from mtg_vector_db_spark.operators.bitext import margin_bitext_pairs
+
+    rng = np.random.default_rng(11)
+    D = 16
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    vecs = {i: unit(rng.normal(size=D)) for i in range(20)}
+    # hub: src 12 (lang a); plant six lang-b docs AROUND it so it is
+    # uniformly close to much of the other language
+    hub = vecs[12]
+    for i in (1, 3, 5, 7, 9, 13):
+        vecs[i] = unit(0.8 * hub + 0.6 * unit(rng.normal(size=D)))
+    # true pair: src 10 ≈ tgt 11, uniquely close, background elsewhere
+    vecs[10] = unit(rng.normal(size=D))
+    vecs[11] = unit(vecs[10] + 0.75 * unit(rng.normal(size=D)))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        ["vec_id", "embedding"],
+    )
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(20)],
+        ["doc_id", "lang"],
+    )
+    rows = {
+        r["src_id"]: r
+        for r in margin_bitext_pairs(
+            docs, emb, "a", "b", min_margin=0.0
+        ).collect()
+    }
+    assert rows[10]["tgt_id"] == 11
+    # raw cosine is FOOLED: the hub's best pair outscores the true pair
+    assert rows[12]["sim"] > rows[10]["sim"], rows
+    # the margin ratio is not: true pair wins by a wide gap
+    assert rows[10]["margin"] > rows[12]["margin"] + 0.3, rows
