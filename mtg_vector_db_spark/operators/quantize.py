@@ -496,3 +496,126 @@ def ivfpq_search(
         id_col=id_col,
         round_digits=round_digits,
     )
+
+
+# ---------------------------------------------------------------------------
+# Residual quantization (RQ): a second codebook trained on the residuals
+# of the first — reconstruction x̂ = C1[c1] + C2[c2]. The additive-codebook
+# family (RQ/LSQ) behind modern billion-scale indexes; complements the
+# subspace split of PQ with a full-dimension refinement stage.
+# ---------------------------------------------------------------------------
+
+
+def _lit_vec(cw: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in cw])
+
+
+def rq_assign(vec_dbl: Column, codebook: list[list[float]]) -> Column:
+    """Nearest-codeword id for a double-array column: argmin over
+    ``round(c·c − 2·x·c, 9)`` with lowest-id tie-break (the PQ round-
+    before-argmin discipline, so a SQL replay agrees bit-for-bit).
+    ``c·c`` is folded ONCE per codeword as a left-to-right Python float64
+    sum — bit-identical to the sequential ``list_inner_product`` fold the
+    oracle runs (same IEEE adds, same order), without re-evaluating a
+    64-element literal fold per row."""
+    from mtg_vector_db_spark.functions.vector import dot
+
+    def cc(cw: Sequence[float]) -> float:
+        acc = 0.0
+        for x in cw:
+            acc += x * x
+        return acc
+
+    cands = [
+        F.struct(
+            F.round(F.lit(cc(cw)) - F.lit(2.0) * dot(vec_dbl, cw), 9).alias("d"),
+            F.lit(j).alias("j"),
+        )
+        for j, cw in enumerate(codebook)
+    ]
+    return F.array_min(F.array(*cands)).getField("j")
+
+
+def rq_residual(vec_dbl: Column, code: Column, codebook: list[list[float]]) -> Column:
+    """x − C[code] as a double array (literal codeword table lookup)."""
+    table = F.array(*[_lit_vec(cw) for cw in codebook])
+    return F.zip_with(vec_dbl, F.element_at(table, code + 1), lambda x, c: x - c)
+
+
+def seeded_rq_codebooks(
+    emb: DataFrame,
+    k: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], list[list[float]]]:
+    """Deterministic two-stage RQ codebooks, the p17/seeded-PQ freeze
+    pattern: stage 1 = the raw vectors with id < k; stage 2 = the EXACT
+    zero vector plus the stage-1 residuals of the NEXT k−1 vectors
+    (k ≤ id < 2k−1 — the stage-1 seeds assign to themselves with zero
+    residual, so their residuals carry no information; the next block's
+    residuals are the actual error distribution stage 2 must cover).
+    Including the zero codeword makes stage 2 monotone by construction —
+    argmin can always keep the residual unchanged, so per-row stage-2
+    error ≤ stage-1 error, an invariant the tests pin. Residuals are
+    computed through the same Catalyst folds the oracle replays, so the
+    collected literals are bit-identical to a SQL engine's. Both collects
+    are k-row bounded (codebook-sized, never corpus-sized)."""
+    rows = sorted(
+        emb.filter(F.col(id_col) < k).select(id_col, emb_col).collect(),
+        key=lambda r: r[id_col],
+    )
+    if len(rows) < k:
+        raise ValueError(f"corpus has fewer than {k} seed vectors")
+    cb1 = [[float(x) for x in r[emb_col]] for r in rows]
+    dim = len(cb1[0])
+    dbl = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    seeds = emb.filter(
+        (F.col(id_col) >= k) & (F.col(id_col) < 2 * k - 1)
+    ).select(F.col(id_col), dbl.alias("v"))
+    code = rq_assign(F.col("v"), cb1)
+    res_rows = sorted(
+        seeds.select(
+            F.col(id_col), rq_residual(F.col("v"), code, cb1).alias("r")
+        ).collect(),
+        key=lambda r: r[id_col],
+    )
+    cb2 = [[0.0] * dim] + [[float(x) for x in r["r"]] for r in res_rows]
+    return cb1, cb2
+
+
+def rq_error_report(
+    emb: DataFrame,
+    cb1: list[list[float]],
+    cb2: list[list[float]],
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label reconstruction audit of the two RQ stages: n_vecs and
+    the mean squared L2 error after stage 1 (nearest seed codeword) and
+    after stage 2 (codeword + nearest residual codeword). One corpus
+    scan, all codebooks literal (broadcast-free map work); the v07
+    round(avg, 6) reporting discipline."""
+    dbl = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    c1 = rq_assign(dbl, cb1)
+    sq = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, lambda d: d * d), F.lit(0.0), lambda acc, x: acc + x
+    )
+    staged = emb.select(
+        F.col(label_col).alias("label"),
+        rq_residual(dbl, c1, cb1).alias("r1"),
+    )
+    c2 = rq_assign(F.col("r1"), cb2)
+    errs = staged.select(
+        "label",
+        sq(F.col("r1")).alias("err1"),
+        sq(rq_residual(F.col("r1"), c2, cb2)).alias("err2"),
+    )
+    return (
+        errs.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("err1"), 6).alias("mse_stage1"),
+            F.round(F.avg("err2"), 6).alias("mse_stage2"),
+        )
+        .orderBy("label")
+    )

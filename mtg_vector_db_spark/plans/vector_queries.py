@@ -873,3 +873,80 @@ def _v14_oracle() -> str:
 
 
 oracle("v14_sq_bits_sweep", _v14_oracle())
+
+
+# ---------------------------------------------------------------------------
+# V15 (extension): residual quantization (RQ) reconstruction audit — the
+# additive-codebook family behind modern billion-scale indexes: stage 1
+# picks the nearest of 16 seed codewords (raw vectors id < 16, the p17
+# freeze pattern), stage 2 refines with the nearest of {exact zero} ∪
+# {stage-1 residuals of the NEXT 15 vectors, 16 ≤ id < 31 — the seeds
+# themselves assign to themselves with zero residual}. The zero
+# codeword makes stage 2
+# monotone BY CONSTRUCTION (argmin can always keep the residual), so
+# mse_stage2 ≤ mse_stage1 per label is an invariant, not a hope — tests
+# pin it. One corpus scan; codebooks are literal tables (k-row bounded
+# collects, never corpus-sized); round-before-argmin at 9 digits keeps
+# the assignment decisions engine-portable, and the SQL replays the full
+# assign → residual → assign → error chain.
+# ---------------------------------------------------------------------------
+_V15_K = 16
+
+
+@query("v15_rq_error")
+def v15_rq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.quantize import (
+        rq_error_report,
+        seeded_rq_codebooks,
+    )
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    cb1, cb2 = seeded_rq_codebooks(emb, k=_V15_K)
+    return rq_error_report(emb, cb1, cb2)
+
+
+def _v15_oracle() -> str:
+    k = _V15_K
+    res = "list_transform(range(1, 65), i -> p.v[i] - cb.c[i])"
+    res2 = "list_transform(range(1, 65), i -> p.r[i] - cb.c[i])"
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cb1 AS (SELECT CAST(vec_id AS INT) AS j, v AS c,
+                   list_inner_product(v, v) AS cc
+            FROM e WHERE vec_id < {k}),
+    a1 AS (SELECT e.vec_id, e.label, e.v, cb1.j,
+                  round(cb1.cc - 2 * list_inner_product(e.v, cb1.c), 9) AS d
+           FROM e CROSS JOIN cb1),
+    p1 AS (SELECT vec_id, label, v, j AS c1 FROM (
+             SELECT vec_id, label, v, j, row_number() OVER (
+               PARTITION BY vec_id ORDER BY d, j) AS rn FROM a1)
+           WHERE rn = 1),
+    r1 AS (SELECT p.vec_id, p.label, {res} AS r
+           FROM p1 p JOIN cb1 cb ON cb.j = p.c1),
+    cb2 AS (SELECT 0 AS j, list_transform(range(1, 65), i -> 0.0) AS c
+            UNION ALL
+            SELECT CAST(vec_id - {k} + 1 AS INT) AS j, r AS c
+            FROM r1 WHERE vec_id >= {k} AND vec_id < {2 * k - 1}),
+    cb2n AS (SELECT j, c, list_inner_product(c, c) AS cc FROM cb2),
+    a2 AS (SELECT r1.vec_id, r1.label, r1.r, cb2n.j,
+                  round(cb2n.cc - 2 * list_inner_product(r1.r, cb2n.c), 9) AS d
+           FROM r1 CROSS JOIN cb2n),
+    p2 AS (SELECT vec_id, label, r, j AS c2 FROM (
+             SELECT vec_id, label, r, j, row_number() OVER (
+               PARTITION BY vec_id ORDER BY d, j) AS rn FROM a2)
+           WHERE rn = 1),
+    errs AS (
+      SELECT p.label,
+             list_sum(list_transform(p.r, d -> d * d)) AS err1,
+             list_sum(list_transform({res2}, d -> d * d)) AS err2
+      FROM p2 p JOIN cb2 cb ON cb.j = p.c2
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(avg(err1), 6) AS mse_stage1,
+           round(avg(err2), 6) AS mse_stage2
+    FROM errs GROUP BY label ORDER BY label
+    """
+
+
+oracle("v15_rq_error", _v15_oracle())

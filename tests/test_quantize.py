@@ -282,3 +282,16 @@ def test_ivfpq_recall_vs_same_cells_exact(spark, sf001):
     # A geometric coarse quantizer must route the query vector's own cell
     # into the probe set: vec 0 (the query itself) is recalled at sim 1.0.
     assert got[0]["doc_id"] == 0 and got[0]["sim"] == 1.0
+
+
+def test_rq_stage2_monotone_and_improving(spark, sf001):
+    """The zero codeword makes stage 2 monotone BY CONSTRUCTION
+    (per-label mse_stage2 ≤ mse_stage1), and on real data the residual
+    codebook should actually help somewhere, not just not-hurt."""
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["v15_rq_error"](spark, sf001).collect()
+    assert rows, "expected per-label rows"
+    assert all(r["mse_stage2"] <= r["mse_stage1"] for r in rows), rows
+    assert any(r["mse_stage2"] < r["mse_stage1"] for r in rows), rows
