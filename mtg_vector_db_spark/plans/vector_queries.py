@@ -950,3 +950,225 @@ def _v15_oracle() -> str:
 
 
 oracle("v15_rq_error", _v15_oracle())
+
+
+
+# ---------------------------------------------------------------------------
+# V16 (extension): top principal component by fixed-round power iteration —
+# the embedding-diagnostics spectral step (anisotropy / "rogue dimension"
+# detection; the train step of PCA-whitening and of OPQ's rotation). The
+# d×d covariance is NEVER materialized: C·v collapses to
+# Σ_i (x_i − μ)((x_i − μ)·v) / n, so each round is one O(n·d) scan — a
+# per-row integer dot against the broadcast direction, then a per-dim
+# map-side-combinable sum. Round artifacts (64-dim mean, per-round
+# direction) are bounded driver collects, the documented centroid-fetch
+# pattern; at 100 TB the rounds re-scan parquet (production would persist
+# the fixed-point corpus once — a plan property, not a semantic one).
+#
+# Engine parity is FIXED-POINT, not round(): products of round-9 ×
+# round-6 decimals land exactly ON round-12 tie boundaries, where
+# Spark (exact BigDecimal half-up) and DuckDB (scaled-float) disagree
+# systematically — measured 68/32k contributions at sf0.001 before this
+# design. Instead every checkpoint is `floor(x*scale + 0.5)` — pure IEEE
+# multiply/add/floor, bit-identical in any engine — and cross-row sums
+# ride exact integers (DECIMAL(38,0) where n×magnitude could outgrow
+# int64). No engine round() anywhere in the chain; the display floats at
+# the end are exact small-integer/1e6 quotients. v0 = e_0; the
+# eigenvalue estimate is ‖Σ (x−μ)·coef‖ / n = ‖C·v‖ → λ_max, and
+# explained_ratio divides by trace(C) from the same stats pass.
+# ---------------------------------------------------------------------------
+_V16_DIM = 64
+_V16_ROUNDS = 3
+
+
+def _fx(x: F.Column, scale: float) -> F.Column:
+    """floor(x*scale + 0.5) as LONG — engine-portable fixed-point."""
+    return F.floor(x * F.lit(scale) + F.lit(0.5))
+
+
+def _int_lit(v: list) -> F.Column:
+    return F.array(*[F.lit(int(x)).cast("long") for x in v])
+
+
+def _v16_eint(col: F.Column) -> F.Column:
+    """Embedding components in exact nano-units (long array)."""
+    return F.transform(col, lambda y: _fx(y.cast("double"), 1e9))
+
+
+def _v16_round_sums(emb: DataFrame, mu_int: list, v_int: list) -> DataFrame:
+    """One power-iteration round: per-dim exact-integer sums of
+    c·coef, with c in nano-units and coef in micro-units (so the sum
+    carries units of 1e-15). The centered array and its coefficient are
+    bound ONCE through singleton-array lambdas (HOFs have no CSE — see
+    functions/vector.py:l2_normalize)."""
+    centered = F.zip_with(
+        _v16_eint(F.col("embedding")), _int_lit(mu_int), lambda x, m: x - m
+    )
+
+    def per_row(cc):
+        # Exact int64 fold: |c|≤6e8 nano × |v|≤1e6 micro × 64 ≤ 4e16.
+        raw = F.aggregate(
+            F.zip_with(cc, _int_lit(v_int), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        # Rescale 1e-15 → 1e-6 units via the deterministic double path
+        # (int64→double cast is IEEE round-to-nearest in both engines).
+        coef = _fx(raw.cast("double") * F.lit(1e-9), 1.0)
+        return F.get(
+            F.transform(
+                F.array(coef), lambda f: F.transform(cc, lambda z: z * f)
+            ),
+            0,
+        )
+
+    contribs = F.get(F.transform(F.array(centered), per_row), 0)
+    ex = emb.select(F.posexplode(contribs).alias("dim", "p"))
+    # DECIMAL(38,0), not long: per-row terms reach ~6e14, so int64 sums
+    # overflow past ~15k rows; decimal keeps the sum exact and orderless
+    # at any corpus size.
+    return ex.groupBy("dim").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _v16_norm(sd: DataFrame) -> DataFrame:
+    """‖C·v‖ from the per-dim sums: sd_n = sd·1e-15/n ≈ (C·v)_dim,
+    squared into 1e-15-unit integers (orderless 64-row sum), rooted."""
+    sd_n = F.col("sd").cast("double") * F.lit(1e-15) / F.col("n")
+    return sd.select(
+        _fx(sd_n * sd_n, 1e15).alias("sq"), F.col("n")
+    ).agg(
+        F.sqrt(F.sum("sq").cast("double") * F.lit(1e-15)).alias("nrm"),
+        F.max("n").alias("nv"),
+    )
+
+
+@query("v16_power_iteration_pca")
+def v16_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = tables(spark, sf_dir, "embeddings")
+
+    ex = emb.select(
+        F.posexplode(_v16_eint(F.col("embedding"))).alias("dim", "val")
+    )
+    st = ex.groupBy("dim").agg(
+        F.sum(F.col("val").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            (F.col("val") * F.col("val")).cast("decimal(38,0)")
+        ).alias("sq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mu_nano = F.col("s").cast("double") / F.col("n")
+    m2 = F.col("sq").cast("double") / F.col("n")
+    # 64-row bounded collect (the centroid-fetch pattern): integer mean
+    # vector and per-dim variance in nano²-units — exact longs, so no
+    # Python float op can drift from the oracle's replay.
+    stat_rows = (
+        st.select(
+            "dim",
+            _fx(mu_nano, 1.0).alias("mu_int"),
+            _fx(m2 - mu_nano * mu_nano, 1.0).alias("var_int"),
+        )
+        .orderBy("dim")
+        .collect()
+    )
+    mu_int = [r["mu_int"] for r in stat_rows]
+    trace = sum(r["var_int"] for r in stat_rows) * 1e-18
+
+    v_int = [1_000_000] + [0] * (_V16_DIM - 1)
+    for _ in range(_V16_ROUNDS - 1):
+        sd = _v16_round_sums(emb, mu_int, v_int)
+        sd_n = F.col("sd").cast("double") * F.lit(1e-15) / F.col("n")
+        vdf = sd.crossJoin(F.broadcast(_v16_norm(sd))).select(
+            "dim", _fx(sd_n / F.col("nrm"), 1e6).alias("vi")
+        )
+        v_int = [r["vi"] for r in vdf.orderBy("dim").collect()]
+
+    sd = _v16_round_sums(emb, mu_int, v_int)
+    sd_n = F.col("sd").cast("double") * F.lit(1e-15) / F.col("n")
+    lam = F.col("nrm")
+    return (
+        sd.crossJoin(F.broadcast(_v16_norm(sd)))
+        .select(
+            "dim",
+            (
+                _fx(sd_n / F.col("nrm"), 1e6).cast("double") / F.lit(1e6)
+            ).alias("loading"),
+            (_fx(lam, 1e6).cast("double") / F.lit(1e6)).alias("eigenvalue"),
+            (
+                _fx(lam / F.lit(trace), 1e6).cast("double") / F.lit(1e6)
+            ).alias("explained_ratio"),
+            F.col("nv").alias("n_vecs"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _v16_oracle() -> str:
+    d = _V16_DIM
+    head = f"""
+    WITH x AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                 y -> CAST(floor(y * 1e9 + 0.5) AS BIGINT)) AS e
+               FROM embeddings),
+    ex AS (SELECT i - 1 AS dim, e[i] AS val
+           FROM x, unnest(range(1, {d + 1})) u(i)),
+    st AS (SELECT dim,
+             CAST(sum(CAST(val AS DECIMAL(38,0))) AS DOUBLE)
+               / count(*) AS mu_nano,
+             CAST(sum(CAST(val * val AS DECIMAL(38,0))) AS DOUBLE)
+               / count(*) AS m2,
+             count(*) AS n
+           FROM ex GROUP BY dim),
+    sti AS (SELECT dim,
+              CAST(floor(mu_nano + 0.5) AS BIGINT) AS mu_int,
+              CAST(floor(m2 - mu_nano * mu_nano + 0.5) AS BIGINT) AS var_int
+            FROM st),
+    tr AS (SELECT CAST(sum(var_int) AS DOUBLE) * 1e-18 AS trace FROM sti),
+    ml AS (SELECT list(mu_int ORDER BY dim) AS m FROM sti),
+    cx AS (SELECT list_transform(range(1, {d + 1}), i -> e[i] - m[i]) AS c
+           FROM x CROSS JOIN ml),
+    v0 AS (SELECT list_transform(range(1, {d + 1}),
+                    i -> CASE WHEN i = 1
+                         THEN CAST(1000000 AS BIGINT)
+                         ELSE CAST(0 AS BIGINT) END) AS v)"""
+    rounds = []
+    for r in range(1, _V16_ROUNDS + 1):
+        rounds.append(f"""
+    f{r} AS (SELECT c, CAST(floor(CAST(list_reduce(
+                      list_transform(range(1, {d + 1}),
+                                     i -> c[i] * v[i]),
+                      (a, b) -> a + b) AS DOUBLE) * 1e-9 + 0.5)
+                    AS BIGINT) AS f
+             FROM cx CROSS JOIN v{r - 1}),
+    u{r} AS (SELECT i - 1 AS dim, c[i] * f AS p
+             FROM f{r}, unnest(range(1, {d + 1})) u(i)),
+    s{r} AS (SELECT dim, sum(CAST(p AS DECIMAL(38,0))) AS sd,
+                    count(*) AS n
+             FROM u{r} GROUP BY dim),
+    sn{r} AS (SELECT dim, CAST(sd AS DOUBLE) * 1e-15 / n AS sd_n, n
+              FROM s{r}),
+    n{r} AS (SELECT sqrt(CAST(sum(
+                      CAST(floor(sd_n * sd_n * 1e15 + 0.5) AS BIGINT))
+                    AS DOUBLE) * 1e-15) AS nrm,
+                    max(n) AS nv
+             FROM sn{r})""")
+        if r < _V16_ROUNDS:
+            rounds.append(f"""
+    v{r} AS (SELECT list(CAST(floor(sd_n / nrm * 1e6 + 0.5) AS BIGINT)
+                         ORDER BY dim) AS v
+             FROM sn{r} CROSS JOIN n{r})""")
+    last = _V16_ROUNDS
+    tail = f"""
+    SELECT dim,
+           CAST(floor(sd_n / nrm * 1e6 + 0.5) AS BIGINT) / 1e6 AS loading,
+           CAST(floor(nrm * 1e6 + 0.5) AS BIGINT) / 1e6 AS eigenvalue,
+           CAST(floor(nrm / trace * 1e6 + 0.5) AS BIGINT) / 1e6
+             AS explained_ratio,
+           nv AS n_vecs
+    FROM sn{last} CROSS JOIN n{last} CROSS JOIN tr
+    ORDER BY dim"""
+    return head + "," + ",".join(rounds) + tail
+
+
+oracle("v16_power_iteration_pca", _v16_oracle())

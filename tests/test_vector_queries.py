@@ -121,3 +121,35 @@ def test_sq_bits_sweep_error_vs_compression_tradeoff(spark, sf001):
     assert [r["compression_x"] for r in rows] == [16.0, 8.0, 4.0]
     mses = [r["mse"] for r in rows]
     assert mses[0] > mses[1] > mses[2] > 0
+
+
+def test_power_iteration_pca_invariants(spark, sf001):
+    """The returned direction is unit-norm (to fixed-point resolution),
+    the eigenvalue estimate is bounded by trace(C) and exceeds the
+    uniform share trace/64 (power iteration can only move the Rayleigh
+    quotient UP from the e_0 start), and the numpy eigendecomposition
+    agrees with the 3-round estimate to the convergence tolerance."""
+    import numpy as np
+
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    rows = (
+        registry.QUERIES["v16_power_iteration_pca"](spark, sf001)
+        .orderBy("dim")
+        .collect()
+    )
+    assert len(rows) == 64
+    load = np.array([r["loading"] for r in rows])
+    assert abs(float(load @ load) - 1.0) < 1e-4
+    lam = rows[0]["eigenvalue"]
+    ratio = rows[0]["explained_ratio"]
+    assert 1.0 / 64 < ratio < 1.0 and lam > 0
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    x = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    c = np.cov(x.T, bias=True)
+    top = float(np.linalg.eigvalsh(c)[-1])
+    # 3 rounds from e_0 undershoots λ_max slightly; never overshoots.
+    assert lam <= top + 1e-6
+    assert lam >= 0.8 * top
