@@ -120,3 +120,74 @@ def rrf_fuse(
     return u.groupBy(id_col).agg(
         F.round(F.sum("contrib"), round_digits).alias("rrf")
     )
+
+
+def bm25_weighted_scores(
+    docs: DataFrame,
+    term_weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+) -> DataFrame:
+    """BM25 with per-term weights from a (term, tw) DataFrame — the
+    rescoring stage of pseudo-relevance feedback (RM3), where the
+    expanded query carries data-derived weights instead of a literal
+    term list.
+
+    score(d) = Σ_t tw(t) · idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+
+    Scale shape mirrors :func:`bm25_scores`, with one difference: the
+    postings filter is a broadcast hash semi-join against the (tiny,
+    data-derived) weight table instead of a literal IN — still applied
+    map-side before any shuffle, so postings state stays proportional to
+    query-term matches, not the corpus. Per-doc summation rides
+    DECIMAL(28,12) over round-12 components: with ~a dozen weighted
+    terms per doc the float sum order could differ between engines, and
+    decimal addition is associative so the oracle replay is exact.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("toks"),
+    )
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    postings = (
+        tok.select(
+            "doc_id",
+            F.size("toks").alias("doclen"),
+            F.explode("toks").alias("term"),
+        )
+        .join(F.broadcast(term_weights), "term")
+    )
+    tf = postings.groupBy("doc_id", "doclen", "term", "tw").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    part = (
+        F.col("tw")
+        * idf
+        * F.col("tf")
+        * (k1 + 1)
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("doclen") / F.col("avgdl"))
+        )
+    )
+    return (
+        scored.withColumn(
+            "part", F.round(part, 12).cast("decimal(28,12)")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("part").cast("double"), round_digits).alias(
+                "score_prf"
+            )
+        )
+    )

@@ -3139,3 +3139,149 @@ def _p38_oracle() -> str:
 
 
 oracle("p38_bitext_margin_mining", _p38_oracle())
+
+
+# ---------------------------------------------------------------------------
+# P39 (extension): pseudo-relevance-feedback query expansion (RM3) — the
+# classic second search arm the reference's multi-strategy searcher
+# (db/search_strategies.py:97-162) stops short of: run the seed BM25
+# query, treat its top-10 as a relevance sample, extract expansion terms
+# by relevance-model weight rm1(t) = Σ_{d∈F} tf(t,d)·bm25(d)/|d|, and
+# rescore the corpus with the expanded weighted query (seeds at weight
+# 1.0, expansions at 0.5·w/wmax — the RM3 interpolation).
+#
+# Everything stays IN-PLAN: the feedback set (10 rows), the expansion
+# table (8 rows), and the weight max (1 row) are broadcast-sized
+# relations flowing through joins — no driver collect anywhere, so the
+# whole expansion re-plans per query on a cluster with zero round trips.
+# Scale shape: both scoring passes filter postings map-side (literal IN
+# for seeds; broadcast hash join for the data-derived expanded query)
+# before any shuffle, so shuffled state ∝ matching postings, never the
+# corpus. Cross-row score sums ride DECIMAL(28,12) over round-12
+# components (the expanded query has ~11 terms — enough for float sum
+# order to matter at round-6).
+# ---------------------------------------------------------------------------
+_P39_SEED = ("vector", "join", "spark")
+_P39_FB_K = 10
+_P39_EXP_K = 8
+
+
+@query("p39_prf_query_expansion")
+def p39_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.text import tokens
+    from mtg_vector_db_spark.operators.text_search import (
+        bm25_scores,
+        bm25_weighted_scores,
+    )
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    fb = (
+        bm25_scores(docs, _P39_SEED, round_digits=6)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_P39_FB_K)
+    )
+    toks = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    fbt = toks.join(F.broadcast(fb), "doc_id").select(
+        "doc_id",
+        "bm25",
+        F.size("toks").alias("doclen"),
+        F.explode("toks").alias("term"),
+    )
+    tfb = (
+        fbt.filter(
+            (~F.col("term").isin(list(_P39_SEED)))
+            & (F.length("term") >= 3)
+        )
+        .groupBy("term", "doc_id", "doclen", "bm25")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rm1 = tfb.groupBy("term").agg(
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("tf") * F.col("bm25") / F.col("doclen"), 12
+                ).cast("decimal(28,12)")
+            ).cast("double"),
+            6,
+        ).alias("w")
+    )
+    exp = rm1.orderBy(F.desc("w"), F.asc("term")).limit(_P39_EXP_K)
+    wm = exp.agg(F.max("w").alias("wmax"))
+    expw = exp.crossJoin(F.broadcast(wm)).select(
+        "term",
+        F.round(F.lit(0.5) * F.col("w") / F.col("wmax"), 6).alias("tw"),
+    )
+    seeds = spark.createDataFrame(
+        [(t, 1.0) for t in _P39_SEED], "term string, tw double"
+    )
+    qt = seeds.unionByName(expw)
+    return (
+        bm25_weighted_scores(docs, qt, round_digits=6)
+        .orderBy(F.desc("score_prf"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _p39_oracle() -> str:
+    toks = (
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+        " t -> len(t) > 0)"
+    )
+    seeds = ", ".join(f"'{t}'" for t in _P39_SEED)
+    seed_rows = ", ".join(f"('{t}')" for t in _P39_SEED)
+    sat = "(t.tf + 1.2e0 * (0.25e0 + 0.75e0 * t.doclen / s.avgdl))"
+    idf = "ln((s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0) + 1)"
+    return f"""
+    WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+    st AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM tok),
+    tfs AS (SELECT doc_id, doclen, term, count(*) AS tf
+            FROM (SELECT doc_id, len(toks) AS doclen, unnest(toks) AS term
+                  FROM tok)
+            WHERE term IN ({seeds})
+            GROUP BY 1, 2, 3),
+    dfq AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+    bm AS (SELECT t.doc_id,
+                  round(sum({idf} * t.tf * 2.2e0 / {sat}), 6) AS bm25
+           FROM tfs t JOIN dfq d USING (term) CROSS JOIN st s
+           GROUP BY t.doc_id),
+    fb AS (SELECT doc_id, bm25 FROM bm
+           ORDER BY bm25 DESC, doc_id LIMIT {_P39_FB_K}),
+    fbt AS (SELECT f.doc_id, f.bm25, len(t.toks) AS doclen,
+                   unnest(t.toks) AS term
+            FROM fb f JOIN tok t USING (doc_id)),
+    tfb AS (SELECT term, doc_id, doclen, bm25, count(*) AS tf
+            FROM fbt
+            WHERE term NOT IN ({seeds}) AND len(term) >= 3
+            GROUP BY 1, 2, 3, 4),
+    rm1 AS (SELECT term,
+                   round(CAST(sum(CAST(round(tf * bm25 / doclen, 12)
+                     AS DECIMAL(28,12))) AS DOUBLE), 6) AS w
+            FROM tfb GROUP BY term),
+    ex AS (SELECT term, w FROM rm1
+           ORDER BY w DESC, term LIMIT {_P39_EXP_K}),
+    wm AS (SELECT max(w) AS wmax FROM ex),
+    qt AS (SELECT term, 1.0e0 AS tw
+           FROM (VALUES {seed_rows}) s(term)
+           UNION ALL
+           SELECT term, round(0.5e0 * w / wmax, 6) AS tw
+           FROM ex CROSS JOIN wm),
+    tf2 AS (SELECT p.doc_id, p.doclen, p.term, q.tw, count(*) AS tf
+            FROM (SELECT doc_id, len(toks) AS doclen, unnest(toks) AS term
+                  FROM tok) p
+            JOIN qt q USING (term)
+            GROUP BY 1, 2, 3, 4),
+    df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+    sc AS (SELECT t.doc_id,
+                  round(CAST(sum(CAST(round(
+                    t.tw * {idf} * t.tf * 2.2e0 / {sat}, 12)
+                    AS DECIMAL(28,12))) AS DOUBLE), 6) AS score_prf
+           FROM tf2 t JOIN df2 d USING (term) CROSS JOIN st s
+           GROUP BY t.doc_id)
+    SELECT doc_id, score_prf FROM sc
+    ORDER BY score_prf DESC, doc_id LIMIT 10
+    """
+
+
+oracle("p39_prf_query_expansion", _p39_oracle())

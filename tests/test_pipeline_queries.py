@@ -374,3 +374,24 @@ def test_bitext_margin_demotes_hubs(spark):
     assert rows[12]["sim"] > rows[10]["sim"], rows
     # the margin ratio is not: true pair wins by a wide gap
     assert rows[10]["margin"] > rows[12]["margin"] + 0.3, rows
+
+
+def test_prf_expansion_changes_ranking(spark, sf001):
+    """PRF rescoring must actually use the expansion: the expanded top-10
+    is not identical to the seed-only BM25 top-10 (the feedback docs
+    share vocabulary beyond the seeds on this corpus), and every score
+    is positive with seed matches still dominating (tw=1.0 vs <=0.5)."""
+    from mtg_vector_db_spark.operators.text_search import bm25_topk
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    prf = registry.QUERIES["p39_prf_query_expansion"](spark, sf001).collect()
+    assert len(prf) == 10 and all(r["score_prf"] > 0 for r in prf)
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    base = bm25_topk(docs, ("vector", "join", "spark"), k=10).collect()
+    base_ids = [r["doc_id"] for r in base]
+    prf_ids = [r["doc_id"] for r in prf]
+    assert prf_ids != base_ids
+    # seed-heavy docs survive the re-ranking: the two lists overlap.
+    assert len(set(prf_ids) & set(base_ids)) >= 3
