@@ -764,3 +764,119 @@ def pair_cosine_gemm(
     return joined.mapInPandas(
         part, schema=f"{id_a} long, {id_b} long, sim double"
     )
+
+
+# ---------------------------------------------------------------------------
+# NN-Descent: graph-based ANN construction — the family the reference's
+# HNSW index belongs to (db/init.sql:50-53), re-expressed as fixed-round
+# keyed joins (Dong et al., WWW'11). Init follows the divide-and-conquer
+# recipe: TWO independent md5 bucketings, each scored exactly within its
+# buckets — one partitioned blocking alone is CLOSED under 2-hop
+# expansion (every neighbor's neighborhood lives in the same block, so
+# refinement rounds would provably never find anything new; measured: 3
+# identical rounds with a single IVF-cell init), while the union of two
+# independent partitions lets alternating hops span the corpus. Each
+# refinement round proposes neighbors-of-neighbors over the UNDIRECTED
+# graph (forward ∪ reverse edges — the full NN-Descent candidate rule),
+# rescores, and keeps the per-node top-k of old ∪ new. Per-node
+# candidate volume is (2k)² — a round's shuffle is O(n·k²) regardless of
+# corpus size, which is the property that makes graph construction
+# distribute where HNSW's sequential insert loop cannot.
+# ---------------------------------------------------------------------------
+def nn_descent_init(
+    emb: DataFrame,
+    n_buckets: int = 16,
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Seed graph: per-node top-k over the pair union of two independent
+    deterministic md5 bucketings (functions/text.py:hash_fraction — the
+    same engine-portable randomness every split/sample in the repo
+    uses). Per-bucket pair volume is Σ|bucket|²; at corpus scale
+    n_buckets grows ∝ n (the dynamic_seed_cells guard) so per-node init
+    work stays bounded. Returns ``(a, b, sim)`` with ≤k rows per ``a``,
+    sim rounded for cross-engine ordering parity."""
+    from mtg_vector_db_spark.functions.text import hash_fraction
+
+    b1 = F.floor(hash_fraction(F.col("vec_id")) * n_buckets).cast("int")
+    b2 = (
+        F.floor(
+            hash_fraction(
+                F.concat(F.col("vec_id").cast("string"), F.lit(":b2"))
+            )
+            * n_buckets
+        ).cast("int")
+        + F.lit(n_buckets)
+    )
+    assigned = emb.select(
+        "vec_id", F.explode(F.array(b1, b2)).alias("cell")
+    )
+    left = assigned.select(F.col("vec_id").alias("a"), "cell")
+    right = assigned.select(F.col("vec_id").alias("b"), "cell")
+    # Distinct BEFORE scoring: a pair sharing both bucketings would
+    # otherwise be scored twice and occupy two top-k slots.
+    pairs = (
+        left.join(right, "cell")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return _graph_topk(_score_pairs(pairs, emb, round_digits), k)
+
+
+def nn_descent_round(
+    graph: DataFrame,
+    emb: DataFrame,
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """One NN-Descent refinement: candidates = 2-hop neighborhoods of the
+    undirected graph, rescored exactly, merged with the current edges,
+    per-node top-k kept. Monotone by construction: the new list is the
+    top-k of a superset of the old list. Distinct-before-score keeps the
+    exact-cosine work to unique pairs; both joins and the final window
+    key on vector ids — never a wide column."""
+    und = graph.select("a", "b").union(
+        graph.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    x, y = und.alias("x"), und.alias("y")
+    cand = (
+        x.join(y, F.col("x.b") == F.col("y.a"))
+        .select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    allp = cand.union(graph.select("a", "b")).distinct()
+    return _graph_topk(_score_pairs(allp, emb, round_digits), k)
+
+
+def _score_pairs(
+    pairs: DataFrame, emb: DataFrame, round_digits: int
+) -> DataFrame:
+    """Exact cosine for an (a, b) pair list via two id-keyed embedding
+    joins — wide vectors ride the join payload, never a shuffle key."""
+    from mtg_vector_db_spark.functions.vector import cosine_similarity
+
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        pairs.join(ea, "a")
+        .join(eb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                cosine_similarity(F.col("va"), F.col("vb")), round_digits
+            ).alias("sim"),
+        )
+    )
+
+
+def _graph_topk(scored: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a").orderBy(F.desc("sim"), F.asc("b"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

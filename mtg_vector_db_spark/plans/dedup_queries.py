@@ -1646,12 +1646,19 @@ oracle("d23_lsh_banding_sweep", _d23_oracle())
 # can't see. Candidates ∝ n via banding; the O(L·D) verify is bounded by
 # the max_chars cap and runs as codegen'd JVM `levenshtein`, never Python.
 # Reference analog: the pg_trgm verify behind the GIN index
-# (db/init.sql:159-176) — same block-then-exact-verify shape.
+# (db/init.sql:159-176) — same block-then-exact-verify shape. Registered
+# with ascii_fold=True (1:1 sentinel fold of non-ASCII chars before the
+# DP): Spark's levenshtein counts chars, DuckDB's counts BYTES, so
+# multi-byte chars otherwise shift the similarity across the gate
+# (measured on the fuzz corpus); the operator default keeps full char
+# identity for multilingual corpora — see dedup.py.
 # ---------------------------------------------------------------------------
 @query("d24_edit_distance_neardup")
 def d24_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
-    return D.edit_distance_neardup_pairs(docs).orderBy("id_a", "id_b")
+    return D.edit_distance_neardup_pairs(docs, ascii_fold=True).orderBy(
+        "id_a", "id_b"
+    )
 
 
 oracle(
@@ -1675,7 +1682,10 @@ oracle(
                AS hamming
       FROM cand
     ),
-    tx AS (SELECT doc_id, substring(text, 1, 2048) AS t FROM documents)
+    tx AS (SELECT doc_id,
+                  regexp_replace(substring(text, 1, 2048),
+                                 '[^\\x00-\\x7F]', chr(127), 'g') AS t
+           FROM documents)
     SELECT h.id_a, h.id_b, h.hamming,
            round(1.0 - levenshtein(a.t, b.t) * 1.0
                      / greatest(len(a.t), len(b.t)), 6) AS edit_sim

@@ -3285,3 +3285,141 @@ def _p39_oracle() -> str:
 
 
 oracle("p39_prf_query_expansion", _p39_oracle())
+
+
+# ---------------------------------------------------------------------------
+# P40 (extension): NN-Descent k-NN-graph construction audit — the
+# graph-ANN family the reference's HNSW index belongs to
+# (db/init.sql:50-53), as fixed-round keyed joins (Dong et al., WWW'11):
+# divide-and-conquer init (two independent md5 bucketings — one
+# partitioned blocking is provably 2-hop-closed, see operators/ann.py),
+# then two rounds of undirected 2-hop candidate expansion → exact
+# rescore → per-node top-k merge (monotone by construction: each round
+# keeps the top-k of a superset). HNSW's sequential insert loop cannot
+# distribute; NN-Descent's rounds are O(n·k²) shuffles and can. Output:
+# per-round n_edges, mean neighbor similarity (DECIMAL-exact mean — can
+# only rise), and recall@10 of the graph lists vs exact KNN over a
+# 50-probe set. Graphs and the exact probe answer are persisted inside
+# the query body — the p24 lesson: 2 report branches per graph would
+# otherwise re-derive the whole chain (a plan property; the oracle
+# replays the identical one-DAG form).
+# ---------------------------------------------------------------------------
+_P40_K = 10
+_P40_PROBES = 50
+_P40_BUCKETS = 16
+
+
+@query("p40_nn_descent_graph")
+def p40_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.ann import (
+        nn_descent_init,
+        nn_descent_round,
+    )
+    from mtg_vector_db_spark.operators.knn import knn_join
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    g0 = nn_descent_init(emb, _P40_BUCKETS, _P40_K).persist()
+    g1 = nn_descent_round(g0, emb, _P40_K).persist()
+    g2 = nn_descent_round(g1, emb, _P40_K).persist()
+    probes = emb.filter(F.col("vec_id") < _P40_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = (
+        knn_join(emb, probes, k=_P40_K, round_digits=6)
+        .select(F.col("query_id").alias("a"), F.col("vec_id").alias("b"))
+        .persist()
+    )
+    denom = float(_P40_PROBES * _P40_K)
+    rows = []
+    for rnd, g in enumerate((g0, g1, g2)):
+        stats = g.agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum(F.col("sim").cast("decimal(18,6)")).alias("ssim"),
+        )
+        hits = g.join(exact, ["a", "b"]).agg(
+            F.count(F.lit(1)).alias("nhit")
+        )
+        rows.append(
+            stats.crossJoin(F.broadcast(hits)).select(
+                F.lit(rnd).alias("step"),
+                "n_edges",
+                F.round(
+                    F.col("ssim").cast("double") / F.col("n_edges"), 6
+                ).alias("mean_sim"),
+                F.round(F.col("nhit").cast("double") / F.lit(denom), 6).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+    return rows[0].unionByName(rows[1]).unionByName(rows[2]).orderBy("step")
+
+
+def _p40_oracle() -> str:
+    from mtg_vector_db_spark.plans.corpus_queries import _hash_frac
+
+    k, probes, nb = _P40_K, _P40_PROBES, _P40_BUCKETS
+    h1 = _hash_frac("CAST(vec_id AS VARCHAR)")
+    h2 = _hash_frac("CAST(vec_id AS VARCHAR) || ':b2'")
+    ctes = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    asg AS (SELECT vec_id,
+                   CAST(floor({h1} * {nb}) AS INT) AS cell
+            FROM e
+            UNION ALL
+            SELECT vec_id,
+                   CAST(floor({h2} * {nb}) AS INT) + {nb} AS cell
+            FROM e),
+    pr0 AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+            FROM asg x JOIN asg y USING (cell)
+            WHERE x.vec_id <> y.vec_id),
+    p0 AS (SELECT pr.a, pr.b,
+                  round(list_cosine_similarity(ex.v, ey.v), 6) AS sim
+           FROM pr0 pr
+           JOIN e ex ON ex.vec_id = pr.a
+           JOIN e ey ON ey.vec_id = pr.b),
+    g0 AS (SELECT a, b, sim FROM (
+             SELECT a, b, sim, row_number() OVER (PARTITION BY a
+               ORDER BY sim DESC, b) AS rn FROM p0) WHERE rn <= {k})"""
+    for r in (1, 2):
+        ctes += f""",
+    u{r} AS (SELECT a, b FROM g{r - 1}
+             UNION ALL SELECT b, a FROM g{r - 1}),
+    cand{r} AS (SELECT DISTINCT a, b FROM (
+                  SELECT q.a AS a, w.b AS b
+                  FROM u{r} q JOIN u{r} w ON q.b = w.a
+                  WHERE q.a <> w.b
+                  UNION ALL SELECT a, b FROM g{r - 1})),
+    p{r} AS (SELECT cd.a, cd.b,
+                    round(list_cosine_similarity(ex.v, ey.v), 6) AS sim
+             FROM cand{r} cd
+             JOIN e ex ON ex.vec_id = cd.a
+             JOIN e ey ON ey.vec_id = cd.b),
+    g{r} AS (SELECT a, b, sim FROM (
+               SELECT a, b, sim, row_number() OVER (PARTITION BY a
+                 ORDER BY sim DESC, b) AS rn FROM p{r}) WHERE rn <= {k})"""
+    ctes += f""",
+    xs AS (SELECT q.vec_id AS a, t.vec_id AS b,
+                  round(list_cosine_similarity(q.v, t.v), 6) AS sim
+           FROM e q JOIN e t ON q.vec_id <> t.vec_id
+           WHERE q.vec_id < {probes}),
+    exct AS (SELECT a, b FROM (
+               SELECT a, b, row_number() OVER (PARTITION BY a
+                 ORDER BY sim DESC, b) AS rn FROM xs) WHERE rn <= {k})"""
+    denom = float(probes * k)
+    selects = []
+    for r in (0, 1, 2):
+        selects.append(f"""
+    SELECT {r} AS step, s.n_edges,
+           round(s.ssim / s.n_edges, 6) AS mean_sim,
+           round(h.nhit / {denom}e0, 6) AS recall_at_10
+    FROM (SELECT count(*) AS n_edges,
+                 CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) AS ssim
+          FROM g{r}) s
+    CROSS JOIN (SELECT count(*) AS nhit
+                FROM g{r} JOIN exct USING (a, b)) h""")
+    return ctes + "\n" + "\n    UNION ALL\n".join(selects) + "\n    ORDER BY step"
+
+
+oracle("p40_nn_descent_graph", _p40_oracle())

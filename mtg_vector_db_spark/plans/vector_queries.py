@@ -972,8 +972,15 @@ oracle("v15_rq_error", _v15_oracle())
 # design. Instead every checkpoint is `floor(x*scale + 0.5)` — pure IEEE
 # multiply/add/floor, bit-identical in any engine — and cross-row sums
 # ride exact integers (DECIMAL(38,0) where n×magnitude could outgrow
-# int64). No engine round() anywhere in the chain; the display floats at
-# the end are exact small-integer/1e6 quotients. v0 = e_0; the
+# int64). The fixed-point is RELATIVE: components are divided by the
+# corpus max-abs (one orderless max aggregate — exact in any engine)
+# before integerization, so |x_scaled| ≤ 1 bounds every intermediate
+# (c ≤ 2e9 nano, per-row dot ≤ 64·2e9·1e6 ≈ 1.3e17, contribution
+# ≤ 3.2e16) for ANY input magnitude — unnormalized or σ≫1 embeddings
+# overflowed the absolute-unit design's val² at |x| > 3. Loadings and
+# explained_ratio are scale-invariant; the eigenvalue is multiplied back
+# by gmax². No engine round() anywhere in the chain; the display floats
+# at the end are exact small-integer/1e6 quotients. v0 = e_0; the
 # eigenvalue estimate is ‖Σ (x−μ)·coef‖ / n = ‖C·v‖ → λ_max, and
 # explained_ratio divides by trace(C) from the same stats pass.
 # ---------------------------------------------------------------------------
@@ -990,23 +997,50 @@ def _int_lit(v: list) -> F.Column:
     return F.array(*[F.lit(int(x)).cast("long") for x in v])
 
 
-def _v16_eint(col: F.Column) -> F.Column:
-    """Embedding components in exact nano-units (long array)."""
-    return F.transform(col, lambda y: _fx(y.cast("double"), 1e9))
+def _v16_eint(col: F.Column, gmax: float) -> F.Column:
+    """Embedding components in exact nano-units of the RELATIVE scale
+    x/gmax (long array, |value| ≤ 1e9 by construction)."""
+    return F.transform(
+        col, lambda y: _fx(y.cast("double") / F.lit(gmax), 1e9)
+    )
 
 
-def _v16_round_sums(emb: DataFrame, mu_int: list, v_int: list) -> DataFrame:
+def _v16_gmax(emb: DataFrame) -> float:
+    """Corpus max-abs component — an orderless max aggregate, exact in
+    any engine; 1-row bounded collect. Guarded to 1.0 for an all-zero
+    corpus (mirrors the oracle's CASE)."""
+    import math
+
+    g = emb.agg(
+        F.max(
+            F.array_max(
+                F.transform(
+                    F.col("embedding"), lambda y: F.abs(y.cast("double"))
+                )
+            )
+        ).alias("m")
+    ).first()["m"]
+    if g is None or math.isnan(g) or not g > 0:
+        return 1.0
+    return float(g)
+
+
+def _v16_round_sums(
+    emb: DataFrame, gmax: float, mu_int: list, v_int: list
+) -> DataFrame:
     """One power-iteration round: per-dim exact-integer sums of
     c·coef, with c in nano-units and coef in micro-units (so the sum
     carries units of 1e-15). The centered array and its coefficient are
     bound ONCE through singleton-array lambdas (HOFs have no CSE — see
     functions/vector.py:l2_normalize)."""
     centered = F.zip_with(
-        _v16_eint(F.col("embedding")), _int_lit(mu_int), lambda x, m: x - m
+        _v16_eint(F.col("embedding"), gmax),
+        _int_lit(mu_int),
+        lambda x, m: x - m,
     )
 
     def per_row(cc):
-        # Exact int64 fold: |c|≤6e8 nano × |v|≤1e6 micro × 64 ≤ 4e16.
+        # Exact int64 fold: |c|≤2e9 nano × |v|≤1e6 micro × 64 ≤ 1.3e17.
         raw = F.aggregate(
             F.zip_with(cc, _int_lit(v_int), lambda x, y: x * y),
             F.lit(0).cast("long"),
@@ -1049,8 +1083,9 @@ def _v16_norm(sd: DataFrame) -> DataFrame:
 def v16_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = tables(spark, sf_dir, "embeddings")
 
+    gmax = _v16_gmax(emb)
     ex = emb.select(
-        F.posexplode(_v16_eint(F.col("embedding"))).alias("dim", "val")
+        F.posexplode(_v16_eint(F.col("embedding"), gmax)).alias("dim", "val")
     )
     st = ex.groupBy("dim").agg(
         F.sum(F.col("val").cast("decimal(38,0)")).alias("s"),
@@ -1078,16 +1113,19 @@ def v16_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v_int = [1_000_000] + [0] * (_V16_DIM - 1)
     for _ in range(_V16_ROUNDS - 1):
-        sd = _v16_round_sums(emb, mu_int, v_int)
+        sd = _v16_round_sums(emb, gmax, mu_int, v_int)
         sd_n = F.col("sd").cast("double") * F.lit(1e-15) / F.col("n")
         vdf = sd.crossJoin(F.broadcast(_v16_norm(sd))).select(
             "dim", _fx(sd_n / F.col("nrm"), 1e6).alias("vi")
         )
         v_int = [r["vi"] for r in vdf.orderBy("dim").collect()]
 
-    sd = _v16_round_sums(emb, mu_int, v_int)
+    sd = _v16_round_sums(emb, gmax, mu_int, v_int)
     sd_n = F.col("sd").cast("double") * F.lit(1e-15) / F.col("n")
-    lam = F.col("nrm")
+    # Scaled units throughout; the eigenvalue converts back (gmax² — the
+    # covariance is quadratic in the input scale). loading and
+    # explained_ratio are scale-invariant.
+    lam = F.col("nrm") * F.lit(gmax) * F.lit(gmax)
     return (
         sd.crossJoin(F.broadcast(_v16_norm(sd)))
         .select(
@@ -1096,8 +1134,11 @@ def v16_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _fx(sd_n / F.col("nrm"), 1e6).cast("double") / F.lit(1e6)
             ).alias("loading"),
             (_fx(lam, 1e6).cast("double") / F.lit(1e6)).alias("eigenvalue"),
+            # ratio from SCALED nrm against the scaled trace — the g²
+            # factors cancel, so scaling back either side would skew it.
             (
-                _fx(lam / F.lit(trace), 1e6).cast("double") / F.lit(1e6)
+                _fx(F.col("nrm") / F.lit(trace), 1e6).cast("double")
+                / F.lit(1e6)
             ).alias("explained_ratio"),
             F.col("nv").alias("n_vecs"),
         )
@@ -1108,9 +1149,14 @@ def v16_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _v16_oracle() -> str:
     d = _V16_DIM
     head = f"""
-    WITH x AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
-                 y -> CAST(floor(y * 1e9 + 0.5) AS BIGINT)) AS e
-               FROM embeddings),
+    WITH gm AS (SELECT CASE WHEN m > 0 AND NOT isnan(m)
+                            THEN m ELSE 1.0 END AS g
+                FROM (SELECT max(list_max(list_transform(
+                        CAST(embedding AS DOUBLE[]), y -> abs(y)))) AS m
+                      FROM embeddings)),
+    x AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                 y -> CAST(floor(y / g * 1e9 + 0.5) AS BIGINT)) AS e
+          FROM embeddings CROSS JOIN gm),
     ex AS (SELECT i - 1 AS dim, e[i] AS val
            FROM x, unnest(range(1, {d + 1})) u(i)),
     st AS (SELECT dim,
@@ -1162,11 +1208,12 @@ def _v16_oracle() -> str:
     tail = f"""
     SELECT dim,
            CAST(floor(sd_n / nrm * 1e6 + 0.5) AS BIGINT) / 1e6 AS loading,
-           CAST(floor(nrm * 1e6 + 0.5) AS BIGINT) / 1e6 AS eigenvalue,
+           CAST(floor(nrm * g * g * 1e6 + 0.5) AS BIGINT) / 1e6
+             AS eigenvalue,
            CAST(floor(nrm / trace * 1e6 + 0.5) AS BIGINT) / 1e6
              AS explained_ratio,
            nv AS n_vecs
-    FROM sn{last} CROSS JOIN n{last} CROSS JOIN tr
+    FROM sn{last} CROSS JOIN n{last} CROSS JOIN tr CROSS JOIN gm
     ORDER BY dim"""
     return head + "," + ",".join(rounds) + tail
 

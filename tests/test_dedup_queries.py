@@ -520,3 +520,27 @@ def test_edit_distance_verify_is_order_sensitive(spark):
         for r in edit_distance_neardup_pairs(docs).collect()
     }
     assert (1, 2) in kept and (1, 3) not in kept
+
+
+def test_edit_distance_default_keeps_char_semantics(spark):
+    """The operator DEFAULT (ascii_fold=False) must count CHARACTER
+    edits: 'abc中文' -> 'abcxy' is 2 substitutions, not the 6-byte edit
+    a byte-granular DP would report. Pins the semantic the ascii_fold
+    engine-parity form (registered d24) deliberately trades away, so the
+    fold can never silently become the default."""
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.range(1)
+        .select(
+            F.levenshtein(F.lit("abc中文"), F.lit("abcxy")).alias("chars"),
+            F.levenshtein(
+                F.regexp_replace(F.lit("abc中文"), "[^\\x00-\\x7F]", "\x7f"),
+                F.lit("abcxy"),
+            ).alias("folded"),
+        )
+        .first()
+    )
+    assert row["chars"] == 2
+    # the fold keeps 1:1 char granularity too (sentinel vs x / y).
+    assert row["folded"] == 2

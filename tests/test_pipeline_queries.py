@@ -395,3 +395,25 @@ def test_prf_expansion_changes_ranking(spark, sf001):
     assert prf_ids != base_ids
     # seed-heavy docs survive the re-ranking: the two lists overlap.
     assert len(set(prf_ids) & set(base_ids)) >= 3
+
+
+def test_nn_descent_rounds_improve(spark, sf001):
+    """Refinement is real: mean neighbor similarity is non-decreasing by
+    construction (each round keeps the top-k of a superset) and recall
+    vs exact KNN must climb substantially from the random-ish
+    dual-bucket init — the init-closure regression guard (a single
+    partitioned init makes every round a no-op)."""
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["p40_nn_descent_graph"](spark, sf001).collect(),
+        key=lambda r: r["step"],
+    )
+    assert [r["step"] for r in rows] == [0, 1, 2]
+    sims = [r["mean_sim"] for r in rows]
+    recs = [r["recall_at_10"] for r in rows]
+    assert sims[0] <= sims[1] <= sims[2]
+    assert recs[2] >= recs[1] >= recs[0]
+    assert recs[2] >= recs[0] + 0.2, "rounds found nothing new"
+    assert all(r["n_edges"] == 500 * 10 for r in rows)
