@@ -101,6 +101,13 @@ HEADLINE = [
     "p35_hard_negatives",       # cross-label hard-negative mining
     "p36_nprobe_sweep",         # one-scan ANN knob sweep (recall curve)
     "p37_cascade_search",       # BM25 -> Hamming -> exact cascade
+    "p39_prf_query_expansion",  # RM3 feedback expansion, in-plan loop
+    "v16_power_iteration_pca",  # fixed-point spectral diagnostics
+    # p40_nn_descent_graph is NOT benched: it is a graph-CONSTRUCTION
+    # audit whose cost is the documented O(n·k²) candidate rounds plus a
+    # 50-probe exact-KNN recall comparison (~23 s at sf0.1 — it would be
+    # the whole headline). The serving-path ANN queries (p04, p36, p16)
+    # carry the bench signal; p40's signal is its RECALL.md row.
     # c18_quality_keep is NOT benched: its cluster input is the d02
     # exact-pairs baseline, an intentionally id-bounded O(n²) oracle
     # anchor — benching it would time the demo bound, not the operator.
