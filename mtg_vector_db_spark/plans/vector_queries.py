@@ -1079,11 +1079,10 @@ def _v16_norm(sd: DataFrame) -> DataFrame:
     )
 
 
-@query("v16_power_iteration_pca")
-def v16_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (emb,) = tables(spark, sf_dir, "embeddings")
-
-    gmax = _v16_gmax(emb)
+def _v16_stats(emb: DataFrame, gmax: float) -> tuple[list, float]:
+    """(integer mean vector, scaled trace) — 64-row bounded collect
+    (the centroid-fetch pattern): exact longs, so no Python float op can
+    drift from the oracle's replay."""
     ex = emb.select(
         F.posexplode(_v16_eint(F.col("embedding"), gmax)).alias("dim", "val")
     )
@@ -1096,9 +1095,6 @@ def v16_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu_nano = F.col("s").cast("double") / F.col("n")
     m2 = F.col("sq").cast("double") / F.col("n")
-    # 64-row bounded collect (the centroid-fetch pattern): integer mean
-    # vector and per-dim variance in nano²-units — exact longs, so no
-    # Python float op can drift from the oracle's replay.
     stat_rows = (
         st.select(
             "dim",
@@ -1110,6 +1106,15 @@ def v16_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu_int = [r["mu_int"] for r in stat_rows]
     trace = sum(r["var_int"] for r in stat_rows) * 1e-18
+    return mu_int, trace
+
+
+@query("v16_power_iteration_pca")
+def v16_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = tables(spark, sf_dir, "embeddings")
+
+    gmax = _v16_gmax(emb)
+    mu_int, trace = _v16_stats(emb, gmax)
 
     v_int = [1_000_000] + [0] * (_V16_DIM - 1)
     for _ in range(_V16_ROUNDS - 1):
@@ -1146,7 +1151,11 @@ def v16_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _v16_oracle() -> str:
+def _v16_chain(emit_last_v: bool = False) -> str:
+    """The shared WITH-chain: scaling, stats, centered corpus, and the
+    three power rounds. ``emit_last_v`` additionally materializes the
+    round-3 direction as list (v3) and per-dim table (v3t) CTEs — the
+    deflation seed v17 needs."""
     d = _V16_DIM
     head = f"""
     WITH gm AS (SELECT CASE WHEN m > 0 AND NOT isnan(m)
@@ -1199,11 +1208,24 @@ def _v16_oracle() -> str:
                     AS DOUBLE) * 1e-15) AS nrm,
                     max(n) AS nv
              FROM sn{r})""")
-        if r < _V16_ROUNDS:
+        if r < _V16_ROUNDS or emit_last_v:
             rounds.append(f"""
     v{r} AS (SELECT list(CAST(floor(sd_n / nrm * 1e6 + 0.5) AS BIGINT)
                          ORDER BY dim) AS v
              FROM sn{r} CROSS JOIN n{r})""")
+    if emit_last_v:
+        rounds.append(f"""
+    v{_V16_ROUNDS}t AS (SELECT dim,
+                  CAST(floor(sd_n / nrm * 1e6 + 0.5) AS BIGINT) AS vi
+           FROM sn{_V16_ROUNDS} CROSS JOIN n{_V16_ROUNDS})""")
+    sql = head + "," + ",".join(rounds)
+    # MATERIALIZED, or DuckDB inlines every CTE into its consumers and
+    # the chained rounds re-evaluate the whole upstream chain at each
+    # depth — exponential: v16's 3 rounds ran in seconds, v17's 6 hung.
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
+def _v16_oracle() -> str:
     last = _V16_ROUNDS
     tail = f"""
     SELECT dim,
@@ -1215,7 +1237,222 @@ def _v16_oracle() -> str:
            nv AS n_vecs
     FROM sn{last} CROSS JOIN n{last} CROSS JOIN tr CROSS JOIN gm
     ORDER BY dim"""
-    return head + "," + ",".join(rounds) + tail
+    return _v16_chain() + tail
 
 
 oracle("v16_power_iteration_pca", _v16_oracle())
+
+
+# ---------------------------------------------------------------------------
+# V17 (extension): two-component spectrum by DEFLATED power iteration —
+# the "all-but-the-top" diagnostic pair (Mu & Viswanath '18: embedding
+# quality improves when the mean and top principal directions are
+# removed; deciding WHETHER to apply it needs exactly λ₁, λ₂ and their
+# trace shares). Component 1 re-runs v16's rounds; component 2 runs
+# three more rounds where each per-dim sum s is deflated to
+# s − ((s·v₁)/(v₁·v₁))·v₁ before normalizing — power iteration on the
+# orthogonal complement, converging to λ₂. All deflation math happens on
+# the 64-dim round artifacts (driver-side for the iterated rounds, as
+# Column expressions over the 64-row sums for the final in-plan round) —
+# the corpus-scale work stays the same O(n·d) scans as v16. Parity is
+# the same fixed-point discipline: driver Python, Spark expressions, and
+# the SQL replay all compute bit-identical IEEE chains with
+# floor(x·scale+0.5) checkpoints; Python float ops ARE IEEE doubles, so
+# the three-way agreement is by construction, not luck. Degenerate
+# rank-1 corpora (w ⟂-component ≈ 0) would blow up the normalization —
+# real corpora are nowhere near that.
+# ---------------------------------------------------------------------------
+def _v17_sums_list(
+    emb: DataFrame, gmax: float, mu_int: list, v_int: list
+) -> tuple[list, int]:
+    rows = (
+        _v16_round_sums(emb, gmax, mu_int, v_int).orderBy("dim").collect()
+    )
+    return [int(r["sd"]) for r in rows], int(rows[0]["n"])
+
+
+@query("v17_top2_spectrum")
+def v17_top2_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    gmax = _v16_gmax(emb)
+    mu_int, trace = _v16_stats(emb, gmax)
+
+    def advance(v_int: list) -> list:
+        sdl, n = _v17_sums_list(emb, gmax, mu_int, v_int)
+        s_n = [sd * 1e-15 / n for sd in sdl]
+        nrm = math.sqrt(
+            float(sum(math.floor(x * x * 1e15 + 0.5) for x in s_n)) * 1e-15
+        )
+        return [math.floor(x / nrm * 1e6 + 0.5) for x in s_n]
+
+    # Component 1: v16's rounds; keep the round-2 direction (the one the
+    # in-plan λ₁ branch re-scores, matching v16's reported eigenvalue)
+    # and the round-3 direction (the deflation axis).
+    dirs = []
+    v = [1_000_000] + [0] * (_V16_DIM - 1)
+    for _ in range(_V16_ROUNDS):
+        v = advance(v)
+        dirs.append(v)
+    v2_dir, v1_pc = dirs[_V16_ROUNDS - 2], dirs[_V16_ROUNDS - 1]
+
+    vv = [vi / 1e6 for vi in v1_pc]
+    vn2 = sum(math.floor(x * x * 1e15 + 0.5) for x in vv)
+
+    # Component 2: deflated rounds 1..2 driver-side (64-dim artifacts).
+    w = [0, 1_000_000] + [0] * (_V16_DIM - 2)
+    for _ in range(_V16_ROUNDS - 1):
+        sdl, n = _v17_sums_list(emb, gmax, mu_int, w)
+        s_n = [sd * 1e-15 / n for sd in sdl]
+        pj = sum(
+            math.floor(s * x * 1e15 + 0.5) for s, x in zip(s_n, vv)
+        )
+        coef = float(pj) / float(vn2)
+        w_val = [s - coef * x for s, x in zip(s_n, vv)]
+        wnrm = math.sqrt(
+            float(sum(math.floor(x * x * 1e15 + 0.5) for x in w_val))
+            * 1e-15
+        )
+        w = [math.floor(x / wnrm * 1e6 + 0.5) for x in w_val]
+
+    sn_col = F.col("sd").cast("double") * F.lit(1e-15) / F.col("n")
+    v1t = F.broadcast(
+        spark.createDataFrame(
+            list(enumerate(v1_pc)), "dim int, vi bigint"
+        )
+    )
+    vval = F.col("vi") / F.lit(1e6)
+
+    # Component-1 row: round-3 sums (direction v2) scored in-plan.
+    sd1 = _v16_round_sums(emb, gmax, mu_int, v2_dir)
+    lam1 = F.col("nrm") * F.lit(gmax) * F.lit(gmax)
+    row1_base = _v16_norm(sd1)
+
+    # Component-2 row: deflated round-3, entirely in-plan over the
+    # 64-row sums (broadcast scalars; BNLJ on 1-row folds).
+    sd2 = _v16_round_sums(emb, gmax, mu_int, w).select(
+        "dim", sn_col.alias("sn"), "n"
+    ).join(v1t, "dim")
+    proj = sd2.agg(
+        F.sum(_fx(F.col("sn") * vval, 1e15)).alias("pj")
+    )
+    wdf = sd2.crossJoin(F.broadcast(proj)).select(
+        "dim",
+        "n",
+        (
+            F.col("sn")
+            - (F.col("pj").cast("double") / F.lit(float(vn2))) * vval
+        ).alias("wv"),
+    )
+    wn = wdf.select(_fx(F.col("wv") * F.col("wv"), 1e15).alias("sq"), "n").agg(
+        F.sqrt(F.sum("sq").cast("double") * F.lit(1e-15)).alias("wnrm"),
+        F.max("n").alias("nv"),
+    )
+    w3 = wdf.crossJoin(F.broadcast(wn)).select(
+        "dim", _fx(F.col("wv") / F.col("wnrm"), 1e6).alias("wi")
+    )
+    orth = w3.join(v1t, "dim").agg(
+        (F.sum(F.col("wi") * F.col("vi")).cast("double") * F.lit(1e-12)).alias(
+            "od"
+        )
+    )
+    lam2 = F.col("wnrm") * F.lit(gmax) * F.lit(gmax)
+
+    def fx6(c: F.Column) -> F.Column:
+        return _fx(c, 1e6).cast("double") / F.lit(1e6)
+
+    row1 = (
+        row1_base.crossJoin(F.broadcast(orth)).select(
+            F.lit(1).alias("component"),
+            fx6(lam1).alias("eigenvalue"),
+            fx6(F.col("nrm") / F.lit(trace)).alias("explained_ratio"),
+            fx6(F.col("od")).alias("ortho_dot"),
+            F.col("nv").alias("n_vecs"),
+        )
+    )
+    row2 = (
+        wn.crossJoin(F.broadcast(orth)).select(
+            F.lit(2).alias("component"),
+            fx6(lam2).alias("eigenvalue"),
+            fx6(F.col("wnrm") / F.lit(trace)).alias("explained_ratio"),
+            fx6(F.col("od")).alias("ortho_dot"),
+            F.col("nv").alias("n_vecs"),
+        )
+    )
+    return row1.unionByName(row2).orderBy("component")
+
+
+def _v17_oracle() -> str:
+    d = _V16_DIM
+    last = _V16_ROUNDS
+    chain = _v16_chain(emit_last_v=True)
+    parts = [chain]
+    parts.append(f""",
+    vv2 AS (SELECT CAST(sum(CAST(floor((vi / 1e6) * (vi / 1e6) * 1e15
+                                       + 0.5) AS BIGINT)) AS BIGINT) AS vn2
+            FROM v{last}t),
+    w0 AS (SELECT list_transform(range(1, {d + 1}),
+                    i -> CASE WHEN i = 2
+                         THEN CAST(1000000 AS BIGINT)
+                         ELSE CAST(0 AS BIGINT) END) AS v)""")
+    for s in (1, 2, 3):
+        parts.append(f""",
+    fw{s} AS (SELECT c, CAST(floor(CAST(list_reduce(
+                      list_transform(range(1, {d + 1}),
+                                     i -> c[i] * v[i]),
+                      (a, b) -> a + b) AS DOUBLE) * 1e-9 + 0.5)
+                    AS BIGINT) AS f
+             FROM cx CROSS JOIN w{s - 1}),
+    uw{s} AS (SELECT i - 1 AS dim, c[i] * f AS p
+             FROM fw{s}, unnest(range(1, {d + 1})) u(i)),
+    sw{s} AS (SELECT dim, sum(CAST(p AS DECIMAL(38,0))) AS sd,
+                    count(*) AS n
+             FROM uw{s} GROUP BY dim),
+    snw{s} AS (SELECT w.dim, CAST(sd AS DOUBLE) * 1e-15 / n AS sn, n, t.vi
+              FROM sw{s} w JOIN v{last}t t USING (dim)),
+    pj{s} AS (SELECT CAST(sum(CAST(floor(sn * (vi / 1e6) * 1e15 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS pj
+              FROM snw{s}),
+    wd{s} AS (SELECT dim, n,
+                     sn - (CAST(pj AS DOUBLE) / CAST(vn2 AS DOUBLE))
+                          * (vi / 1e6) AS wv
+              FROM snw{s} CROSS JOIN pj{s} CROSS JOIN vv2),
+    wn{s} AS (SELECT sqrt(CAST(sum(
+                      CAST(floor(wv * wv * 1e15 + 0.5) AS BIGINT))
+                    AS DOUBLE) * 1e-15) AS wnrm,
+                    max(n) AS nv
+             FROM wd{s})""")
+        if s < 3:
+            parts.append(f""",
+    w{s} AS (SELECT list(CAST(floor(wv / wnrm * 1e6 + 0.5) AS BIGINT)
+                         ORDER BY dim) AS v
+             FROM wd{s} CROSS JOIN wn{s})""")
+    parts.append(f""",
+    w3t AS (SELECT dim, CAST(floor(wv / wnrm * 1e6 + 0.5) AS BIGINT) AS wi
+            FROM wd3 CROSS JOIN wn3),
+    od AS (SELECT CAST(sum(w3t.wi * t.vi) AS DOUBLE) * 1e-12 AS od
+           FROM w3t JOIN v{last}t t USING (dim))
+    SELECT 1 AS component,
+           CAST(floor(nrm * g * g * 1e6 + 0.5) AS BIGINT) / 1e6
+             AS eigenvalue,
+           CAST(floor(nrm / trace * 1e6 + 0.5) AS BIGINT) / 1e6
+             AS explained_ratio,
+           CAST(floor(od * 1e6 + 0.5) AS BIGINT) / 1e6 AS ortho_dot,
+           nv AS n_vecs
+    FROM n{last} CROSS JOIN tr CROSS JOIN gm CROSS JOIN od
+    UNION ALL
+    SELECT 2 AS component,
+           CAST(floor(wnrm * g * g * 1e6 + 0.5) AS BIGINT) / 1e6
+             AS eigenvalue,
+           CAST(floor(wnrm / trace * 1e6 + 0.5) AS BIGINT) / 1e6
+             AS explained_ratio,
+           CAST(floor(od * 1e6 + 0.5) AS BIGINT) / 1e6 AS ortho_dot,
+           nv AS n_vecs
+    FROM wn3 CROSS JOIN tr CROSS JOIN gm CROSS JOIN od
+    ORDER BY component""")
+    sql = "".join(parts)
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
+oracle("v17_top2_spectrum", _v17_oracle())
