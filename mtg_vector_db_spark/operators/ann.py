@@ -850,14 +850,21 @@ def nn_descent_round(
 
 
 def _score_pairs(
-    pairs: DataFrame, emb: DataFrame, round_digits: int
+    pairs: DataFrame,
+    emb: DataFrame,
+    round_digits: int,
+    emb_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine for an (a, b) pair list via two id-keyed embedding
-    joins — wide vectors ride the join payload, never a shuffle key."""
+    joins — wide vectors ride the join payload, never a shuffle key.
+    ``emb_b`` lets the two pair sides resolve against different tables
+    (the append case: new vectors × frozen corpus)."""
     from mtg_vector_db_spark.functions.vector import cosine_similarity
 
     ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    eb = (emb_b if emb_b is not None else emb).select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("vb")
+    )
     return (
         pairs.join(ea, "a")
         .join(eb, "b")
@@ -879,4 +886,67 @@ def _graph_topk(scored: DataFrame, k: int) -> DataFrame:
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def _nn_buckets(emb: DataFrame, n_buckets: int) -> DataFrame:
+    """The dual-md5 bucket assignment shared by init and append: every
+    vector lands in one bucket per independent hashing (2 rows/vector),
+    keyed only by id — so vectors arriving LATER get the same buckets
+    their peers got at build time, which is what makes append work
+    against a frozen graph."""
+    from mtg_vector_db_spark.functions.text import hash_fraction
+
+    b1 = F.floor(hash_fraction(F.col("vec_id")) * n_buckets).cast("int")
+    b2 = (
+        F.floor(
+            hash_fraction(
+                F.concat(F.col("vec_id").cast("string"), F.lit(":b2"))
+            )
+            * n_buckets
+        ).cast("int")
+        + F.lit(n_buckets)
+    )
+    return emb.select("vec_id", F.explode(F.array(b1, b2)).alias("cell"))
+
+
+def nn_descent_append(
+    graph: DataFrame,
+    corpus_emb: DataFrame,
+    new_emb: DataFrame,
+    n_buckets: int = 16,
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Append new vectors to a FROZEN k-NN graph without rebuilding —
+    the graph-index analog of ivf_assign's frozen-cell maintenance (and
+    of HNSW's insert, minus the sequential lock): each new vector's
+    candidates are its bucket-mates in the corpus (same dual-md5
+    bucketing the init used) PLUS those mates' frozen neighbor lists
+    (one graph hop), exact-rescored, top-k kept. Existing lists are
+    untouched; a periodic batch rebuild (nn_descent rounds) refreshes
+    them — the standard serve-vs-refit split.
+
+    Per-new-vector work is 2·|bucket|·(1+k) candidates; with n_buckets
+    grown ∝ corpus (dynamic_seed_cells guard) that is O(k²)-ish and
+    corpus-size-independent — the shuffle is keyed on ids only."""
+    mates = (
+        _nn_buckets(new_emb, n_buckets)
+        .select(F.col("vec_id").alias("a"), "cell")
+        .join(
+            _nn_buckets(corpus_emb, n_buckets).select(
+                F.col("vec_id").alias("b"), "cell"
+            ),
+            "cell",
+        )
+        .select("a", "b")
+    )
+    hop = mates.join(
+        graph.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    ).select("a", F.col("c").alias("b"))
+    cand = (
+        mates.union(hop).filter(F.col("a") != F.col("b")).distinct()
+    )
+    return _graph_topk(
+        _score_pairs(cand, new_emb, round_digits, emb_b=corpus_emb), k
     )

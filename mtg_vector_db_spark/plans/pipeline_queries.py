@@ -3355,15 +3355,19 @@ def p40_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionByName(rows[1]).unionByName(rows[2]).orderBy("step")
 
 
-def _p40_oracle() -> str:
+def _p40_graph_ctes(k: int, nb: int, corpus_where: str = "TRUE") -> str:
+    """Shared WITH-chain for the NN-Descent oracles: corpus CTE ``e``
+    (optionally filtered — the append oracle holds out its batch), dual
+    md5 bucket assignment ``asg``, init graph ``g0``, refinement rounds
+    ``g1``/``g2``. Emitted MATERIALIZED (the v17 lesson: DuckDB inlines
+    CTEs and chained rounds re-evaluate exponentially)."""
     from mtg_vector_db_spark.plans.corpus_queries import _hash_frac
 
-    k, probes, nb = _P40_K, _P40_PROBES, _P40_BUCKETS
     h1 = _hash_frac("CAST(vec_id AS VARCHAR)")
     h2 = _hash_frac("CAST(vec_id AS VARCHAR) || ':b2'")
     ctes = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
+               FROM embeddings WHERE {corpus_where}),
     asg AS (SELECT vec_id,
                    CAST(floor({h1} * {nb}) AS INT) AS cell
             FROM e
@@ -3399,12 +3403,18 @@ def _p40_oracle() -> str:
     g{r} AS (SELECT a, b, sim FROM (
                SELECT a, b, sim, row_number() OVER (PARTITION BY a
                  ORDER BY sim DESC, b) AS rn FROM p{r}) WHERE rn <= {k})"""
+    return ctes.replace(" AS (", " AS MATERIALIZED (")
+
+
+def _p40_oracle() -> str:
+    k, probes = _P40_K, _P40_PROBES
+    ctes = _p40_graph_ctes(k, _P40_BUCKETS)
     ctes += f""",
-    xs AS (SELECT q.vec_id AS a, t.vec_id AS b,
+    xs AS MATERIALIZED (SELECT q.vec_id AS a, t.vec_id AS b,
                   round(list_cosine_similarity(q.v, t.v), 6) AS sim
            FROM e q JOIN e t ON q.vec_id <> t.vec_id
            WHERE q.vec_id < {probes}),
-    exct AS (SELECT a, b FROM (
+    exct AS MATERIALIZED (SELECT a, b FROM (
                SELECT a, b, row_number() OVER (PARTITION BY a
                  ORDER BY sim DESC, b) AS rn FROM xs) WHERE rn <= {k})"""
     denom = float(probes * k)
@@ -3423,3 +3433,139 @@ def _p40_oracle() -> str:
 
 
 oracle("p40_nn_descent_graph", _p40_oracle())
+
+
+# ---------------------------------------------------------------------------
+# P41 (extension): frozen-graph index APPEND — the maintenance face of
+# p40 and the graph analog of p17's frozen-cell IVF assignment: a 10%
+# md5-held-out batch of "new" vectors joins the corpus-built k-NN graph
+# without any rebuild (HNSW's insert, minus the sequential lock).
+# Candidates per new vector = dual-md5 bucket-mates ∪ their frozen
+# neighbor lists (one graph hop), exact-rescored, top-k kept — work per
+# arrival is corpus-size-independent once n_buckets ∝ n. Output: one
+# summary row (n_new, n_edges, DECIMAL-exact mean list similarity,
+# recall@10 of appended lists vs exact KNN into the corpus). The graph,
+# appended lists, and exact answer persist inside the query body (the
+# p24 lesson); the oracle replays build + append + audit end to end.
+# ---------------------------------------------------------------------------
+_P41_FRAC = 0.1
+
+
+@query("p41_graph_index_append")
+def p41_graph_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.text import hash_fraction
+    from mtg_vector_db_spark.operators.ann import (
+        nn_descent_append,
+        nn_descent_init,
+        nn_descent_round,
+    )
+    from mtg_vector_db_spark.operators.knn import knn_join
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    newf = (
+        hash_fraction(
+            F.concat(F.col("vec_id").cast("string"), F.lit(":new"))
+        )
+        < _P41_FRAC
+    )
+    corpus = emb.filter(~newf)
+    new = emb.filter(newf)
+
+    g = nn_descent_init(corpus, _P40_BUCKETS, _P40_K).persist()
+    for _ in range(2):
+        g = nn_descent_round(g, corpus, _P40_K).persist()
+    app = nn_descent_append(
+        g, corpus, new, _P40_BUCKETS, _P40_K
+    ).persist()
+
+    queries_df = new.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = (
+        knn_join(corpus, queries_df, k=_P40_K, round_digits=6)
+        .select(F.col("query_id").alias("a"), F.col("vec_id").alias("b"))
+        .persist()
+    )
+    stats = app.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.col("sim").cast("decimal(18,6)")).alias("ssim"),
+    )
+    hits = app.join(exact, ["a", "b"]).agg(F.count(F.lit(1)).alias("nhit"))
+    nnew = new.agg(F.count(F.lit(1)).alias("n_new"))
+    return (
+        stats.crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(nnew))
+        .select(
+            "n_new",
+            "n_edges",
+            F.round(
+                F.col("ssim").cast("double") / F.col("n_edges"), 6
+            ).alias("mean_sim"),
+            F.round(
+                F.col("nhit").cast("double")
+                / (F.col("n_new") * F.lit(_P40_K)).cast("double"),
+                6,
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+def _p41_oracle() -> str:
+    from mtg_vector_db_spark.plans.corpus_queries import _hash_frac
+
+    k, nb = _P40_K, _P40_BUCKETS
+    hn = _hash_frac("CAST(vec_id AS VARCHAR) || ':new'")
+    h1 = _hash_frac("CAST(vec_id AS VARCHAR)")
+    h2 = _hash_frac("CAST(vec_id AS VARCHAR) || ':b2'")
+    chain = _p40_graph_ctes(k, nb, corpus_where=f"NOT ({hn} < {_P41_FRAC})")
+    tail = f""",
+    ne AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE {hn} < {_P41_FRAC}),
+    nasg AS MATERIALIZED (
+        SELECT vec_id, CAST(floor({h1} * {nb}) AS INT) AS cell FROM ne
+        UNION ALL
+        SELECT vec_id, CAST(floor({h2} * {nb}) AS INT) + {nb} AS cell
+        FROM ne),
+    mates AS MATERIALIZED (
+        SELECT na.vec_id AS a, ca.vec_id AS b
+        FROM nasg na JOIN asg ca USING (cell)),
+    hop AS MATERIALIZED (
+        SELECT m.a, g.b AS b FROM mates m
+        JOIN g2 g ON g.a = m.b),
+    canda AS MATERIALIZED (
+        SELECT DISTINCT a, b FROM (
+          SELECT a, b FROM mates UNION ALL SELECT a, b FROM hop)
+        WHERE a <> b),
+    pa AS MATERIALIZED (
+        SELECT cd.a, cd.b,
+               round(list_cosine_similarity(ex.v, ey.v), 6) AS sim
+        FROM canda cd
+        JOIN ne ex ON ex.vec_id = cd.a
+        JOIN e ey ON ey.vec_id = cd.b),
+    ga AS MATERIALIZED (
+        SELECT a, b, sim FROM (
+          SELECT a, b, sim, row_number() OVER (PARTITION BY a
+            ORDER BY sim DESC, b) AS rn FROM pa) WHERE rn <= {k}),
+    xs2 AS MATERIALIZED (
+        SELECT q.vec_id AS a, t.vec_id AS b,
+               round(list_cosine_similarity(q.v, t.v), 6) AS sim
+        FROM ne q JOIN e t ON q.vec_id <> t.vec_id),
+    exct2 AS MATERIALIZED (
+        SELECT a, b FROM (
+          SELECT a, b, row_number() OVER (PARTITION BY a
+            ORDER BY sim DESC, b) AS rn FROM xs2) WHERE rn <= {k})
+    SELECT n.n_new, s.n_edges,
+           round(s.ssim / s.n_edges, 6) AS mean_sim,
+           round(CAST(h.nhit AS DOUBLE)
+                 / CAST(n.n_new * {k} AS DOUBLE), 6) AS recall_at_10
+    FROM (SELECT count(*) AS n_edges,
+                 CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) AS ssim
+          FROM ga) s
+    CROSS JOIN (SELECT count(*) AS nhit
+                FROM ga JOIN exct2 USING (a, b)) h
+    CROSS JOIN (SELECT count(*) AS n_new FROM ne) n"""
+    return chain + tail
+
+
+oracle("p41_graph_index_append", _p41_oracle())

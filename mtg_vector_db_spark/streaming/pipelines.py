@@ -1089,3 +1089,47 @@ def streaming_winnow_decontamination(
         stream.writeStream.foreachBatch(probe)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def streaming_graph_append(
+    spark: SparkSession,
+    source_dir: str,
+    graph_path: str,
+    corpus_path: str,
+    out_path: str,
+    checkpoint: str,
+    n_buckets: int = 16,
+    k: int = 10,
+    schema: str = "vec_id long, embedding array<float>",
+) -> "DataStreamWriter":
+    """Incremental k-NN-GRAPH maintenance: vectors arriving on a stream
+    get neighbor lists against the FROZEN graph + corpus
+    (operators/ann.py:nn_descent_append — bucket-mates plus their frozen
+    lists, exact rescore) and the lists are appended; existing lists are
+    never rewritten. The graph sibling of streaming_ivf_ingest, and the
+    online half of the reference's per-row HNSW insert
+    (/root/reference/db/init.sql:50-53) — at 100 TB/day the sequential
+    graph walk becomes a keyed candidate join per micro-batch, with the
+    periodic batch rebuild (nn_descent rounds) as the refit path.
+
+    Each new vector's list depends only on the frozen state — no
+    cross-batch coupling — so any micro-batch slicing produces exactly
+    the lists the one-shot batch append would (pinned by the stream ≡
+    batch test).
+    """
+    from mtg_vector_db_spark.operators.ann import nn_descent_append
+
+    stream = spark.readStream.schema(schema).json(source_dir)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        graph = s.read.parquet(graph_path)
+        corpus = s.read.parquet(corpus_path)
+        nn_descent_append(
+            graph, corpus, batch_df, n_buckets=n_buckets, k=k
+        ).write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -1071,3 +1071,69 @@ def test_streaming_winnow_decontamination_flags_eval_overlap(
         (r["doc_id"], r["n_fp"], r["n_shared"]) for r in rep.collect()
     }
     assert got == oneshot
+
+
+def test_streaming_graph_append_matches_batch(spark, tmp_path, sf001):
+    """Stream ≡ batch for frozen-graph append: the same 20 new vectors
+    delivered as two micro-batches produce exactly the neighbor lists
+    one batch call computes (per-vector lists depend only on the frozen
+    state, so slicing cannot change them)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from mtg_vector_db_spark.operators.ann import (
+        nn_descent_append,
+        nn_descent_init,
+        nn_descent_round,
+    )
+    from mtg_vector_db_spark.streaming.pipelines import streaming_graph_append
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") < 480)
+    new = emb.filter(F.col("vec_id") >= 480).collect()
+    assert len(new) == 20
+
+    g = nn_descent_round(nn_descent_init(corpus), corpus)
+    corpus_path = str(tmp_path / "corpus")
+    graph_path = str(tmp_path / "graph")
+    corpus.write.parquet(corpus_path)
+    g.write.parquet(graph_path)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+
+    def rows(batch):
+        return "\n".join(
+            json.dumps(
+                {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+            )
+            for r in batch
+        )
+
+    (src / "b1.json").write_text(rows(new[:9]))
+
+    def run():
+        q = streaming_graph_append(
+            spark, str(src), graph_path, corpus_path,
+            str(tmp_path / "lists"), str(tmp_path / "ckpt"),
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run()
+    (src / "b2.json").write_text(rows(new[9:]))
+    run()
+
+    streamed = {
+        (r["a"], r["b"], r["sim"])
+        for r in spark.read.parquet(str(tmp_path / "lists")).collect()
+    }
+    frozen_g = spark.read.parquet(graph_path)
+    frozen_c = spark.read.parquet(corpus_path)
+    batch = {
+        (r["a"], r["b"], r["sim"])
+        for r in nn_descent_append(
+            frozen_g, frozen_c, emb.filter(F.col("vec_id") >= 480)
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
