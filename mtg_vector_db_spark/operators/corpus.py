@@ -519,3 +519,33 @@ def aes_key(key_col: Column, weight: Column) -> Column:
     ) / F.lit(4294967297.0)
     w = F.greatest(weight.cast("double"), F.lit(1.0))
     return F.round(F.pow(u, 1.0 / w), 12)
+
+
+def cluster_aware_split(
+    docs: DataFrame,
+    components: DataFrame,
+    frac: float = 0.8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-free train/eval assignment: hash the near-dup CLUSTER
+    label, not the document id, so every member of a duplicate cluster
+    lands on the same side — the prevention counterpart of the c03/c17
+    contamination DETECTORS (near-dups straddling a naive per-doc split
+    are leakage a decontamination pass then has to claw back).
+
+    ``components`` is a (doc_id, cluster_id) relation covering only
+    pair-participants (dup_clusters output); singletons default to
+    their own id, so the join is against the bounded clustered-doc set —
+    broadcastable at any corpus size (the c25 posture) — and the hash
+    split itself stays map-side. Adds ``cluster`` and ``is_train``.
+    """
+    from mtg_vector_db_spark.functions.text import hash_fraction
+
+    comp = components.select(
+        F.col(id_col), F.col("cluster_id").alias("cluster")
+    )
+    return (
+        docs.join(F.broadcast(comp), id_col, "left")
+        .withColumn("cluster", F.coalesce(F.col("cluster"), F.col(id_col)))
+        .withColumn("is_train", hash_fraction(F.col("cluster")) < frac)
+    )

@@ -1824,3 +1824,146 @@ def _c27_oracle() -> str:
 
 
 oracle("c27_unimax_apply", _c27_oracle())
+
+
+# ---------------------------------------------------------------------------
+# C28 (extension): leakage-free split audit — the PREVENTION counterpart
+# of the contamination detectors (c03/c17): split on the near-dup
+# CLUSTER hash instead of the doc hash and no duplicate pair can
+# straddle train/eval, by construction (cluster_leaks == 0 is an
+# invariant, not an observation — pinned in tests). The audit compares
+# the naive r23-style per-doc split against the cluster-aware one on
+# the same pair graph: leaks prevented, and how little the train
+# fraction moves (the split stays ~frac because cluster hashing only
+# re-routes the clustered minority). Pair source here is c01's bounded
+# exact baseline so the oracle replays end-to-end; at scale the same
+# operator takes d03's LSH pairs — the split logic never changes.
+# ---------------------------------------------------------------------------
+@query("c28_leakage_free_split")
+def c28_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.text import hash_fraction
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    bounded = docs.filter(F.col("doc_id") < 1000)
+    pairs = D.exact_jaccard_pairs(bounded, threshold=0.5).persist()
+    comp = C.dup_clusters(pairs, iters=3)
+    split = C.cluster_aware_split(bounded, comp).persist()
+
+    assigned = split.withColumn(
+        "naive_train", hash_fraction(F.col("doc_id")) < 0.8
+    )
+    pa = pairs.join(
+        assigned.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("is_train").alias("ct_a"),
+            F.col("naive_train").alias("nv_a"),
+        ),
+        "id_a",
+    ).join(
+        assigned.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("is_train").alias("ct_b"),
+            F.col("naive_train").alias("nv_b"),
+        ),
+        "id_b",
+    )
+    leaks = pa.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("nv_a") != F.col("nv_b")).cast("long")).alias(
+            "naive_leaks"
+        ),
+        F.sum((F.col("ct_a") != F.col("ct_b")).cast("long")).alias(
+            "cluster_leaks"
+        ),
+    )
+    stats = assigned.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster").alias("n_clusters"),
+        F.round(
+            F.sum(F.col("naive_train").cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("train_frac_naive"),
+        F.round(
+            F.sum(F.col("is_train").cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("train_frac_cluster"),
+    )
+    return stats.crossJoin(F.broadcast(leaks)).select(
+        "n_docs",
+        "n_clusters",
+        "n_pairs",
+        "naive_leaks",
+        "cluster_leaks",
+        "train_frac_naive",
+        "train_frac_cluster",
+    )
+
+
+def _c28_oracle() -> str:
+    prop = _PROP
+    frac_doc = _hash_frac("CAST(doc_id AS VARCHAR)")
+    frac_cl = _hash_frac("CAST(cluster AS VARCHAR)")
+    return f"""
+    WITH sh AS MATERIALIZED (
+        SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+        WHERE doc_id < 1000),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE {_JACC} >= 0.5
+    ),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    edges AS MATERIALIZED (
+        SELECT u, v FROM sym UNION ALL SELECT node, node FROM nodes),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    l1 AS MATERIALIZED ({prop.format(prev="l0")}),
+    l2 AS MATERIALIZED ({prop.format(prev="l1")}),
+    l3 AS MATERIALIZED ({prop.format(prev="l2")}),
+    assigned AS MATERIALIZED (
+      SELECT d.doc_id,
+             coalesce(l.label, d.doc_id) AS cluster,
+             ({frac_doc}) < 0.8 AS naive_train
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+      LEFT JOIN l3 l ON l.node = d.doc_id
+    ),
+    asg2 AS MATERIALIZED (
+      SELECT doc_id, cluster, naive_train,
+             ({frac_cl}) < 0.8 AS is_train
+      FROM assigned
+    ),
+    pa AS (
+      SELECT p.id_a, p.id_b,
+             a.is_train AS ct_a, a.naive_train AS nv_a,
+             b.is_train AS ct_b, b.naive_train AS nv_b
+      FROM pairs p
+      JOIN asg2 a ON a.doc_id = p.id_a
+      JOIN asg2 b ON b.doc_id = p.id_b
+    ),
+    leaks AS (
+      SELECT count(*) AS n_pairs,
+             CAST(sum(CASE WHEN nv_a <> nv_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS naive_leaks,
+             CAST(sum(CASE WHEN ct_a <> ct_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS cluster_leaks
+      FROM pa
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             count(DISTINCT cluster) AS n_clusters,
+             round(CAST(sum(CASE WHEN naive_train THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*), 6) AS train_frac_naive,
+             round(CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*), 6) AS train_frac_cluster
+      FROM asg2
+    )
+    SELECT s.n_docs, s.n_clusters, l.n_pairs, l.naive_leaks,
+           l.cluster_leaks, s.train_frac_naive, s.train_frac_cluster
+    FROM stats s CROSS JOIN leaks l
+    """
+
+
+oracle("c28_leakage_free_split", _c28_oracle())

@@ -340,3 +340,18 @@ def test_unimax_apply_realizes_the_plan(spark, sf001):
             assert r["kept_chars"] == r["corpus_chars"]
         else:
             assert 0.6 < r["realized_over_planned"] < 1.4
+
+
+def test_leakage_free_split_invariants(spark, sf001):
+    """cluster_leaks == 0 is BY CONSTRUCTION (the cluster hash routes
+    whole components together); the naive split must show the leaks the
+    operator exists to prevent on this corpus, and the cluster-aware
+    train fraction stays within a few points of the naive 0.8."""
+    from mtg_vector_db_spark.plans import registry
+
+    registry.load_all()
+    r = registry.QUERIES["c28_leakage_free_split"](spark, sf001).first()
+    assert r["cluster_leaks"] == 0
+    assert r["naive_leaks"] > 0
+    assert abs(r["train_frac_cluster"] - r["train_frac_naive"]) < 0.05
+    assert r["n_clusters"] < r["n_docs"]
