@@ -105,9 +105,10 @@ HEADLINE = [
     "v16_power_iteration_pca",  # fixed-point spectral diagnostics
     # p40_nn_descent_graph is NOT benched: it is a graph-CONSTRUCTION
     # audit whose cost is the documented O(n·k²) candidate rounds plus a
-    # 50-probe exact-KNN recall comparison (~23 s at sf0.1 — it would be
-    # the whole headline). The serving-path ANN queries (p04, p36, p16)
-    # carry the bench signal; p40's signal is its RECALL.md row.
+    # 50-probe exact-KNN recall comparison (~22 s at sf0.1 for the
+    # shipped k=24/3-round config — it would be the whole headline). The
+    # serving-path ANN queries (p04, p36, p16) carry the bench signal;
+    # p40's signal is its RECALL.md row (0.94 at sf0.1).
     # c18_quality_keep is NOT benched: its cluster input is the d02
     # exact-pairs baseline, an intentionally id-bounded O(n²) oracle
     # anchor — benching it would time the demo bound, not the operator.

@@ -3304,7 +3304,9 @@ oracle("p39_prf_query_expansion", _p39_oracle())
 # otherwise re-derive the whole chain (a plan property; the oracle
 # replays the identical one-DAG form).
 # ---------------------------------------------------------------------------
-_P40_K = 10
+_P40_K = 24       # neighbor-list width — the dominant recall knob
+_P40_EVAL_K = 10  # recall@10 ground-truth depth
+_P40_ROUNDS = 3
 _P40_PROBES = 50
 _P40_BUCKETS = 16
 
@@ -3318,21 +3320,23 @@ def p40_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mtg_vector_db_spark.operators.knn import knn_join
 
     (emb,) = tables(spark, sf_dir, "embeddings")
-    g0 = nn_descent_init(emb, _P40_BUCKETS, _P40_K).persist()
-    g1 = nn_descent_round(g0, emb, _P40_K).persist()
-    g2 = nn_descent_round(g1, emb, _P40_K).persist()
+    graphs = [nn_descent_init(emb, _P40_BUCKETS, _P40_K).persist()]
+    for _ in range(_P40_ROUNDS):
+        graphs.append(
+            nn_descent_round(graphs[-1], emb, _P40_K).persist()
+        )
     probes = emb.filter(F.col("vec_id") < _P40_PROBES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
     exact = (
-        knn_join(emb, probes, k=_P40_K, round_digits=6)
+        knn_join(emb, probes, k=_P40_EVAL_K, round_digits=6)
         .select(F.col("query_id").alias("a"), F.col("vec_id").alias("b"))
         .persist()
     )
-    denom = float(_P40_PROBES * _P40_K)
+    denom = float(_P40_PROBES * _P40_EVAL_K)
     rows = []
-    for rnd, g in enumerate((g0, g1, g2)):
+    for rnd, g in enumerate(graphs):
         stats = g.agg(
             F.count(F.lit(1)).alias("n_edges"),
             F.sum(F.col("sim").cast("decimal(18,6)")).alias("ssim"),
@@ -3352,10 +3356,15 @@ def p40_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-    return rows[0].unionByName(rows[1]).unionByName(rows[2]).orderBy("step")
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("step")
 
 
-def _p40_graph_ctes(k: int, nb: int, corpus_where: str = "TRUE") -> str:
+def _p40_graph_ctes(
+    k: int, nb: int, corpus_where: str = "TRUE", rounds: int = 2
+) -> str:
     """Shared WITH-chain for the NN-Descent oracles: corpus CTE ``e``
     (optionally filtered — the append oracle holds out its batch), dual
     md5 bucket assignment ``asg``, init graph ``g0``, refinement rounds
@@ -3386,7 +3395,7 @@ def _p40_graph_ctes(k: int, nb: int, corpus_where: str = "TRUE") -> str:
     g0 AS (SELECT a, b, sim FROM (
              SELECT a, b, sim, row_number() OVER (PARTITION BY a
                ORDER BY sim DESC, b) AS rn FROM p0) WHERE rn <= {k})"""
-    for r in (1, 2):
+    for r in range(1, rounds + 1):
         ctes += f""",
     u{r} AS (SELECT a, b FROM g{r - 1}
              UNION ALL SELECT b, a FROM g{r - 1}),
@@ -3407,8 +3416,8 @@ def _p40_graph_ctes(k: int, nb: int, corpus_where: str = "TRUE") -> str:
 
 
 def _p40_oracle() -> str:
-    k, probes = _P40_K, _P40_PROBES
-    ctes = _p40_graph_ctes(k, _P40_BUCKETS)
+    k, probes, ek = _P40_K, _P40_PROBES, _P40_EVAL_K
+    ctes = _p40_graph_ctes(k, _P40_BUCKETS, rounds=_P40_ROUNDS)
     ctes += f""",
     xs AS MATERIALIZED (SELECT q.vec_id AS a, t.vec_id AS b,
                   round(list_cosine_similarity(q.v, t.v), 6) AS sim
@@ -3416,10 +3425,10 @@ def _p40_oracle() -> str:
            WHERE q.vec_id < {probes}),
     exct AS MATERIALIZED (SELECT a, b FROM (
                SELECT a, b, row_number() OVER (PARTITION BY a
-                 ORDER BY sim DESC, b) AS rn FROM xs) WHERE rn <= {k})"""
-    denom = float(probes * k)
+                 ORDER BY sim DESC, b) AS rn FROM xs) WHERE rn <= {ek})"""
+    denom = float(probes * ek)
     selects = []
-    for r in (0, 1, 2):
+    for r in range(_P40_ROUNDS + 1):
         selects.append(f"""
     SELECT {r} AS step, s.n_edges,
            round(s.ssim / s.n_edges, 6) AS mean_sim,
@@ -3449,6 +3458,7 @@ oracle("p40_nn_descent_graph", _p40_oracle())
 # p24 lesson); the oracle replays build + append + audit end to end.
 # ---------------------------------------------------------------------------
 _P41_FRAC = 0.1
+_P41_K = 10
 
 
 @query("p41_graph_index_append")
@@ -3471,11 +3481,11 @@ def p41_graph_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(~newf)
     new = emb.filter(newf)
 
-    g = nn_descent_init(corpus, _P40_BUCKETS, _P40_K).persist()
+    g = nn_descent_init(corpus, _P40_BUCKETS, _P41_K).persist()
     for _ in range(2):
-        g = nn_descent_round(g, corpus, _P40_K).persist()
+        g = nn_descent_round(g, corpus, _P41_K).persist()
     app = nn_descent_append(
-        g, corpus, new, _P40_BUCKETS, _P40_K
+        g, corpus, new, _P40_BUCKETS, _P41_K
     ).persist()
 
     queries_df = new.select(
@@ -3483,7 +3493,7 @@ def p41_graph_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("query_vec"),
     )
     exact = (
-        knn_join(corpus, queries_df, k=_P40_K, round_digits=6)
+        knn_join(corpus, queries_df, k=_P41_K, round_digits=6)
         .select(F.col("query_id").alias("a"), F.col("vec_id").alias("b"))
         .persist()
     )
@@ -3504,7 +3514,7 @@ def p41_graph_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_sim"),
             F.round(
                 F.col("nhit").cast("double")
-                / (F.col("n_new") * F.lit(_P40_K)).cast("double"),
+                / (F.col("n_new") * F.lit(_P41_K)).cast("double"),
                 6,
             ).alias("recall_at_10"),
         )
@@ -3514,7 +3524,7 @@ def p41_graph_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _p41_oracle() -> str:
     from mtg_vector_db_spark.plans.corpus_queries import _hash_frac
 
-    k, nb = _P40_K, _P40_BUCKETS
+    k, nb = _P41_K, _P40_BUCKETS
     hn = _hash_frac("CAST(vec_id AS VARCHAR) || ':new'")
     h1 = _hash_frac("CAST(vec_id AS VARCHAR)")
     h2 = _hash_frac("CAST(vec_id AS VARCHAR) || ':b2'")

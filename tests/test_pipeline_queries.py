@@ -410,10 +410,13 @@ def test_nn_descent_rounds_improve(spark, sf001):
         registry.QUERIES["p40_nn_descent_graph"](spark, sf001).collect(),
         key=lambda r: r["step"],
     )
-    assert [r["step"] for r in rows] == [0, 1, 2]
+    assert [r["step"] for r in rows] == [0, 1, 2, 3]
     sims = [r["mean_sim"] for r in rows]
     recs = [r["recall_at_10"] for r in rows]
-    assert sims[0] <= sims[1] <= sims[2]
-    assert recs[2] >= recs[1] >= recs[0]
-    assert recs[2] >= recs[0] + 0.2, "rounds found nothing new"
-    assert all(r["n_edges"] == 500 * 10 for r in rows)
+    assert sims == sorted(sims)
+    assert recs == sorted(recs)
+    # The shipped config (k=24 lists, 3 rounds) clears the HNSW-recall
+    # bar from a 0.1-recall random init — the init-closure regression
+    # guard (a single partitioned init makes every round a no-op).
+    assert recs[-1] >= 0.9
+    assert all(r["n_edges"] == 500 * 24 for r in rows)
