@@ -29,6 +29,14 @@ folded scalars, knn_join's broadcast query set, d02's intentionally
 bounded exact baseline). `SortMergeJoin` rows are mid-size equi-joins
 where AQE declined broadcast — the correct choice at scale.
 
+Counts are TEXTUAL occurrences over the fully unrolled plan tree. The
+iterative queries that persist() their round artifacts inside the query
+body (p40/p41's graph rounds, v17's spectral rounds, c28's component
+chain) therefore show inflated numbers: every report branch re-prints
+the whole upstream lineage, but at runtime those subtrees are computed
+once into the cache and reused (InMemoryTableScan) — the execution
+exchange count is a small fraction of the printed one.
+
 | query | exchanges | bhj | smj | cartesian | bnlj | codegen spans |
 |---|---|---|---|---|---|---|
 """
