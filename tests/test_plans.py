@@ -328,6 +328,13 @@ def test_no_driver_collect_outside_documented_bounded_artifacts():
         ("operators/ann.py", "lloyd_ivf_build"),      # k centroids/iter
         ("operators/ann.py", "_scored_cells"),        # k centroid rows
         ("operators/ann.py", "recall_report"),        # 2k result ids
+        ("operators/quantize.py", "seeded_rq_codebooks"),  # 2*k codebook rows
+        # Spectral round artifacts: every collect below is exactly the
+        # 64-row per-dim sums of one power-iteration round (the
+        # centroid-fetch pattern — d rows, never corpus rows).
+        ("plans/vector_queries.py", "_v16_stats"),
+        ("plans/vector_queries.py", "_v17_sums_list"),
+        ("plans/vector_queries.py", "v16_power_iteration_pca"),
     }
     offenders = []
     for root, _dirs, files in _os.walk(pkg):
