@@ -783,6 +783,21 @@ def pair_cosine_gemm(
 # corpus size, which is the property that makes graph construction
 # distribute where HNSW's sequential insert loop cannot.
 # ---------------------------------------------------------------------------
+def dynamic_bucket_count(
+    emb: DataFrame, target_per_bucket: int = 125, min_buckets: int = 16
+) -> int:
+    """``greatest(min, ceil(n / target))`` — the dynamic_seed_cells rule
+    applied to the NN-Descent bucketings: each of the two hashings puts
+    2n rows into nb buckets, so init pairs are Σ|bucket|² = 4n²/nb; with
+    nb ∝ n that is ~4·target·n — linear at any corpus size where a fixed
+    nb is quadratic (the measured d06 failure mode). One bounded count
+    action; the registered oracles replay the same ceil in SQL."""
+    import math
+
+    n = emb.count()
+    return max(min_buckets, math.ceil(n / target_per_bucket))
+
+
 def nn_descent_init(
     emb: DataFrame,
     n_buckets: int = 16,
@@ -792,10 +807,11 @@ def nn_descent_init(
     """Seed graph: per-node top-k over the pair union of two independent
     deterministic md5 bucketings (functions/text.py:hash_fraction — the
     same engine-portable randomness every split/sample in the repo
-    uses). Per-bucket pair volume is Σ|bucket|²; at corpus scale
-    n_buckets grows ∝ n (the dynamic_seed_cells guard) so per-node init
-    work stays bounded. Returns ``(a, b, sim)`` with ≤k rows per ``a``,
-    sim rounded for cross-engine ordering parity."""
+    uses). Per-bucket pair volume is Σ|bucket|²; pass
+    :func:`dynamic_bucket_count` (the registered queries do) so
+    n_buckets grows ∝ n and per-node init work stays bounded. Returns
+    ``(a, b, sim)`` with ≤k rows per ``a``, sim rounded for cross-engine
+    ordering parity."""
     from mtg_vector_db_spark.functions.text import hash_fraction
 
     b1 = F.floor(hash_fraction(F.col("vec_id")) * n_buckets).cast("int")

@@ -3313,6 +3313,7 @@ _P40_BUCKETS = 16
 
 @query("p40_nn_descent_graph")
 def p40_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators import ann as A
     from mtg_vector_db_spark.operators.ann import (
         nn_descent_init,
         nn_descent_round,
@@ -3320,7 +3321,11 @@ def p40_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mtg_vector_db_spark.operators.knn import knn_join
 
     (emb,) = tables(spark, sf_dir, "embeddings")
-    graphs = [nn_descent_init(emb, _P40_BUCKETS, _P40_K).persist()]
+    # Bounded count action: nb grows with the corpus so the init pair
+    # volume stays linear (16 at every committed test scale — the
+    # dynamic guard changes nothing below ~2k vectors).
+    nb = A.dynamic_bucket_count(emb, min_buckets=_P40_BUCKETS)
+    graphs = [nn_descent_init(emb, nb, _P40_K).persist()]
     for _ in range(_P40_ROUNDS):
         graphs.append(
             nn_descent_round(graphs[-1], emb, _P40_K).persist()
@@ -3377,13 +3382,15 @@ def _p40_graph_ctes(
     ctes = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings WHERE {corpus_where}),
+    nbv AS (SELECT greatest({nb},
+                   CAST(ceil(count(*) / 125.0) AS INT)) AS nb FROM e),
     asg AS (SELECT vec_id,
-                   CAST(floor({h1} * {nb}) AS INT) AS cell
-            FROM e
+                   CAST(floor({h1} * nb) AS INT) AS cell
+            FROM e CROSS JOIN nbv
             UNION ALL
             SELECT vec_id,
-                   CAST(floor({h2} * {nb}) AS INT) + {nb} AS cell
-            FROM e),
+                   CAST(floor({h2} * nb) AS INT) + nb AS cell
+            FROM e CROSS JOIN nbv),
     pr0 AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
             FROM asg x JOIN asg y USING (cell)
             WHERE x.vec_id <> y.vec_id),
@@ -3464,6 +3471,7 @@ _P41_K = 10
 @query("p41_graph_index_append")
 def p41_graph_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mtg_vector_db_spark.functions.text import hash_fraction
+    from mtg_vector_db_spark.operators import ann as A
     from mtg_vector_db_spark.operators.ann import (
         nn_descent_append,
         nn_descent_init,
@@ -3481,12 +3489,13 @@ def p41_graph_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(~newf)
     new = emb.filter(newf)
 
-    g = nn_descent_init(corpus, _P40_BUCKETS, _P41_K).persist()
+    # Same dynamic bucket count for build AND append — the appended
+    # vectors must land in the buckets the graph was built with.
+    nb = A.dynamic_bucket_count(corpus, min_buckets=_P40_BUCKETS)
+    g = nn_descent_init(corpus, nb, _P41_K).persist()
     for _ in range(2):
         g = nn_descent_round(g, corpus, _P41_K).persist()
-    app = nn_descent_append(
-        g, corpus, new, _P40_BUCKETS, _P41_K
-    ).persist()
+    app = nn_descent_append(g, corpus, new, nb, _P41_K).persist()
 
     queries_df = new.select(
         F.col("vec_id").alias("query_id"),
@@ -3533,10 +3542,11 @@ def _p41_oracle() -> str:
     ne AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
           FROM embeddings WHERE {hn} < {_P41_FRAC}),
     nasg AS MATERIALIZED (
-        SELECT vec_id, CAST(floor({h1} * {nb}) AS INT) AS cell FROM ne
+        SELECT vec_id, CAST(floor({h1} * nb) AS INT) AS cell
+        FROM ne CROSS JOIN nbv
         UNION ALL
-        SELECT vec_id, CAST(floor({h2} * {nb}) AS INT) + {nb} AS cell
-        FROM ne),
+        SELECT vec_id, CAST(floor({h2} * nb) AS INT) + nb AS cell
+        FROM ne CROSS JOIN nbv),
     mates AS MATERIALIZED (
         SELECT na.vec_id AS a, ca.vec_id AS b
         FROM nasg na JOIN asg ca USING (cell)),

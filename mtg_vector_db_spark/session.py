@@ -39,6 +39,18 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
+        # Local-mode driver == executor: the 1g default heap is the one
+        # knob that can kill a long many-query session (measured: two
+        # graph-construction queries back-to-back OOM'd the JVM at 1g
+        # while passing alone). 4g, NOT bigger: a 16g heap on this VM
+        # made warm-run times erratic (d03 2.5 s → 4-14 s; GC/page-fault
+        # stalls), while 4g keeps bench timings at the 1g baseline AND
+        # survives the graph-construction pair. A real cluster sets this
+        # per-role in spark-submit.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
