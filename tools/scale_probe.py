@@ -103,7 +103,10 @@ def main() -> None:
         "scale-probe",
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
-            "spark.driver.memory": "24g",
+            # 8g, not 24g: oversized heaps measured ERRATIC warm-run
+            # times on this VM (GC/page-fault stalls — see session.py);
+            # 8g holds the sf1 pipelines without the jitter.
+            "spark.driver.memory": "8g",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
