@@ -3497,7 +3497,15 @@ def p41_graph_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         g = nn_descent_round(g, corpus, _P41_K).persist()
     app = nn_descent_append(g, corpus, new, nb, _P41_K).persist()
 
-    queries_df = new.select(
+    # The recall AUDIT probes a FIXED 50-vector subset (lowest new ids,
+    # TakeOrdered): exact KNN over every held-out vector is
+    # O(n_new·n_corpus) — quadratic by construction since n_new ∝ n
+    # (measured: the all-new audit went 44 s → 755 s over the 10× step,
+    # exp 1.24, while the append itself is bucket-bounded). The audit
+    # cost is now O(50·n) at any scale; appended lists and mean_sim
+    # still cover ALL new vectors.
+    probes = new.orderBy("vec_id").limit(_P40_PROBES)
+    queries_df = probes.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
@@ -3512,18 +3520,21 @@ def p41_graph_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = app.join(exact, ["a", "b"]).agg(F.count(F.lit(1)).alias("nhit"))
     nnew = new.agg(F.count(F.lit(1)).alias("n_new"))
+    npb = probes.agg(F.count(F.lit(1)).alias("n_probes"))
     return (
         stats.crossJoin(F.broadcast(hits))
         .crossJoin(F.broadcast(nnew))
+        .crossJoin(F.broadcast(npb))
         .select(
             "n_new",
+            "n_probes",
             "n_edges",
             F.round(
                 F.col("ssim").cast("double") / F.col("n_edges"), 6
             ).alias("mean_sim"),
             F.round(
                 F.col("nhit").cast("double")
-                / (F.col("n_new") * F.lit(_P41_K)).cast("double"),
+                / (F.col("n_probes") * F.lit(_P41_K)).cast("double"),
                 6,
             ).alias("recall_at_10"),
         )
@@ -3533,7 +3544,7 @@ def p41_graph_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _p41_oracle() -> str:
     from mtg_vector_db_spark.plans.corpus_queries import _hash_frac
 
-    k, nb = _P41_K, _P40_BUCKETS
+    k, nb, probes = _P41_K, _P40_BUCKETS, _P40_PROBES
     hn = _hash_frac("CAST(vec_id AS VARCHAR) || ':new'")
     h1 = _hash_frac("CAST(vec_id AS VARCHAR)")
     h2 = _hash_frac("CAST(vec_id AS VARCHAR) || ':b2'")
@@ -3567,24 +3578,27 @@ def _p41_oracle() -> str:
         SELECT a, b, sim FROM (
           SELECT a, b, sim, row_number() OVER (PARTITION BY a
             ORDER BY sim DESC, b) AS rn FROM pa) WHERE rn <= {k}),
+    nep AS MATERIALIZED (
+        SELECT vec_id, v FROM ne ORDER BY vec_id LIMIT {probes}),
     xs2 AS MATERIALIZED (
         SELECT q.vec_id AS a, t.vec_id AS b,
                round(list_cosine_similarity(q.v, t.v), 6) AS sim
-        FROM ne q JOIN e t ON q.vec_id <> t.vec_id),
+        FROM nep q JOIN e t ON q.vec_id <> t.vec_id),
     exct2 AS MATERIALIZED (
         SELECT a, b FROM (
           SELECT a, b, row_number() OVER (PARTITION BY a
             ORDER BY sim DESC, b) AS rn FROM xs2) WHERE rn <= {k})
-    SELECT n.n_new, s.n_edges,
+    SELECT n.n_new, p.n_probes, s.n_edges,
            round(s.ssim / s.n_edges, 6) AS mean_sim,
            round(CAST(h.nhit AS DOUBLE)
-                 / CAST(n.n_new * {k} AS DOUBLE), 6) AS recall_at_10
+                 / CAST(p.n_probes * {k} AS DOUBLE), 6) AS recall_at_10
     FROM (SELECT count(*) AS n_edges,
                  CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) AS ssim
           FROM ga) s
     CROSS JOIN (SELECT count(*) AS nhit
                 FROM ga JOIN exct2 USING (a, b)) h
-    CROSS JOIN (SELECT count(*) AS n_new FROM ne) n"""
+    CROSS JOIN (SELECT count(*) AS n_new FROM ne) n
+    CROSS JOIN (SELECT count(*) AS n_probes FROM nep) p"""
     return chain + tail
 
 
