@@ -1133,3 +1133,85 @@ def streaming_graph_append(
         stream.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def streaming_moment_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    stats_path: str,
+    checkpoint: str,
+    schema: str = "vec_id long, embedding array<float>",
+) -> "DataStreamWriter":
+    """Incremental per-dimension embedding MOMENTS — the sufficient
+    statistics behind the spectral diagnostics (plans/vector_queries.py
+    v16/v17: mean vector, per-dim variance, trace) maintained as
+    vectors arrive, so "has the corpus drifted / collapsed?" is a
+    64-row read instead of a history rescan.
+
+    State is exact and additive BY CONSTRUCTION: components are folded
+    to ABSOLUTE nano-unit integers (floor(x·1e9 + 0.5) — a fixed scale,
+    unlike the batch queries' corpus-max relative scale, because a
+    data-dependent scale is not mergeable) and summed as DECIMAL(38,0),
+    so any micro-batch slicing produces bit-identical state (stream ≡
+    batch pinned). Σv and Σv² per dim + n; mean = Σv·1e-9/n,
+    var = Σv²·1e-18/n − mean². The integer sums are NOT
+    replay-idempotent, so the store carries the same ``last_batch``
+    high-watermark as streaming_cms_maintenance; serving reads drop the
+    column. State is 64 rows forever — the d-bounded analog of the
+    sketch faces.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        try:
+            # collect: bounded by one row per embedding dimension.
+            old_rows = s.read.parquet(stats_path).collect()
+        except Exception:
+            old_rows = []
+        last = max((r["last_batch"] for r in old_rows), default=-1)
+        if batch_id <= last:
+            return  # replayed batch: already folded, skip
+        eint = F.transform(
+            F.col("embedding"),
+            lambda y: F.floor(y.cast("double") * F.lit(1e9) + F.lit(0.5)),
+        )
+        new = (
+            batch_df.filter(F.col("embedding").isNotNull())
+            .select(F.posexplode(eint).alias("dim", "val"))
+            .groupBy("dim")
+            .agg(
+                F.sum(F.col("val").cast("decimal(38,0)")).alias("s"),
+                # decimal BEFORE the square: long·long overflows int64
+                # for |x| > ~3 (the v16 fuzz lesson — absolute scale
+                # here, so large-magnitude embeddings must stay safe).
+                F.sum(
+                    F.col("val").cast("decimal(19,0)")
+                    * F.col("val").cast("decimal(19,0)")
+                ).cast("decimal(38,0)").alias("sq"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        if old_rows:
+            old = s.createDataFrame(
+                old_rows,
+                "dim int, s decimal(38,0), sq decimal(38,0), n long,"
+                " last_batch long",
+            ).drop("last_batch")
+            new = (
+                new.unionByName(old)
+                .groupBy("dim")
+                .agg(
+                    F.sum("s").cast("decimal(38,0)").alias("s"),
+                    F.sum("sq").cast("decimal(38,0)").alias("sq"),
+                    F.sum("n").alias("n"),
+                )
+            )
+        new.withColumn("last_batch", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(stats_path)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
