@@ -18,7 +18,7 @@ CORPUS_QUERIES = [n for n in registry.QUERIES if n.startswith("c")]
 
 
 def test_family_registered():
-    assert len(CORPUS_QUERIES) == 27  # c01-c27 (c27 UniMax apply, r3)
+    assert len(CORPUS_QUERIES) == 28  # c01-c28 (c28 leakage-free split, r3)
     assert all(n in registry.ORACLES for n in CORPUS_QUERIES)
 
 
