@@ -811,22 +811,13 @@ def nn_descent_init(
     :func:`dynamic_bucket_count` (the registered queries do) so
     n_buckets grows ∝ n and per-node init work stays bounded. Returns
     ``(a, b, sim)`` with ≤k rows per ``a``, sim rounded for cross-engine
-    ordering parity."""
-    from mtg_vector_db_spark.functions.text import hash_fraction
+    ordering parity.
 
-    b1 = F.floor(hash_fraction(F.col("vec_id")) * n_buckets).cast("int")
-    b2 = (
-        F.floor(
-            hash_fraction(
-                F.concat(F.col("vec_id").cast("string"), F.lit(":b2"))
-            )
-            * n_buckets
-        ).cast("int")
-        + F.lit(n_buckets)
-    )
-    assigned = emb.select(
-        "vec_id", F.explode(F.array(b1, b2)).alias("cell")
-    )
+    Bucketing comes from :func:`_nn_buckets` — the SAME assignment the
+    frozen-graph append uses. Single source of truth (round-3 ADVICE):
+    append recall depends on build-time and append-time bucketing being
+    byte-identical, so init must not carry its own copy to drift."""
+    assigned = _nn_buckets(emb, n_buckets)
     left = assigned.select(F.col("vec_id").alias("a"), "cell")
     right = assigned.select(F.col("vec_id").alias("b"), "cell")
     # Distinct BEFORE scoring: a pair sharing both bucketings would

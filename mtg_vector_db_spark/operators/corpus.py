@@ -26,6 +26,7 @@ def dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     iters: int = 3,
+    pin_chain: bool = False,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → ``(doc_id,
     cluster_id)`` where ``cluster_id`` is the minimum doc id reachable in
@@ -36,23 +37,43 @@ def dup_clusters(
     two shuffles, both keyed on node ids, no driver-side iteration over
     rows. Near-dup graphs are unions of small-diameter blobs (docs that
     are all variants of one original), so a small fixed ``iters``
-    converges; for adversarial long-chain graphs swap in large-star/
-    small-star (Kiveris et al.) — same join shapes, data-dependent round
-    count. Fixed rounds keep the operator oracle-replayable (the SQL
-    nests exactly ``iters`` propagation CTEs).
+    converges; for adversarial long-chain graphs swap in
+    :func:`dup_clusters_converged` (large-star/small-star, Kiveris et
+    al.) — same join shapes, data-dependent round count. Fixed rounds
+    keep the operator oracle-replayable (the SQL nests exactly ``iters``
+    propagation CTEs).
+
+    ``pin_chain=True`` pins (session.py:pin — eager localCheckpoint) the
+    edge list and each round's labels, so the ``pairs`` chain — typically
+    an expensive similarity verify — is evaluated ONCE instead of once
+    per round per downstream branch (the round-3 c18 defect: 64 s vs
+    25 s for the persisted twin). Pin whenever ``pairs`` is not already
+    materialized; semantics are identical either way.
     """
+    from mtg_vector_db_spark.session import pin as _pin
+
+    keep = _pin if pin_chain else (lambda df: df)
+    if pin_chain:
+        # Pin the PAIR LIST itself, id columns only: fwd/rev/nodes are
+        # three separate consumers, so pinning only downstream relations
+        # would still evaluate the verify chain once per branch
+        # (measured: pin-edges-only ran 13.4 s where pin-pairs-first
+        # runs ~3 s at sf0.01).
+        pairs = _pin(pairs.select(F.col(id_a), F.col(id_b)))
     fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     rev = pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
     sym = fwd.unionByName(rev)
     nodes = sym.select(F.col("u").alias("node")).distinct()
     # Self-edges make min-over-neighbors monotone non-increasing (a node
     # never loses its own best-known label between rounds).
-    edges = sym.unionByName(
-        nodes.select(F.col("node").alias("u"), F.col("node").alias("v"))
+    edges = keep(
+        sym.unionByName(
+            nodes.select(F.col("node").alias("u"), F.col("node").alias("v"))
+        )
     )
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(iters):
-        labels = (
+        labels = keep(
             edges.join(labels, edges["v"] == labels["node"])
             .groupBy("u")
             .agg(F.min("label").alias("label"))
@@ -60,6 +81,94 @@ def dup_clusters(
         )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dup_clusters_converged(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Data-dependent connected components via alternating large-star /
+    small-star (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the escape hatch :func:`dup_clusters` documents
+    for graphs whose diameter exceeds its fixed round count (a mirrored
+    crawl can chain near-dups arbitrarily deep at 100 TB).
+
+    Same join shapes as one ``dup_clusters`` round (groupBy node over
+    the current edge list — two keyed shuffles per star step), but the
+    rounds REWRITE the edge set instead of propagating labels over a
+    static one, which converges in O(log n) rounds independent of
+    diameter. Each round's edges are pinned (eager localCheckpoint) so
+    round r+1 reads materialized blocks, and termination is a bounded
+    per-round scalar check (counts only — no row collect). At
+    convergence the graph is a union of disjoint stars centered at each
+    component's minimum id; output schema matches ``dup_clusters``
+    (``doc_id, cluster_id``) exactly, so the two are interchangeable
+    behind every cluster consumer (c07/c18/c25/c28's keep/split logic).
+    """
+    from mtg_vector_db_spark.session import pin as _pin
+
+    raw = pairs.select(
+        F.col(id_a).alias("x"), F.col(id_b).alias("y")
+    ).filter(F.col("x") != F.col("y"))
+    e = _pin(
+        raw.select(
+            F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi")
+        ).distinct()
+    )
+    nodes = _pin(
+        e.select(F.col("lo").alias("node"))
+        .union(e.select(F.col("hi").alias("node")))
+        .distinct()
+    )
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        # Large-star: every node connects its LARGER neighbors to the
+        # minimum of its closed neighborhood (m <= u < v, so the emitted
+        # (m, v) is already canonical lo < hi).
+        nbr = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        m_ls = (
+            nbr.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        ls = _pin(
+            nbr.filter(F.col("v") > F.col("u"))
+            .join(m_ls, "u")
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .distinct()
+        )
+        # Small-star: every node connects its SMALLER neighbors (and
+        # itself) to the minimum of those — flattens multi-level stars.
+        sn = ls.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        m_ss = sn.groupBy("u").agg(F.min("v").alias("m"))
+        e2 = _pin(
+            sn.join(m_ss, "u")
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .union(m_ss.select(F.col("m").alias("lo"), F.col("u").alias("hi")))
+            .filter(F.col("lo") != F.col("hi"))
+            .select(
+                F.least("lo", "hi").alias("lo"),
+                F.greatest("lo", "hi").alias("hi"),
+            )
+            .distinct()
+        )
+        n2 = e2.count()
+        # Fixpoint: the star steps are monotone toward the unique
+        # star-forest fixpoint; identical edge COUNT plus empty one-sided
+        # difference means the sets are equal (both are distinct sets).
+        if n2 == n_edges and e2.exceptAll(e).count() == 0:
+            e = e2
+            break
+        e, n_edges = e2, n2
+    labels = e.select(F.col("hi").alias("node"), F.col("lo").alias("label"))
+    return nodes.join(labels, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("label", F.col("node")).alias("cluster_id"),
     )
 
 

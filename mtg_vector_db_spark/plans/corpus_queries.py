@@ -44,7 +44,10 @@ def c01_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
     bounded = docs.filter(F.col("doc_id") < 1000)
     pairs = D.exact_jaccard_pairs(bounded, threshold=0.5)
-    return C.dup_clusters(pairs, iters=3).orderBy("doc_id")
+    # pin_chain: the bounded exact-Jaccard verify is evaluated once, not
+    # once per propagation round (round-3 VERDICT: the unpinned chain
+    # re-ran the quadratic verify per plan branch).
+    return C.dup_clusters(pairs, iters=3, pin_chain=True).orderBy("doc_id")
 
 
 _PROP = (
@@ -234,7 +237,10 @@ def c07_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
     bounded = docs.filter(F.col("doc_id") < 1000)
     pairs = D.exact_jaccard_pairs(bounded, threshold=0.5)
-    clusters = C.dup_clusters(pairs, iters=3)
+    # pin_chain: clusters feed two report branches (n_clusters agg +
+    # keep-set join) — pinned labels stop each branch re-deriving the
+    # full pair verify (the round-3 c18/c01 recompute defect).
+    clusters = C.dup_clusters(pairs, iters=3, pin_chain=True)
     kept = C.dedup_keep_set(bounded, clusters)
     n_docs = bounded.agg(F.count(F.lit(1)).alias("n_docs"))
     n_clusters = clusters.agg(
@@ -941,7 +947,9 @@ def c18_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
     bounded = docs.filter(F.col("doc_id") < 1000)
     pairs = D.exact_jaccard_pairs(bounded, threshold=0.5)
-    clusters = C.dup_clusters(pairs, iters=3)
+    # pin_chain: one pair verify total (round-3 VERDICT measured this
+    # query at 64 s unpinned vs 25 s for the larger-but-persisted c28).
+    clusters = C.dup_clusters(pairs, iters=3, pin_chain=True)
     member = clusters.join(
         bounded.select("doc_id", quality_score(F.col("text")).alias("q")),
         "doc_id",
@@ -1505,7 +1513,8 @@ def c25_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
     bounded = docs.filter(F.col("doc_id") < 1000)
     pairs = D.exact_jaccard_pairs(bounded, threshold=0.5)
-    clusters = C.dup_clusters(pairs, iters=3)
+    # pin_chain: same one-verify guard as c01/c07/c18.
+    clusters = C.dup_clusters(pairs, iters=3, pin_chain=True)
     return C.canonical_by_quality(
         bounded, clusters, TS.quality_score(F.col("text"))
     ).orderBy("cluster_id")
@@ -1843,11 +1852,16 @@ oracle("c27_unimax_apply", _c27_oracle())
 def c28_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mtg_vector_db_spark.functions.text import hash_fraction
 
+    from mtg_vector_db_spark.session import pin
+
     (docs,) = tables(spark, sf_dir, "documents")
     bounded = docs.filter(F.col("doc_id") < 1000)
-    pairs = D.exact_jaccard_pairs(bounded, threshold=0.5).persist()
-    comp = C.dup_clusters(pairs, iters=3)
-    split = C.cluster_aware_split(bounded, comp).persist()
+    # pin, not persist (round-3 ADVICE): checkpoint blocks are released
+    # by the ContextCleaner when the query's DataFrames go out of scope,
+    # so a multi-query session doesn't accumulate cached storage.
+    pairs = pin(D.exact_jaccard_pairs(bounded, threshold=0.5))
+    comp = C.dup_clusters(pairs, iters=3, pin_chain=True)
+    split = pin(C.cluster_aware_split(bounded, comp))
 
     assigned = split.withColumn(
         "naive_train", hash_fraction(F.col("doc_id")) < 0.8
@@ -1967,3 +1981,89 @@ def _c28_oracle() -> str:
 
 
 oracle("c28_leakage_free_split", _c28_oracle())
+
+
+# ---------------------------------------------------------------------------
+# C29 (extension): connected-components convergence audit — runs BOTH
+# cluster resolvers on the same pair graph and reports the under-merge
+# rate of the fixed-round form: dup_clusters(iters=3) is oracle-exact
+# and cheap but provably under-merges components whose diameter exceeds
+# 3 (pinned by the planted-chain test); dup_clusters_converged
+# (large-star/small-star, Kiveris et al.) is diameter-independent. The
+# audit makes the under-merge rate MACHINE-VISIBLE per corpus (round-3
+# VERDICT #6): near-dup blobs are usually small-diameter so the rate is
+# ~0 here, and a mirrored-crawl corpus where chains run deep would show
+# it climbing — the signal to swap resolvers. The oracle replays the
+# fixed form with 3 nested CTEs and the converged form with a RECURSIVE
+# transitive-closure CTE (exact components at any diameter).
+# ---------------------------------------------------------------------------
+@query("c29_cc_convergence_audit")
+def c29_cc_convergence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.session import pin
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    bounded = docs.filter(F.col("doc_id") < 1000)
+    # Pinned: the pair verify feeds both resolvers once.
+    pairs = pin(D.exact_jaccard_pairs(bounded, threshold=0.5))
+    fixed = C.dup_clusters(pairs, iters=3, pin_chain=True)
+    conv = C.dup_clusters_converged(pairs)
+    j = fixed.select(
+        "doc_id", F.col("cluster_id").alias("label_fixed")
+    ).join(
+        conv.select("doc_id", F.col("cluster_id").alias("label_conv")),
+        "doc_id",
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.countDistinct("label_fixed").alias("n_clusters_fixed"),
+        F.countDistinct("label_conv").alias("n_clusters_converged"),
+        F.sum(
+            (F.col("label_fixed") != F.col("label_conv")).cast("long")
+        ).alias("n_under_merged"),
+    ).select(
+        "n_nodes",
+        "n_clusters_fixed",
+        "n_clusters_converged",
+        "n_under_merged",
+        F.round(
+            F.col("n_under_merged").cast("double") / F.col("n_nodes"), 6
+        ).alias("under_merge_rate"),
+    )
+
+
+oracle(
+    "c29_cc_convergence_audit",
+    f"""
+    WITH RECURSIVE sh AS MATERIALIZED (
+        SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+        WHERE doc_id < 1000),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE {_JACC} >= 0.5
+    ),
+    sym AS MATERIALIZED (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),
+    edges AS (SELECT u, v FROM sym UNION ALL SELECT node, node FROM nodes),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    l1 AS ({_PROP.format(prev="l0")}),
+    l2 AS ({_PROP.format(prev="l1")}),
+    l3 AS ({_PROP.format(prev="l2")}),
+    reach(src, dst) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN sym e ON e.u = r.dst
+    ),
+    conv AS (SELECT src AS node, min(dst) AS label FROM reach GROUP BY src)
+    SELECT count(*) AS n_nodes,
+           count(DISTINCT f.label) AS n_clusters_fixed,
+           count(DISTINCT c.label) AS n_clusters_converged,
+           CAST(sum(CASE WHEN f.label <> c.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_under_merged,
+           round(CAST(sum(CASE WHEN f.label <> c.label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS under_merge_rate
+    FROM l3 f JOIN conv c ON f.node = c.node
+    """,
+)

@@ -1240,10 +1240,15 @@ _PROP_D21 = (
 def d21_cluster_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mtg_vector_db_spark.operators import corpus as C
 
+    from mtg_vector_db_spark.session import pin
+
     (docs,) = tables(spark, sf_dir, "documents")
     bounded = docs.filter(F.col("doc_id") < 1000)
-    pairs = D.exact_jaccard_pairs(bounded, threshold=0.5)
-    clusters = C.dup_clusters(pairs, iters=3)
+    # Pinned: pairs feed BOTH the cluster build and the per-cluster edge
+    # report; clusters feed the member count AND the edge labeling — the
+    # one-verify guard the round-3 VERDICT asked of this family.
+    pairs = pin(D.exact_jaccard_pairs(bounded, threshold=0.5))
+    clusters = C.dup_clusters(pairs, iters=3, pin_chain=True)
     lab = clusters.select(
         F.col("doc_id").alias("id_a"), F.col("cluster_id")
     )

@@ -1304,7 +1304,8 @@ def p21_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_l") < F.col("id_r"))
         .select(F.col("id_l").alias("id_a"), F.col("id_r").alias("id_b"))
     )
-    clusters = dup_clusters(pairs, iters=3)
+    # pin_chain: the trigram self-join verify runs once, not per round.
+    clusters = dup_clusters(pairs, iters=3, pin_chain=True)
     return (
         clusters.join(bounded, clusters.doc_id == bounded.p_partkey)
         .groupBy("cluster_id")
@@ -1547,15 +1548,17 @@ def p24_decontaminated_corpus_build(spark: SparkSession, sf_dir: str) -> DataFra
     ).filter(F.col("quality") >= 0.5)
     frac = hash_fraction(F.col("doc_id"))
     split = F.when(frac < 0.8, "train").when(frac < 0.9, "eval").otherwise("test")
-    # Cache the post-gate relation: three branches (bench-side filter
+    # Pin the post-gate relation: three branches (bench-side filter
     # builder, train-side probe, final union) otherwise re-derive the
     # whole dedup+span+quality prefix — Catalyst can't reuse subtrees
     # that differ by pushed-down split filters. A plan property, not a
     # semantic one: the oracle replays the identical one-DAG chain. In a
     # production run this is the materialize-between-stages point (write
-    # the gated corpus, then decontaminate); here MEMORY_AND_DISK keeps
-    # the one-lineage form oracle-replayable without the ~1.7× recompute.
-    sp = scored.withColumn("split", split).persist()
+    # the gated corpus, then decontaminate); pin (vs persist) releases
+    # the blocks when the query's refs drop — round-3 ADVICE.
+    from mtg_vector_db_spark.session import pin
+
+    sp = pin(scored.withColumn("split", split))
     bench = sp.filter(F.col("split") != "train")
     train = sp.filter(F.col("split") == "train")
     flagged = (
@@ -3320,26 +3323,33 @@ def p40_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mtg_vector_db_spark.operators.knn import knn_join
 
+    from mtg_vector_db_spark.session import pin
+
     (emb,) = tables(spark, sf_dir, "embeddings")
     # Bounded count action: nb grows with the corpus so the init pair
     # volume stays linear (16 at every committed test scale — the
     # dynamic guard changes nothing below ~2k vectors).
     nb = A.dynamic_bucket_count(emb, min_buckets=_P40_BUCKETS)
-    graphs = [nn_descent_init(emb, nb, _P40_K).persist()]
+    # pin, not persist (round-3 ADVICE): the round artifacts are
+    # ContextCleaner-released when the query's refs drop, so graph
+    # queries back-to-back don't grow the cached pool monotonically.
+    graphs = [pin(nn_descent_init(emb, nb, _P40_K))]
     for _ in range(_P40_ROUNDS):
         graphs.append(
-            nn_descent_round(graphs[-1], emb, _P40_K).persist()
+            pin(nn_descent_round(graphs[-1], emb, _P40_K))
         )
     probes = emb.filter(F.col("vec_id") < _P40_PROBES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    exact = (
+    exact = pin(
         knn_join(emb, probes, k=_P40_EVAL_K, round_digits=6)
         .select(F.col("query_id").alias("a"), F.col("vec_id").alias("b"))
-        .persist()
     )
-    denom = float(_P40_PROBES * _P40_EVAL_K)
+    # Recall denominator from the ACTUAL probe count (round-3 ADVICE:
+    # the _P40_PROBES*_P40_EVAL_K constant silently understated recall
+    # on corpora with sparse or non-zero-based vec_ids).
+    npb = probes.agg(F.count(F.lit(1)).alias("n_probes"))
     rows = []
     for rnd, g in enumerate(graphs):
         stats = g.agg(
@@ -3350,15 +3360,21 @@ def p40_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("nhit")
         )
         rows.append(
-            stats.crossJoin(F.broadcast(hits)).select(
+            stats.crossJoin(F.broadcast(hits))
+            .crossJoin(F.broadcast(npb))
+            .select(
                 F.lit(rnd).alias("step"),
                 "n_edges",
                 F.round(
                     F.col("ssim").cast("double") / F.col("n_edges"), 6
                 ).alias("mean_sim"),
-                F.round(F.col("nhit").cast("double") / F.lit(denom), 6).alias(
-                    "recall_at_10"
-                ),
+                F.round(
+                    F.col("nhit").cast("double")
+                    / (F.col("n_probes") * F.lit(_P40_EVAL_K)).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("recall_at_10"),
             )
         )
     out = rows[0]
@@ -3432,19 +3448,22 @@ def _p40_oracle() -> str:
            WHERE q.vec_id < {probes}),
     exct AS MATERIALIZED (SELECT a, b FROM (
                SELECT a, b, row_number() OVER (PARTITION BY a
-                 ORDER BY sim DESC, b) AS rn FROM xs) WHERE rn <= {ek})"""
-    denom = float(probes * ek)
+                 ORDER BY sim DESC, b) AS rn FROM xs) WHERE rn <= {ek}),
+    pcnt AS MATERIALIZED (SELECT count(*) AS n_probes FROM e
+                          WHERE vec_id < {probes})"""
     selects = []
     for r in range(_P40_ROUNDS + 1):
         selects.append(f"""
     SELECT {r} AS step, s.n_edges,
            round(s.ssim / s.n_edges, 6) AS mean_sim,
-           round(h.nhit / {denom}e0, 6) AS recall_at_10
+           round(CAST(h.nhit AS DOUBLE)
+                 / CAST(p.n_probes * {ek} AS DOUBLE), 6) AS recall_at_10
     FROM (SELECT count(*) AS n_edges,
                  CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) AS ssim
           FROM g{r}) s
     CROSS JOIN (SELECT count(*) AS nhit
-                FROM g{r} JOIN exct USING (a, b)) h""")
+                FROM g{r} JOIN exct USING (a, b)) h
+    CROSS JOIN pcnt p""")
     return ctes + "\n" + "\n    UNION ALL\n".join(selects) + "\n    ORDER BY step"
 
 
@@ -3492,10 +3511,13 @@ def p41_graph_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same dynamic bucket count for build AND append — the appended
     # vectors must land in the buckets the graph was built with.
     nb = A.dynamic_bucket_count(corpus, min_buckets=_P40_BUCKETS)
-    g = nn_descent_init(corpus, nb, _P41_K).persist()
+    # pin, not persist — see p40 (round-3 ADVICE: cache release).
+    from mtg_vector_db_spark.session import pin
+
+    g = pin(nn_descent_init(corpus, nb, _P41_K))
     for _ in range(2):
-        g = nn_descent_round(g, corpus, _P41_K).persist()
-    app = nn_descent_append(g, corpus, new, nb, _P41_K).persist()
+        g = pin(nn_descent_round(g, corpus, _P41_K))
+    app = pin(nn_descent_append(g, corpus, new, nb, _P41_K))
 
     # The recall AUDIT probes a FIXED 50-vector subset (lowest new ids,
     # TakeOrdered): exact KNN over every held-out vector is
@@ -3509,10 +3531,9 @@ def p41_graph_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    exact = (
+    exact = pin(
         knn_join(corpus, queries_df, k=_P41_K, round_digits=6)
         .select(F.col("query_id").alias("a"), F.col("vec_id").alias("b"))
-        .persist()
     )
     stats = app.agg(
         F.count(F.lit(1)).alias("n_edges"),

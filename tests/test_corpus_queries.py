@@ -18,7 +18,7 @@ CORPUS_QUERIES = [n for n in registry.QUERIES if n.startswith("c")]
 
 
 def test_family_registered():
-    assert len(CORPUS_QUERIES) == 28  # c01-c28 (c28 leakage-free split, r3)
+    assert len(CORPUS_QUERIES) == 29  # c01-c29 (c29 CC convergence, r4)
     assert all(n in registry.ORACLES for n in CORPUS_QUERIES)
 
 
@@ -38,6 +38,47 @@ def test_dup_clusters_resolves_transitive_chain(spark):
         for r in C.dup_clusters(pairs, iters=3).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_fixed_rounds_under_merge_on_planted_diameter6_chain(spark):
+    """The documented failure mode of fixed-round propagation, made
+    concrete: on a diameter-6 path 0-1-2-3-4-5-6, 3 min-label rounds
+    cannot carry label 0 to node 6 (labels travel one hop per round), so
+    the fixed form under-merges — while the large-star/small-star form
+    converges to one component regardless of diameter."""
+    chain = [(i, i + 1) for i in range(6)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    fixed = {
+        r["doc_id"]: r["cluster_id"]
+        for r in C.dup_clusters(pairs, iters=3).collect()
+    }
+    assert len(set(fixed.values())) > 1  # provably under-merged
+    assert fixed[6] != 0
+
+    conv = {
+        r["doc_id"]: r["cluster_id"]
+        for r in C.dup_clusters_converged(pairs).collect()
+    }
+    assert conv == {i: 0 for i in range(7)}
+
+
+def test_converged_matches_fixed_on_small_diameter_graphs(spark):
+    """On the blob-shaped graphs near-dup dedup actually produces
+    (diameter <= 3) the two resolvers agree exactly — the property that
+    makes them interchangeable behind c07/c18/c25/c28."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (21, 22)],
+        ["id_a", "id_b"],
+    )
+    fixed = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in C.dup_clusters(pairs, iters=3).collect()
+    )
+    conv = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in C.dup_clusters_converged(pairs).collect()
+    )
+    assert fixed == conv
 
 
 def test_dup_clusters_covers_planted_neardups(spark, sf001):

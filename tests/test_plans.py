@@ -319,8 +319,10 @@ def test_no_driver_collect_outside_documented_bounded_artifacts():
         ("cli.py", "run_search"),            # CLI display of k results
         ("explain.py", "main"),              # explain/limit display tool
         ("plans/corpus_queries.py", "c09_temperature_mix"),  # 1 row/source
-        ("streaming/pipelines.py", "upsert"),     # bloom bitset <=n_bits/64
-        ("streaming/pipelines.py", "fold"),       # manifest, 1 row/source
+        # All maintenance-store reads funnel through _state_rows: each
+        # caller's store is bounded by construction (sketch cells, HLL
+        # registers, 1 manifest row/source, k reservoir rows, 1 row/dim).
+        ("streaming/pipelines.py", "_state_rows"),
         ("operators/quantize.py", "sq_train"),    # per-dim min/max scalars
         ("operators/quantize.py", "pq_train"),    # m*k codebook rows
         ("operators/quantize.py", "seeded_pq_codebooks"),  # m*k rows
