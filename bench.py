@@ -103,15 +103,22 @@ HEADLINE = [
     "p37_cascade_search",       # BM25 -> Hamming -> exact cascade
     "p39_prf_query_expansion",  # RM3 feedback expansion, in-plan loop
     "v16_power_iteration_pca",  # fixed-point spectral diagnostics
-    # p40_nn_descent_graph is NOT benched: it is a graph-CONSTRUCTION
-    # audit whose cost is the documented O(n·k²) candidate rounds plus a
-    # 50-probe exact-KNN recall comparison (~22 s at sf0.1 for the
-    # shipped k=24/3-round config — it would be the whole headline). The
-    # serving-path ANN queries (p04, p36, p16) carry the bench signal;
-    # p40's signal is its RECALL.md row (0.94 at sf0.1).
-    # c18_quality_keep is NOT benched: its cluster input is the d02
-    # exact-pairs baseline, an intentionally id-bounded O(n²) oracle
-    # anchor — benching it would time the demo bound, not the operator.
+    # The iterative family (round-3 VERDICT #2): these are the most
+    # expensive queries in the repo — graph construction/append, the
+    # spectral top-2, the cluster-resolution chain — and their costs
+    # previously lived only in SCALE.md prose, invisible to the
+    # round-over-round delta. They dominate the headline total by
+    # design; a regression here is exactly what the delta should catch.
+    "p40_nn_descent_graph",     # O(n·k²) NN-Descent build + recall audit
+    "p41_graph_index_append",   # frozen-graph append + 50-probe audit
+    "p42_graph_beam_search",    # query-time beam serving over the graph
+    "v17_top2_spectrum",        # deflated 2-eigenvector power iteration
+    "c01_dup_clusters",         # fixed-round CC over exact pairs
+    "c07_dedup_apply",          # CC + keep-set report branches
+    "c18_quality_keep",         # CC + per-cluster quality canonical
+    "c25_quality_canonical",    # CC + canonical keep/moved report
+    "c28_leakage_free_split",   # CC + cluster-hash split leak audit
+    "c29_cc_convergence_audit", # fixed-round vs converged CC comparison
 ]
 
 
@@ -201,13 +208,27 @@ def main() -> None:
         "sf": sf,
     }
 
-    # Round-over-round delta: compare per-query medians against the most
-    # recent committed record — prefer BENCH_local_r*.json (full map),
+    # Round-over-round delta: compare per-query medians against the PRIOR
+    # round's committed record — prefer BENCH_local_r*.json (full map),
     # fall back to driver BENCH_r*.json (whose bench line is under
     # "parsed"). Only queries present in both runs compare.
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
+
+    # The round this run belongs to: one past the latest driver-recorded
+    # BENCH_r{N}.json. Computed BEFORE the delta scan so this round's own
+    # local snapshot (from an earlier run in the same round) is never the
+    # delta base — round 3's file said "delta_vs: <itself>", which a
+    # reader can't reconstruct without git archaeology (VERDICT #3 fix).
+    rounds = [
+        int(mm.group(1))
+        for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (mm := re.search(r"BENCH_r(\d+)\.json$", f))
+    ]
+    this_round = max(rounds, default=0) + 1
+    local_name = f"BENCH_local_r{this_round:02d}.json"
+
     def _round_key(f: str) -> tuple[int, bool]:
         mm = re.search(r"BENCH(?:_local)?_r(\d+)\.json$", f)
         # Local rN is written during round N (after the driver's rN-1),
@@ -218,8 +239,14 @@ def main() -> None:
         )
 
     prev_files = sorted(
-        glob.glob(os.path.join(here, "BENCH_local_r*.json"))
-        + glob.glob(os.path.join(here, "BENCH_r*.json")),
+        (
+            f
+            for f in glob.glob(os.path.join(here, "BENCH_local_r*.json"))
+            + glob.glob(os.path.join(here, "BENCH_r*.json"))
+            # Exclude this round's own snapshot: the delta base must be
+            # a file the PRIOR round committed.
+            if os.path.basename(f) != local_name
+        ),
         key=_round_key,
     )
     # Newest usable record wins; skip any with no queries map (e.g. a
@@ -246,16 +273,8 @@ def main() -> None:
         except (OSError, ValueError, KeyError, TypeError):
             continue
 
-    # Full detail goes to a committed file; the round number is the next
-    # one after the latest driver-recorded BENCH_r{N}.json.
-    rounds = [
-        int(mm.group(1))
-        for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
-        if (mm := re.search(r"BENCH_r(\d+)\.json$", f))
-    ]
-    local_path = os.path.join(
-        here, f"BENCH_local_r{max(rounds, default=0) + 1:02d}.json"
-    )
+    # Full detail goes to a committed per-round snapshot.
+    local_path = os.path.join(here, local_name)
     try:
         with open(local_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)

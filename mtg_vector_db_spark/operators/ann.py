@@ -957,3 +957,105 @@ def nn_descent_append(
     return _graph_topk(
         _score_pairs(cand, new_emb, round_digits, emb_b=corpus_emb), k
     )
+
+
+def graph_beam_search_rounds(
+    graph: DataFrame,
+    corpus_emb: DataFrame,
+    queries_emb: DataFrame,
+    n_buckets: int = 16,
+    beam: int = 24,
+    rounds: int = 3,
+    round_digits: int = 6,
+) -> list[DataFrame]:
+    """QUERY-TIME beam search over a frozen k-NN graph — the serving
+    path that completes the HNSW analogy (the reference's indexes are
+    both built AND searched as graphs, /root/reference/db/init.sql:50-53
+    with an ef_search beam; p40 built the graph, this walks it).
+
+    Fixed-round, fully relational form of greedy best-first search:
+
+    * seeds: each query's dual-md5 bucket-mates in the corpus (the SAME
+      :func:`_nn_buckets` assignment the graph build used — deterministic
+      pseudo-random entry points, oracle-replayable), exact-scored.
+    * round r: expand the current beam (per-query top-``beam`` scored
+      candidates) one hop along the UNDIRECTED graph adjacency, score
+      the new arrivals, fold into the scored set (distinct on
+      ``(q, b, sim)`` — sim is deterministic per pair, so the triple
+      dedupes exactly), re-take the beam.
+    * every round's scored set is pinned (session.py:pin) so round r+1
+      reads materialized blocks — the one-DAG discipline of the
+      iterative family.
+
+    Returns the per-round scored candidate sets ``S_0..S_rounds``
+    (columns ``q, b, sim``): ``rounds`` is the ef_search-style recall
+    knob (more rounds = wider frontier = higher recall, linearly more
+    scoring work), and a top-k over ``S_last`` is the ANN answer. All
+    joins key on ids; vectors ride payloads only. Per-query work is
+    O(|bucket| + rounds·beam·k_graph) — corpus-size-independent once
+    ``n_buckets`` grows ∝ n (dynamic_bucket_count), exactly like the
+    append face."""
+    from mtg_vector_db_spark.session import pin
+
+    qe = queries_emb.select("vec_id", "embedding")
+    seeds = (
+        _nn_buckets(qe, n_buckets)
+        .select(F.col("vec_id").alias("a"), "cell")
+        .join(
+            _nn_buckets(corpus_emb, n_buckets).select(
+                F.col("vec_id").alias("b"), "cell"
+            ),
+            "cell",
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    scored = pin(
+        _score_pairs(seeds, qe, round_digits, emb_b=corpus_emb)
+        .withColumnRenamed("a", "q")
+    )
+    out = [scored]
+    und = graph.select("a", "b").union(
+        graph.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    for _ in range(rounds):
+        beam_df = _graph_topk(
+            out[-1].withColumnRenamed("q", "a"), beam
+        ).select(F.col("a").alias("q"), F.col("b").alias("hop"))
+        frontier = (
+            beam_df.join(und, beam_df["hop"] == und["a"])
+            .select("q", und["b"].alias("b"))
+            .filter(F.col("q") != F.col("b"))
+            .distinct()
+        )
+        fresh = _score_pairs(
+            frontier.withColumnRenamed("q", "a"),
+            qe,
+            round_digits,
+            emb_b=corpus_emb,
+        ).withColumnRenamed("a", "q")
+        out.append(pin(out[-1].unionByName(fresh).distinct()))
+    return out
+
+
+def graph_beam_search(
+    graph: DataFrame,
+    corpus_emb: DataFrame,
+    queries_emb: DataFrame,
+    k: int = 10,
+    n_buckets: int = 16,
+    beam: int = 24,
+    rounds: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k ANN answers via :func:`graph_beam_search_rounds` — the
+    user-facing serving operator: ``(q, b, sim)``, ≤k rows per query,
+    exact similarities (graph candidates are always exact-rescored)."""
+    final = graph_beam_search_rounds(
+        graph, corpus_emb, queries_emb, n_buckets, beam, rounds,
+        round_digits,
+    )[-1]
+    return _graph_topk(
+        final.withColumnRenamed("q", "a"), k
+    ).withColumnRenamed("a", "q")

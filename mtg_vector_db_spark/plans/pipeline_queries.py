@@ -3624,3 +3624,165 @@ def _p41_oracle() -> str:
 
 
 oracle("p41_graph_index_append", _p41_oracle())
+
+
+# ---------------------------------------------------------------------------
+# P42 (extension): graph beam-search SERVING — the query-time walk that
+# completes the HNSW analogy (round-3 VERDICT #4: the reference builds
+# AND searches its indexes as graphs, db/init.sql:50-53 with an
+# ef_search beam; p40/p41 built and appended, this serves). Build the
+# shipped p40 graph (k=24 lists, 3 NN-Descent rounds), then answer the
+# 50-probe set by fixed-round beam search: dual-md5 bucket seeds →
+# ≤3 rounds of expand-one-hop / exact-rescore / re-beam (operators/
+# ann.py:graph_beam_search_rounds). Output: per-round scored-candidate
+# volume and recall@10 of the beam's top-10 vs exact KNN — `rounds` IS
+# the ef-style recall knob, and this report is its measured curve. The
+# oracle replays build + every beam round with MATERIALIZED CTEs (the
+# v17 lesson).
+# ---------------------------------------------------------------------------
+_P42_BEAM = 24
+_P42_ROUNDS = 3
+
+
+@query("p42_graph_beam_search")
+def p42_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators import ann as A
+    from mtg_vector_db_spark.operators.ann import (
+        graph_beam_search_rounds,
+        nn_descent_init,
+        nn_descent_round,
+    )
+    from mtg_vector_db_spark.operators.knn import knn_join
+    from mtg_vector_db_spark.session import pin
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    nb = A.dynamic_bucket_count(emb, min_buckets=_P40_BUCKETS)
+    g = pin(nn_descent_init(emb, nb, _P40_K))
+    for _ in range(_P40_ROUNDS):
+        g = pin(nn_descent_round(g, emb, _P40_K))
+
+    probes = emb.filter(F.col("vec_id") < _P40_PROBES)
+    rounds = graph_beam_search_rounds(
+        g, emb, probes, n_buckets=nb, beam=_P42_BEAM, rounds=_P42_ROUNDS
+    )
+    exact = pin(
+        knn_join(
+            emb,
+            probes.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            ),
+            k=_P40_EVAL_K,
+            round_digits=6,
+        ).select(F.col("query_id").alias("a"), F.col("vec_id").alias("b"))
+    )
+    npb = probes.agg(F.count(F.lit(1)).alias("n_probes"))
+    from mtg_vector_db_spark.operators.ann import _graph_topk
+
+    rows = []
+    for step, s in enumerate(rounds):
+        top = _graph_topk(
+            s.withColumnRenamed("q", "a"), _P40_EVAL_K
+        ).select("a", "b")
+        hits = top.join(exact, ["a", "b"]).agg(
+            F.count(F.lit(1)).alias("nhit")
+        )
+        vol = s.agg(F.count(F.lit(1)).alias("n_scored"))
+        rows.append(
+            vol.crossJoin(F.broadcast(hits))
+            .crossJoin(F.broadcast(npb))
+            .select(
+                F.lit(step).alias("step"),
+                "n_scored",
+                F.round(
+                    F.col("nhit").cast("double")
+                    / (F.col("n_probes") * F.lit(_P40_EVAL_K)).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("recall_at_10"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("step")
+
+
+def _p42_oracle() -> str:
+    from mtg_vector_db_spark.plans.corpus_queries import _hash_frac
+
+    k, nb, probes, ek = _P40_K, _P40_BUCKETS, _P40_PROBES, _P40_EVAL_K
+    beam, rounds = _P42_BEAM, _P42_ROUNDS
+    h1 = _hash_frac("CAST(vec_id AS VARCHAR)")
+    h2 = _hash_frac("CAST(vec_id AS VARCHAR) || ':b2'")
+    ctes = _p40_graph_ctes(k, nb, rounds=_P40_ROUNDS)
+    last_g = f"g{_P40_ROUNDS}"
+    ctes += f""",
+    qv AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id < {probes}),
+    qasg AS MATERIALIZED (
+        SELECT vec_id, CAST(floor({h1} * nb) AS INT) AS cell
+        FROM qv CROSS JOIN nbv
+        UNION ALL
+        SELECT vec_id, CAST(floor({h2} * nb) AS INT) + nb AS cell
+        FROM qv CROSS JOIN nbv),
+    seeds AS MATERIALIZED (
+        SELECT DISTINCT qa.vec_id AS q, ca.vec_id AS b
+        FROM qasg qa JOIN asg ca USING (cell)
+        WHERE qa.vec_id <> ca.vec_id),
+    s0 AS MATERIALIZED (
+        SELECT sd.q, sd.b,
+               round(list_cosine_similarity(eq.v, eb.v), 6) AS sim
+        FROM seeds sd
+        JOIN e eq ON eq.vec_id = sd.q
+        JOIN e eb ON eb.vec_id = sd.b),
+    und AS MATERIALIZED (
+        SELECT DISTINCT a, b FROM (
+          SELECT a, b FROM {last_g}
+          UNION ALL SELECT b, a FROM {last_g}))"""
+    for r in range(1, rounds + 1):
+        ctes += f""",
+    bm{r} AS MATERIALIZED (
+        SELECT q, b FROM (
+          SELECT q, b, row_number() OVER (PARTITION BY q
+            ORDER BY sim DESC, b) AS rn FROM s{r - 1}) WHERE rn <= {beam}),
+    fr{r} AS MATERIALIZED (
+        SELECT DISTINCT bm.q, u.b
+        FROM bm{r} bm JOIN und u ON u.a = bm.b
+        WHERE bm.q <> u.b),
+    sf{r} AS MATERIALIZED (
+        SELECT fr.q, fr.b,
+               round(list_cosine_similarity(eq.v, eb.v), 6) AS sim
+        FROM fr{r} fr
+        JOIN e eq ON eq.vec_id = fr.q
+        JOIN e eb ON eb.vec_id = fr.b),
+    s{r} AS MATERIALIZED (
+        SELECT DISTINCT q, b, sim FROM (
+          SELECT q, b, sim FROM s{r - 1}
+          UNION ALL SELECT q, b, sim FROM sf{r}))"""
+    ctes += f""",
+    xs AS MATERIALIZED (SELECT qq.vec_id AS a, t.vec_id AS b,
+                  round(list_cosine_similarity(qq.v, t.v), 6) AS sim
+           FROM qv qq JOIN e t ON qq.vec_id <> t.vec_id),
+    exct AS MATERIALIZED (SELECT a, b FROM (
+               SELECT a, b, row_number() OVER (PARTITION BY a
+                 ORDER BY sim DESC, b) AS rn FROM xs) WHERE rn <= {ek}),
+    pcnt AS MATERIALIZED (SELECT count(*) AS n_probes FROM qv)"""
+    selects = []
+    for r in range(rounds + 1):
+        selects.append(f"""
+    SELECT {r} AS step, v.n_scored,
+           round(CAST(h.nhit AS DOUBLE)
+                 / CAST(p.n_probes * {ek} AS DOUBLE), 6) AS recall_at_10
+    FROM (SELECT count(*) AS n_scored FROM s{r}) v
+    CROSS JOIN (SELECT count(*) AS nhit FROM (
+                  SELECT q AS a, b FROM (
+                    SELECT q, b, row_number() OVER (PARTITION BY q
+                      ORDER BY sim DESC, b) AS rn FROM s{r})
+                  WHERE rn <= {ek}) t
+                JOIN exct USING (a, b)) h
+    CROSS JOIN pcnt p""")
+    return ctes + "\n" + "\n    UNION ALL\n".join(selects) + "\n    ORDER BY step"
+
+
+oracle("p42_graph_beam_search", _p42_oracle())

@@ -420,3 +420,23 @@ def test_nn_descent_rounds_improve(spark, sf001):
     # guard (a single partitioned init makes every round a no-op).
     assert recs[-1] >= 0.9
     assert all(r["n_edges"] == 500 * 24 for r in rows)
+
+
+def test_p42_beam_search_recall_clears_hnsw_bar(spark, sf001):
+    """The graph family's SERVING path (round-4): beam search over the
+    frozen k=24/3-round graph must land ≥0.90 recall@10 by its final
+    round (measured 0.994 at sf0.01, 0.940 at sf0.1), recall must be
+    non-decreasing in rounds (the scored set only grows — `rounds` is
+    the ef_search-style knob), and the scored-candidate volume must stay
+    a strict subset of all-pairs (it's a beam, not a scan)."""
+    rows = sorted(
+        registry.QUERIES["p42_graph_beam_search"](spark, sf001).collect(),
+        key=lambda r: r["step"],
+    )
+    assert [r["step"] for r in rows] == [0, 1, 2, 3]
+    recs = [r["recall_at_10"] for r in rows]
+    assert recs == sorted(recs)
+    assert recs[-1] >= 0.90, recs
+    vols = [r["n_scored"] for r in rows]
+    assert vols == sorted(vols)
+    assert vols[-1] < 50 * 499  # < exhaustive 50-probe scan
