@@ -1207,3 +1207,86 @@ def test_streaming_moment_maintenance_matches_batch_and_skips_replay(
     after = {r["dim"]: int(r["s"]) for r in
              spark.read.parquet(stats_path).collect()}
     assert before == after
+
+
+def test_running_user_totals_recovers_from_checkpoint_restart(spark, tmp_path):
+    """Checkpoint RECOVERY, not just stream≡batch (round-3 VERDICT #7):
+    stop the stateful query after its first wave of data, then restart a
+    NEW query from the SAME checkpoint dir with more data waiting. The
+    restarted query must (a) restore per-user state from the state store
+    — user 10's totals continue from wave 1, (b) not reprocess wave-1
+    files (n_events would double), and (c) end at exactly the batch
+    aggregate over all events. At 100 TB the restart path IS the
+    product: every long-running maintainer rides this mechanism."""
+    from mtg_vector_db_spark.streaming.pipelines import running_user_totals
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, value double"
+
+    wave1 = spark.createDataFrame(
+        [(10, ts(0), 1.5), (10, ts(10), 2.5), (20, ts(5), 4.0)], schema
+    )
+    wave1.coalesce(1).write.mode("append").parquet(str(src))
+
+    # memory sink refuses checkpoint recovery by design; foreachBatch →
+    # parquet is the recoverable sink every production maintainer here uses.
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        import pyspark.sql.functions as F
+
+        def emit(batch_df, batch_id):
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(sink)
+
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            running_user_totals(stream)
+            .writeStream.foreachBatch(emit)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(sink).collect()
+        latest = {}
+        for r in sorted(rows, key=lambda r: r["batch_id"]):
+            latest[r["user_id"]] = (r["n_events"], r["total_value"])
+        return latest, max(r["batch_id"] for r in rows), rows
+
+    first, last_batch_1, _ = run_once()
+    assert first == {10: (2, 4.0), 20: (1, 4.0)}
+
+    # Query is fully stopped; wave 2 lands while nothing is running.
+    wave2 = spark.createDataFrame([(10, ts(20), 1.0), (30, ts(30), 7.0)], schema)
+    wave2.coalesce(1).write.mode("append").parquet(str(src))
+
+    second, last_batch_2, rows = run_once()
+    # Batch ids continue past run 1's — state-store epochs resumed, not
+    # restarted from scratch.
+    assert last_batch_2 > last_batch_1
+    run2 = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in rows
+        if r["batch_id"] > last_batch_1
+    }
+    # User 10 CONTINUES from recovered state (3 events, not 1 and not 5);
+    # user 20 had no wave-2 events, so update mode emits nothing for it.
+    assert run2[10] == (3, 5.0)
+    assert run2[30] == (1, 7.0)
+    assert 20 not in run2
+    # Latest-per-user across both runs is the recovered end state.
+    assert second == {10: (3, 5.0), 20: (1, 4.0), 30: (1, 7.0)}
+
+    # End state == the batch aggregate over everything ever written.
+    batch = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in running_user_totals(
+            spark.read.schema(schema).parquet(str(src))
+        ).collect()
+    }
+    assert batch == second
