@@ -119,6 +119,7 @@ HEADLINE = [
     "c25_quality_canonical",    # CC + canonical keep/moved report
     "c28_leakage_free_split",   # CC + cluster-hash split leak audit
     "c29_cc_convergence_audit", # fixed-round vs converged CC comparison
+    "t36_bpe_merge_train",      # 6-round in-engine BPE merge training
 ]
 
 

@@ -2322,3 +2322,141 @@ oracle(
     FROM per GROUP BY lang ORDER BY lang
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# T36: multi-round BPE merge TRAINING (Sennrich et al. 2016) — t23 counts
+# the pairs one training iteration would see; this runs the training loop
+# itself for a fixed number of merges: argmax pair over the word-type
+# table → corpus-wide greedy left-to-right merge → recount. Fully
+# declarative (no driver loop state): each round's winner is a 1-row
+# broadcast crossJoined into a `replace()` rewrite of the symbol strings,
+# so the whole train is one DAG and the DuckDB oracle replays it as
+# nested MATERIALIZED CTEs (the v17 chained-CTE discipline).
+#
+# Encoding: a word's symbol sequence is a single string — symbols joined
+# by a DOUBLE 0x1f sentinel with single-0x1f padding at both ends. The
+# merge of pair (x, y) is then exactly
+# replace(w, ␟x␟␟y␟ → ␟xy␟): the leading/trailing single sentinels
+# anchor complete symbols (no suffix/prefix false matches), interior
+# separators stay well-formed after substitution, and both engines'
+# replace() scans left-to-right over non-overlapping occurrences — which
+# IS greedy BPE merge order ("aaaa" + (a,a) → [aa, aa]).
+#
+# Scale posture: everything past tokenization runs on the word-TYPE
+# table (the classic BPE-trainer optimization — vocabulary-bounded, not
+# corpus-bounded), each round is one map-side-combinable pair count +
+# one broadcast rewrite, and every round is pinned so round r+1 reads
+# materialized blocks (iterative-family discipline). At 100 TB the one
+# corpus-scale stage is the initial token count; rounds cost O(|vocab|).
+# ---------------------------------------------------------------------------
+_BPE_TRAIN_ROUNDS = 6
+_BPE_SEP = "\x1f"
+
+
+@query("t36_bpe_merge_train")
+def t36_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.session import pin
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    s1, s2 = F.lit(_BPE_SEP), F.lit(_BPE_SEP * 2)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("tok")),
+        lambda i: F.substr(F.col("tok"), i, F.lit(1)),
+    )
+    words = pin(
+        docs.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
+        .filter(~F.col("tok").contains(_BPE_SEP))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(s1, F.array_join(chars, _BPE_SEP * 2), s1).alias("w"),
+            "freq",
+        )
+    )
+    merges = None
+    for rnd in range(1, _BPE_TRAIN_ROUNDS + 1):
+        syms = F.split(
+            F.col("w").substr(F.lit(2), F.length("w") - F.lit(2)),
+            _BPE_SEP * 2,
+        )
+        adj = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("x"),
+                    F.element_at(syms, i + F.lit(1)).alias("y"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+        top1 = pin(
+            words.select("freq", F.explode(adj).alias("p"))
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("x"), F.asc("y"))
+            .limit(1)
+            .withColumn("round", F.lit(rnd))
+        )
+        merges = top1 if merges is None else merges.unionByName(top1)
+        words = pin(
+            words.crossJoin(F.broadcast(top1.select("x", "y")))
+            .select(
+                F.replace(
+                    F.col("w"),
+                    F.concat(s1, F.col("x"), s2, F.col("y"), s1),
+                    F.concat(s1, F.col("x"), F.col("y"), s1),
+                ).alias("w"),
+                "freq",
+            )
+        )
+    return merges.select(
+        "round", "x", "y", F.concat("x", "y").alias("merged"), "cnt"
+    ).orderBy("round")
+
+
+def _bpe_train_oracle() -> str:
+    sep = "chr(31)"
+    sep2 = f"{sep} || {sep}"
+    ctes = [
+        f"""wt AS (
+      SELECT tok, count(*) AS freq
+      FROM (SELECT unnest({_TOKS_L}) AS tok FROM documents)
+      WHERE NOT contains(tok, {sep}) GROUP BY tok
+    )""",
+        f"""w0 AS MATERIALIZED (
+      SELECT {sep} || array_to_string(
+               list_transform(range(1, len(tok) + 1),
+                              i -> substring(tok, i, 1)), {sep2})
+             || {sep} AS w, freq
+      FROM wt
+    )""",
+    ]
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        ctes.append(f"""p{r} AS (
+      SELECT syms[i] AS x, syms[i + 1] AS y, freq
+      FROM (SELECT string_split(w[2:len(w) - 1], {sep2}) AS syms, freq
+            FROM w{r - 1}) s,
+           unnest(range(1, len(syms))) AS u(i)
+    )""")
+        ctes.append(f"""t{r} AS MATERIALIZED (
+      SELECT x, y, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM p{r} GROUP BY x, y
+      ORDER BY cnt DESC, x ASC, y ASC LIMIT 1
+    )""")
+        ctes.append(f"""w{r} AS MATERIALIZED (
+      SELECT replace(w, {sep} || x || {sep2} || y || {sep},
+                        {sep} || x || y || {sep}) AS w, freq
+      FROM w{r - 1}, t{r}
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {r} AS round, x, y, x || y AS merged, cnt FROM t{r}"
+        for r in range(1, _BPE_TRAIN_ROUNDS + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT * FROM ({unions}) ORDER BY round"
+    )
+
+
+oracle("t36_bpe_merge_train", _bpe_train_oracle())

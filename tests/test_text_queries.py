@@ -373,3 +373,41 @@ def test_word_ngrams_multiset_counts(spark):
     assert out[2] == (["x"], [], [])
     assert out[3] == ([], [], [])
     assert out[4][1] == [] if out[4][1] is not None else True
+
+
+def test_bpe_sentinel_replace_is_greedy_left_to_right(spark):
+    """The t36 merge step's correctness rests on two engine facts, pinned
+    here for Spark (the DuckDB side is the same call in the oracle):
+    replace() scans left-to-right over non-overlapping occurrences (which
+    IS greedy BPE merge order), and the single-pad/double-separator
+    sentinel encoding anchors complete symbols, so a pair whose x is the
+    suffix of a longer symbol never false-matches."""
+    s = "\x1f"
+    row = spark.sql(
+        f"SELECT replace('{s}a{s}{s}a{s}{s}a{s}{s}a{s}',"
+        f" '{s}a{s}{s}a{s}', '{s}aa{s}') AS greedy,"
+        f" replace('{s}ba{s}{s}b{s}', '{s}a{s}{s}b{s}', '{s}ab{s}') AS anchored"
+    ).collect()[0]
+    # [a,a,a,a] + merge(a,a) -> [aa, aa], NOT [aa, a, a] or overlap chaos.
+    assert row["greedy"] == f"{s}aa{s}{s}aa{s}"
+    # [ba, b] contains no (a, b) adjacency; 'a' inside 'ba' must not match.
+    assert row["anchored"] == f"{s}ba{s}{s}b{s}"
+
+
+def test_t36_bpe_merge_train_structure(spark, sf001):
+    """Six rounds, each merged symbol is the concat of its pair, counts
+    are positive, and at least one later round consumes an earlier
+    round's product (the property that distinguishes multi-round TRAINING
+    from t23's one-iteration pair count)."""
+    from mtg_vector_db_spark.plans import registry
+
+    rows = registry.QUERIES["t36_bpe_merge_train"](spark, sf001).collect()
+    assert [r["round"] for r in rows] == [1, 2, 3, 4, 5, 6]
+    assert all(r["merged"] == r["x"] + r["y"] for r in rows)
+    assert all(r["cnt"] > 0 for r in rows)
+    produced = {r["merged"] for r in rows}
+    assert any(
+        (r["x"] in produced and len(r["x"]) > 1)
+        or (r["y"] in produced and len(r["y"]) > 1)
+        for r in rows[1:]
+    )
