@@ -120,6 +120,7 @@ HEADLINE = [
     "c28_leakage_free_split",   # CC + cluster-hash split leak audit
     "c29_cc_convergence_audit", # fixed-round vs converged CC comparison
     "t36_bpe_merge_train",      # 6-round in-engine BPE merge training
+    "t37_bpe_encode_stats",     # encode corpus under the learned vocab
 ]
 
 

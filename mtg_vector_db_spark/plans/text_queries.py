@@ -2354,11 +2354,14 @@ _BPE_TRAIN_ROUNDS = 6
 _BPE_SEP = "\x1f"
 
 
-@query("t36_bpe_merge_train")
-def t36_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train_chain(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The shared train loop: returns ``(merges, words)`` where ``merges``
+    is the six-row merge table (round, x, y, cnt) and ``words`` is the
+    word-TYPE table after all merges (tok, w, freq) — ``w`` the sentinel-
+    encoded symbol string. t36 reports the merges; t37 applies ``words``
+    back to the corpus (train -> encode)."""
     from mtg_vector_db_spark.session import pin
 
-    (docs,) = tables(spark, sf_dir, "documents")
     s1, s2 = F.lit(_BPE_SEP), F.lit(_BPE_SEP * 2)
     chars = F.transform(
         F.sequence(F.lit(1), F.length("tok")),
@@ -2370,6 +2373,7 @@ def t36_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
+            "tok",
             F.concat(s1, F.array_join(chars, _BPE_SEP * 2), s1).alias("w"),
             "freq",
         )
@@ -2402,6 +2406,7 @@ def t36_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         words = pin(
             words.crossJoin(F.broadcast(top1.select("x", "y")))
             .select(
+                "tok",
                 F.replace(
                     F.col("w"),
                     F.concat(s1, F.col("x"), s2, F.col("y"), s1),
@@ -2410,12 +2415,23 @@ def t36_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "freq",
             )
         )
+    return merges, words
+
+
+@query("t36_bpe_merge_train")
+def t36_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    merges, _ = _bpe_train_chain(docs)
     return merges.select(
         "round", "x", "y", F.concat("x", "y").alias("merged"), "cnt"
     ).orderBy("round")
 
 
-def _bpe_train_oracle() -> str:
+def _bpe_chain_ctes() -> list[str]:
+    """The train loop as DuckDB CTEs (shared by the t36 and t37 oracles):
+    word types -> sentinel-encoded w0 -> R rounds of (pair count, 1-row
+    argmax, replace-merge), all MATERIALIZED (the v17 chained-CTE
+    discipline — without it each round re-derives the whole prefix)."""
     sep = "chr(31)"
     sep2 = f"{sep} || {sep}"
     ctes = [
@@ -2425,7 +2441,7 @@ def _bpe_train_oracle() -> str:
       WHERE NOT contains(tok, {sep}) GROUP BY tok
     )""",
         f"""w0 AS MATERIALIZED (
-      SELECT {sep} || array_to_string(
+      SELECT tok, {sep} || array_to_string(
                list_transform(range(1, len(tok) + 1),
                               i -> substring(tok, i, 1)), {sep2})
              || {sep} AS w, freq
@@ -2445,18 +2461,94 @@ def _bpe_train_oracle() -> str:
       ORDER BY cnt DESC, x ASC, y ASC LIMIT 1
     )""")
         ctes.append(f"""w{r} AS MATERIALIZED (
-      SELECT replace(w, {sep} || x || {sep2} || y || {sep},
-                        {sep} || x || y || {sep}) AS w, freq
+      SELECT tok, replace(w, {sep} || x || {sep2} || y || {sep},
+                             {sep} || x || y || {sep}) AS w, freq
       FROM w{r - 1}, t{r}
     )""")
+    return ctes
+
+
+def _bpe_train_oracle() -> str:
     unions = "\n      UNION ALL ".join(
         f"SELECT {r} AS round, x, y, x || y AS merged, cnt FROM t{r}"
         for r in range(1, _BPE_TRAIN_ROUNDS + 1)
     )
     return (
-        "WITH " + ",\n    ".join(ctes)
+        "WITH " + ",\n    ".join(_bpe_chain_ctes())
         + f"\n    SELECT * FROM ({unions}) ORDER BY round"
     )
 
 
 oracle("t36_bpe_merge_train", _bpe_train_oracle())
+
+
+# ---------------------------------------------------------------------------
+# T37: ENCODE with the t36-trained tokenizer — the apply side of the
+# train->apply loop (what a pipeline runs to budget token counts under
+# its own learned vocab rather than t11's fixed regex proxy). The final
+# word-type table already carries each word's merged symbol string, so
+# encoding is a length computation per TYPE (n_tokens = sentinels/2,
+# n_chars = len minus sentinels) broadcast-joined back onto the token
+# stream — the corpus is never re-segmented, and the per-language
+# compression report (tokens/word, chars/token) is one aggregate scan.
+# ---------------------------------------------------------------------------
+@query("t37_bpe_encode_stats")
+def t37_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    _, words = _bpe_train_chain(docs)
+    nosep = F.replace(F.col("w"), F.lit(_BPE_SEP), F.lit(""))
+    enc = words.select(
+        "tok",
+        ((F.length("w") - F.length(nosep)) / F.lit(2))
+        .cast("long")
+        .alias("n_syms"),
+        F.length(nosep).cast("long").alias("n_chr"),
+    )
+    stream = docs.select(
+        "lang", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    return (
+        stream.join(F.broadcast(enc), "tok")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_tokens"),
+            F.sum("n_chr").alias("n_chars"),
+            F.round(
+                F.sum("n_syms") / F.count(F.lit(1)), 6
+            ).alias("tokens_per_word"),
+            F.round(
+                F.sum("n_chr") / F.sum("n_syms"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    r = _BPE_TRAIN_ROUNDS
+    return (
+        "WITH " + ",\n    ".join(_bpe_chain_ctes())
+        + f""",
+    enc AS (
+      SELECT tok,
+             CAST((len(w) - len(replace(w, chr(31), ''))) / 2 AS BIGINT)
+               AS n_syms,
+             CAST(len(replace(w, chr(31), '')) AS BIGINT) AS n_chr
+      FROM w{r}
+    ),
+    stream AS (
+      SELECT lang, unnest({_TOKS_L}) AS tok FROM documents
+    )
+    SELECT lang, count(*) AS n_words,
+           CAST(sum(n_syms) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chr) AS BIGINT) AS n_chars,
+           round(sum(n_syms) * 1.0 / count(*), 6) AS tokens_per_word,
+           round(sum(n_chr) * 1.0 / sum(n_syms), 6) AS chars_per_token
+    FROM stream JOIN enc USING (tok)
+    GROUP BY lang ORDER BY lang
+    """
+    )
+
+
+oracle("t37_bpe_encode_stats", _bpe_encode_oracle())

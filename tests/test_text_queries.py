@@ -411,3 +411,22 @@ def test_t36_bpe_merge_train_structure(spark, sf001):
         or (r["y"] in produced and len(r["y"]) > 1)
         for r in rows[1:]
     )
+
+
+def test_t37_encode_consistent_with_t36_merges(spark, sf001):
+    """The encode side must reflect the learned merges: every language's
+    tokens_per_word is strictly below the unmerged (character-level)
+    baseline, n_chars/n_tokens bounds hold (each token >= 1 char, each
+    word >= 1 token), and the reported ratios are exactly the quotient of
+    the reported sums."""
+    from mtg_vector_db_spark.plans import registry
+
+    rows = registry.QUERIES["t37_bpe_encode_stats"](spark, sf001).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_tokens"] <= r["n_chars"]
+        assert r["n_words"] <= r["n_tokens"]
+        # 6 merges must compress SOMETHING in every language bucket.
+        assert r["tokens_per_word"] < r["n_chars"] / r["n_words"]
+        assert r["tokens_per_word"] == round(r["n_tokens"] / r["n_words"], 6)
+        assert r["chars_per_token"] == round(r["n_chars"] / r["n_tokens"], 6)
