@@ -2067,3 +2067,79 @@ oracle(
     FROM l3 f JOIN conv c ON f.node = c.node
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# C30 (extension): quality-canonical keep over the CONVERGED resolver —
+# c25's curation policy (keep each cluster's cleanest member) served by
+# dup_clusters_converged instead of the fixed-round form, so the
+# diameter-independent escape hatch is exercised as a production
+# consumer, not only audited (c29). On a small-diameter corpus the two
+# agree; on a chained corpus this is the one that keeps ONE canonical
+# per true component instead of one per 3-hop fragment. Oracle labels
+# come from a recursive-CTE reachability closure (true components by
+# construction — the same ground truth c29 compares against).
+# ---------------------------------------------------------------------------
+@query("c30_converged_canonical")
+def c30_converged_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions import textstats as TS
+    from mtg_vector_db_spark.session import pin
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    bounded = docs.filter(F.col("doc_id") < 1000)
+    pairs = pin(D.exact_jaccard_pairs(bounded, threshold=0.5))
+    clusters = C.dup_clusters_converged(pairs)
+    return C.canonical_by_quality(
+        bounded, clusters, TS.quality_score(F.col("text"))
+    ).orderBy("cluster_id")
+
+
+def _c30_oracle() -> str:
+    from mtg_vector_db_spark.plans.text_queries import _NOISE, _NTOK, _SW_RATIO
+
+    quality = (
+        f"round(least(1.0, 0.3 + 0.4 * least(1.0, ({_SW_RATIO}) * 4)"
+        f" + 0.3 * least(1.0, ({_NTOK}) / 100.0)"
+        f" - 0.5 * ({_NOISE})), 6)"
+    )
+    return f"""
+    WITH RECURSIVE sh AS MATERIALIZED (
+        SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+        WHERE doc_id < 1000),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE {_JACC} >= 0.5
+    ),
+    sym AS MATERIALIZED (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),
+    reach(src, dst) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN sym e ON e.u = r.dst
+    ),
+    conv AS (SELECT src AS node, min(dst) AS label FROM reach GROUP BY src),
+    q AS (SELECT doc_id, {quality} AS member_quality FROM documents
+          WHERE doc_id < 1000),
+    members AS (
+      SELECT conv.label AS cluster_id, conv.node AS member_id,
+             q.member_quality
+      FROM conv JOIN q ON conv.node = q.doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY member_quality DESC, member_id ASC) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM members
+    )
+    SELECT cluster_id, member_id AS keep_id,
+           member_quality AS keep_quality,
+           CAST(n_members AS BIGINT) AS n_members,
+           member_id <> cluster_id AS moved
+    FROM ranked WHERE rn = 1 ORDER BY cluster_id
+    """
+
+
+oracle("c30_converged_canonical", _c30_oracle())

@@ -18,7 +18,7 @@ CORPUS_QUERIES = [n for n in registry.QUERIES if n.startswith("c")]
 
 
 def test_family_registered():
-    assert len(CORPUS_QUERIES) == 29  # c01-c29 (c29 CC convergence, r4)
+    assert len(CORPUS_QUERIES) == 30  # c01-c30 (c29 audit + c30 consumer, r4)
     assert all(n in registry.ORACLES for n in CORPUS_QUERIES)
 
 
