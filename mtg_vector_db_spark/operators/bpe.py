@@ -1,0 +1,130 @@
+"""In-engine BPE tokenizer training (Sennrich et al. 2016).
+
+The reference repo budgets tokens with a client-side tokenizer; a
+training-data pipeline at corpus scale wants the TRAINING side in the
+engine too — learn the merge table from the corpus, then encode the
+corpus under its own vocab (plans/text_queries.py t36/t37 register both
+as oracle-checked queries; streaming/pipelines.py keeps the trainer's
+input fresh with an incremental word-type store).
+
+Everything past tokenization runs on the word-TYPE table — the classic
+BPE-trainer optimization: pair counting and merging are vocabulary-
+bounded, not corpus-bounded, so 10× the corpus is ~0 extra training
+cost (measured flat at the sf1 step, SCALE.md). Each training round is
+one map-side-combinable pair count plus a 1-row-broadcast ``replace()``
+rewrite; rounds are pinned (session.py:pin) so round r+1 reads
+materialized blocks — the iterative-family discipline.
+
+Symbol-sequence encoding: a word's symbols ride ONE string — symbols
+joined by a DOUBLE 0x1f sentinel with single-0x1f padding at both ends.
+Merging pair (x, y) is then exactly ``replace(w, ␟x␟␟y␟ → ␟xy␟)``: the
+leading/trailing single sentinels anchor complete symbols (a pair whose
+x is the suffix of a longer symbol can never false-match), interior
+separators stay well-formed after substitution, and ``replace()``'s
+left-to-right non-overlapping scan IS greedy BPE merge order
+("aaaa" + (a,a) → [aa, aa]) — in Spark and DuckDB alike, which is what
+makes the t36/t37 oracles exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+SEP = "\x1f"
+DEFAULT_ROUNDS = 6
+
+
+def word_types(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lower-cased whitespace word-TYPE table ``(tok, freq)`` — the
+    trainer's sufficient statistics. Tokens containing the 0x1f sentinel
+    are excluded (they cannot ride the symbol-string encoding); real
+    corpora don't contain unit separators inside words.
+
+    This is the ONE corpus-scale stage of training: a single exploded
+    count with map-side combine. The streaming face
+    (streaming_vocab_maintenance) maintains exactly this table
+    incrementally so training never rescans history.
+    """
+    from mtg_vector_db_spark.functions import text as T
+
+    return (
+        docs.select(F.explode(T.tokens(F.lower(F.col(text_col)))).alias("tok"))
+        .filter(~F.col("tok").contains(SEP))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def encode_words(word_freq: DataFrame) -> DataFrame:
+    """Sentinel-encode a word-type table: ``(tok, freq)`` →
+    ``(tok, w, freq)`` with ``w`` the character-level symbol string."""
+    s1 = F.lit(SEP)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("tok")),
+        lambda i: F.substr(F.col("tok"), i, F.lit(1)),
+    )
+    return word_freq.select(
+        "tok",
+        F.concat(s1, F.array_join(chars, SEP * 2), s1).alias("w"),
+        "freq",
+    )
+
+
+def _adjacent_pairs(w: Column) -> Column:
+    syms = F.split(w.substr(F.lit(2), F.length(w) - F.lit(2)), SEP * 2)
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("x"),
+                F.element_at(syms, i + F.lit(1)).alias("y"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+
+
+def bpe_train(
+    word_freq: DataFrame, rounds: int = DEFAULT_ROUNDS
+) -> tuple[DataFrame, DataFrame]:
+    """Train ``rounds`` BPE merges from a ``(tok, freq)`` word-type
+    table. Returns ``(merges, words)``: ``merges`` is the merge table
+    ``(round, x, y, cnt)`` in training order; ``words`` is the word-type
+    table after all merges ``(tok, w, freq)`` — the learned encoding of
+    every word, ready for the apply side (t37: token budgets under the
+    learned vocab are a length computation per TYPE).
+
+    Fixed rounds keep the train oracle-replayable (the SQL nests exactly
+    ``rounds`` argmax/replace CTEs — plans/text_queries._bpe_chain_ctes);
+    ties break on (count DESC, x ASC, y ASC) so the argmax cannot flip
+    between engines. Each round's winner is a 1-row broadcast
+    crossJoined into the rewrite — no driver-side loop state.
+    """
+    from mtg_vector_db_spark.session import pin
+
+    s1, s2 = F.lit(SEP), F.lit(SEP * 2)
+    words = pin(encode_words(word_freq))
+    merges = None
+    for rnd in range(1, rounds + 1):
+        top1 = pin(
+            words.select("freq", F.explode(_adjacent_pairs(F.col("w"))).alias("p"))
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("x"), F.asc("y"))
+            .limit(1)
+            .withColumn("round", F.lit(rnd))
+        )
+        merges = top1 if merges is None else merges.unionByName(top1)
+        words = pin(
+            words.crossJoin(F.broadcast(top1.select("x", "y")))
+            .select(
+                "tok",
+                F.replace(
+                    F.col("w"),
+                    F.concat(s1, F.col("x"), s2, F.col("y"), s1),
+                    F.concat(s1, F.col("x"), F.col("y"), s1),
+                ).alias("w"),
+                "freq",
+            )
+        )
+    return merges, words

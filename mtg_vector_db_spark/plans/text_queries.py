@@ -2351,71 +2351,18 @@ oracle(
 # corpus-scale stage is the initial token count; rounds cost O(|vocab|).
 # ---------------------------------------------------------------------------
 _BPE_TRAIN_ROUNDS = 6
-_BPE_SEP = "\x1f"
+_BPE_SEP = "\x1f"  # == operators/bpe.py SEP (oracle SQL hardcodes chr(31))
 
 
 def _bpe_train_chain(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """The shared train loop: returns ``(merges, words)`` where ``merges``
-    is the six-row merge table (round, x, y, cnt) and ``words`` is the
-    word-TYPE table after all merges (tok, w, freq) — ``w`` the sentinel-
-    encoded symbol string. t36 reports the merges; t37 applies ``words``
-    back to the corpus (train -> encode)."""
-    from mtg_vector_db_spark.session import pin
+    """The shared train loop (operators/bpe.py): returns ``(merges,
+    words)`` where ``merges`` is the six-row merge table (round, x, y,
+    cnt) and ``words`` is the word-TYPE table after all merges (tok, w,
+    freq) — ``w`` the sentinel-encoded symbol string. t36 reports the
+    merges; t37 applies ``words`` back to the corpus (train -> encode)."""
+    from mtg_vector_db_spark.operators import bpe
 
-    s1, s2 = F.lit(_BPE_SEP), F.lit(_BPE_SEP * 2)
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("tok")),
-        lambda i: F.substr(F.col("tok"), i, F.lit(1)),
-    )
-    words = pin(
-        docs.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
-        .filter(~F.col("tok").contains(_BPE_SEP))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select(
-            "tok",
-            F.concat(s1, F.array_join(chars, _BPE_SEP * 2), s1).alias("w"),
-            "freq",
-        )
-    )
-    merges = None
-    for rnd in range(1, _BPE_TRAIN_ROUNDS + 1):
-        syms = F.split(
-            F.col("w").substr(F.lit(2), F.length("w") - F.lit(2)),
-            _BPE_SEP * 2,
-        )
-        adj = F.when(
-            F.size(syms) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(syms) - 1),
-                lambda i: F.struct(
-                    F.element_at(syms, i).alias("x"),
-                    F.element_at(syms, i + F.lit(1)).alias("y"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
-        top1 = pin(
-            words.select("freq", F.explode(adj).alias("p"))
-            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("x"), F.asc("y"))
-            .limit(1)
-            .withColumn("round", F.lit(rnd))
-        )
-        merges = top1 if merges is None else merges.unionByName(top1)
-        words = pin(
-            words.crossJoin(F.broadcast(top1.select("x", "y")))
-            .select(
-                "tok",
-                F.replace(
-                    F.col("w"),
-                    F.concat(s1, F.col("x"), s2, F.col("y"), s1),
-                    F.concat(s1, F.col("x"), F.col("y"), s1),
-                ).alias("w"),
-                "freq",
-            )
-        )
-    return merges, words
+    return bpe.bpe_train(bpe.word_types(docs), rounds=_BPE_TRAIN_ROUNDS)
 
 
 @query("t36_bpe_merge_train")

@@ -1224,3 +1224,63 @@ def streaming_moment_maintenance(
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def streaming_vocab_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    vocab_path: str,
+    checkpoint: str,
+    schema: str = "doc_id long, text string",
+) -> "DataStreamWriter":
+    """Incremental word-TYPE count store — the BPE trainer's sufficient
+    statistics (operators/bpe.py:word_types) kept fresh as documents
+    arrive, so tokenizer (re-)training reads a maintained table instead
+    of rescanning corpus history.
+
+    Store shape: APPEND-ONLY per-batch deltas ``(tok, freq, batch_id)``
+    — the unbounded-state discipline of the paragraph-dedup face (the
+    vocabulary is corpus-sized, so unlike the sketch faces it is NEVER
+    collected to the driver; the replay guard reads one column-pruned
+    MAX(batch_id) scalar). Serving reads aggregate with
+    :func:`vocab_counts` (SUM per tok — addition is associative, so any
+    micro-batch slicing folds to the batch answer; the equivalence test
+    pins stream ≡ batch AND trained-merges ≡ batch-trained-merges).
+    Appended deltas are O(batch vocabulary) per batch; compact
+    periodically with operators/partitioning.py:compact if small files
+    accumulate.
+
+    SUM-merge is not idempotent, so like the CMS/moment faces a replayed
+    ``batch_id`` (failure between sink write and checkpoint commit) is
+    detected via the high-watermark and skipped — effectively-once.
+    """
+    from mtg_vector_db_spark.operators.bpe import word_types
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        existing = _state_df(s, vocab_path)
+        if existing is not None:
+            # One column-pruned scalar — not a state collect.
+            last = existing.agg(F.max("batch_id")).collect()[0][0]
+            if last is not None and batch_id <= last:
+                return  # replayed batch: already folded, skip
+        word_types(batch_df.filter(F.col("text").isNotNull())).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(vocab_path)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def vocab_counts(spark: SparkSession, vocab_path: str) -> DataFrame:
+    """Serving read of the maintained vocab store: fold the per-batch
+    deltas to ``(tok, freq)`` — drop-in input for operators/bpe.bpe_train."""
+    return (
+        spark.read.parquet(vocab_path)
+        .groupBy("tok")
+        .agg(F.sum("freq").alias("freq"))
+    )

@@ -1290,3 +1290,64 @@ def test_running_user_totals_recovers_from_checkpoint_restart(spark, tmp_path):
         ).collect()
     }
     assert batch == second
+
+
+def test_streaming_vocab_maintenance_feeds_bpe_trainer(spark, tmp_path, sf001):
+    """The BPE trainer's input kept fresh incrementally: two micro-batch
+    waves fold to EXACTLY the batch word-type table (SUM deltas are
+    associative), a re-delivered batch id is skipped (fresh checkpoint
+    over the same files -> batch 0 replay -> store unchanged), and the
+    trainer over the MAINTAINED store learns the IDENTICAL merge table
+    to batch training over the full corpus."""
+    from mtg_vector_db_spark.operators.bpe import bpe_train, word_types
+    from mtg_vector_db_spark.streaming.pipelines import (
+        streaming_vocab_maintenance,
+        vocab_counts,
+    )
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rows = docs.collect()
+    src = tmp_path / "incoming"
+    src.mkdir()
+    vocab_path = str(tmp_path / "vocab")
+
+    def write(name, batch):
+        import pandas as pd
+
+        pd.DataFrame(
+            [(r["doc_id"], r["text"]) for r in batch],
+            columns=["doc_id", "text"],
+        ).to_parquet(src / name, index=False)
+
+    def run(ckpt):
+        q = (
+            streaming_vocab_maintenance(
+                spark, str(src), vocab_path, str(tmp_path / ckpt)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write("b1.parquet", rows[: len(rows) // 2])
+    run("ckpt")
+    write("b2.parquet", rows[len(rows) // 2 :])
+    run("ckpt")
+
+    got = {r["tok"]: r["freq"] for r in vocab_counts(spark, vocab_path).collect()}
+    want = {r["tok"]: r["freq"] for r in word_types(docs).collect()}
+    assert got == want
+
+    # Replay: a fresh checkpoint re-delivers everything as batch 0; the
+    # high-watermark must skip it (SUM-merge is not idempotent).
+    run("ckpt_replay")
+    again = {r["tok"]: r["freq"] for r in vocab_counts(spark, vocab_path).collect()}
+    assert again == want
+
+    # Training over the maintained store == training over the corpus.
+    m_store = bpe_train(vocab_counts(spark, vocab_path))[0].collect()
+    m_batch = bpe_train(word_types(docs))[0].collect()
+    key = lambda r: (r["round"], r["x"], r["y"], r["cnt"])  # noqa: E731
+    assert sorted(map(key, m_store)) == sorted(map(key, m_batch))
