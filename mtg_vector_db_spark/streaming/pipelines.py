@@ -1226,6 +1226,15 @@ def streaming_moment_maintenance(
     )
 
 
+def _max_batch_id(store: DataFrame):
+    """High-watermark read for append-only delta stores: ONE scalar from
+    a column-pruned MAX aggregate — bounded at one row by construction
+    regardless of store size (this is NOT a state collect; the vocab
+    store itself is corpus-sized and never leaves the executors)."""
+    # collect: single-row aggregate, see docstring.
+    return store.agg(F.max("batch_id")).collect()[0][0]
+
+
 def streaming_vocab_maintenance(
     spark: SparkSession,
     source_dir: str,
@@ -1262,8 +1271,7 @@ def streaming_vocab_maintenance(
         s = batch_df.sparkSession
         existing = _state_df(s, vocab_path)
         if existing is not None:
-            # One column-pruned scalar — not a state collect.
-            last = existing.agg(F.max("batch_id")).collect()[0][0]
+            last = _max_batch_id(existing)
             if last is not None and batch_id <= last:
                 return  # replayed batch: already folded, skip
         word_types(batch_df.filter(F.col("text").isNotNull())).withColumn(

@@ -323,6 +323,10 @@ def test_no_driver_collect_outside_documented_bounded_artifacts():
         # caller's store is bounded by construction (sketch cells, HLL
         # registers, 1 manifest row/source, k reservoir rows, 1 row/dim).
         ("streaming/pipelines.py", "_state_rows"),
+        # Append-only delta-store watermark: a single-row MAX aggregate
+        # (column-pruned scalar), not a state collect — the vocab store
+        # itself is corpus-sized and never leaves the executors.
+        ("streaming/pipelines.py", "_max_batch_id"),
         ("operators/quantize.py", "sq_train"),    # per-dim min/max scalars
         ("operators/quantize.py", "pq_train"),    # m*k codebook rows
         ("operators/quantize.py", "seeded_pq_codebooks"),  # m*k rows
