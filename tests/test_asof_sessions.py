@@ -1351,3 +1351,29 @@ def test_streaming_vocab_maintenance_feeds_bpe_trainer(spark, tmp_path, sf001):
     m_batch = bpe_train(word_types(docs))[0].collect()
     key = lambda r: (r["round"], r["x"], r["y"], r["cnt"])  # noqa: E731
     assert sorted(map(key, m_store)) == sorted(map(key, m_batch))
+
+
+def test_state_df_missing_path_vs_genuine_read_error(spark, tmp_path):
+    """The maintenance-store read treats ONLY a missing path as 'no state
+    yet' (round-3 ADVICE): a corrupt store must RAISE so the micro-batch
+    fails and the checkpoint retries, instead of being mistaken for empty
+    state and overwritten with one batch's worth."""
+    from mtg_vector_db_spark.streaming.pipelines import _state_df
+
+    assert _state_df(spark, str(tmp_path / "never_written")) is None
+
+    corrupt = tmp_path / "corrupt_store"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_text("this is not parquet")
+    # A corrupt footer surfaces as a JVM read error (Py4JJavaError), NOT
+    # the AnalysisException missing-path case the guard catches — the
+    # point is it must PROPAGATE, never read as "no state yet" (None).
+    raised = False
+    try:
+        df = _state_df(spark, str(corrupt))
+        # Schema inference may defer the failure to the read itself.
+        if df is not None:
+            df.collect()
+    except Exception:
+        raised = True
+    assert raised, "corrupt store was read as empty state instead of raising"
