@@ -121,6 +121,7 @@ HEADLINE = [
     "c29_cc_convergence_audit", # fixed-round vs converged CC comparison
     "t36_bpe_merge_train",      # 6-round in-engine BPE merge training
     "t37_bpe_encode_stats",     # encode corpus under the learned vocab
+    "t38_bpe_oov_encode",       # rank-order inference on unseen text
 ]
 
 

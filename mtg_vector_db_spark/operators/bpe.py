@@ -128,3 +128,60 @@ def bpe_train(
             )
         )
     return merges, words
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    rounds: int = DEFAULT_ROUNDS,
+    text_col: str = "tok",
+) -> DataFrame:
+    """BPE INFERENCE: encode arbitrary (incl. unseen) single-token
+    strings under a trained merge table — adds ``n_syms``/``n_chars``.
+
+    Applies each merge ONCE in training-rank order (one 1-row broadcast
+    ``replace()`` per rank — the same rewrite the trainer used). For a
+    merge table produced by :func:`bpe_train` this equals true
+    apply-by-priority-until-fixed-point BPE inference: a rank-r merge's
+    parts were themselves created by lower ranks, so no earlier-rank pair
+    can become applicable after a later rank fires (rank order is
+    topologically consistent by construction of training).
+
+    Out-of-vocabulary is the point: training compresses word TYPES; this
+    encodes strings never seen in training (the production tokenizer
+    path). Tokens containing the sentinel get NULL counts (excluded from
+    training for the same reason). ``rounds`` must match the trainer's
+    (fully declarative — no action to discover it); on a degenerate
+    corpus whose merge table is missing a rank, the rank's crossJoin
+    empties the output, mirroring the trainer's own degenerate behavior
+    (the oracle replays identically).
+    """
+    s1, s2 = F.lit(SEP), F.lit(SEP * 2)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(text_col)),
+        lambda i: F.substr(F.col(text_col), i, F.lit(1)),
+    )
+    out = df.withColumn(
+        "_w",
+        F.when(
+            F.col(text_col).contains(SEP) | (F.length(text_col) == 0),
+            F.lit(None).cast("string"),
+        ).otherwise(F.concat(s1, F.array_join(chars, SEP * 2), s1)),
+    )
+    for rnd in range(1, rounds + 1):
+        m = F.broadcast(
+            merges.filter(F.col("round") == rnd).select("x", "y")
+        )
+        out = out.crossJoin(m).withColumn(
+            "_w",
+            F.replace(
+                F.col("_w"),
+                F.concat(s1, F.col("x"), s2, F.col("y"), s1),
+                F.concat(s1, F.col("x"), F.col("y"), s1),
+            ),
+        ).drop("x", "y")
+    nosep = F.replace(F.col("_w"), s1, F.lit(""))
+    return out.withColumn(
+        "n_syms",
+        ((F.length("_w") - F.length(nosep)) / F.lit(2)).cast("long"),
+    ).withColumn("n_chars", F.length(nosep).cast("long")).drop("_w")

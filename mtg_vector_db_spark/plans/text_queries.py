@@ -2499,3 +2499,76 @@ def _bpe_encode_oracle() -> str:
 
 
 oracle("t37_bpe_encode_stats", _bpe_encode_oracle())
+
+
+# ---------------------------------------------------------------------------
+# T38: BPE INFERENCE on out-of-vocabulary text — encode part.p_name
+# under the DOCUMENTS-trained merge table (operators/bpe.py:bpe_encode).
+# This is the production tokenizer path: the trainer compressed word
+# TYPES of one corpus; serving must encode strings it never saw. Applies
+# each merge once in training-rank order (topologically consistent by
+# construction of training, so it equals apply-by-priority-to-fixpoint
+# inference); each rank is a 1-row broadcast replace over the name
+# token stream. Output: the 10 costliest names under the learned vocab.
+# ---------------------------------------------------------------------------
+@query("t38_bpe_oov_encode")
+def t38_bpe_oov_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.bpe import bpe_encode
+
+    docs, part = tables(spark, sf_dir, "documents", "part")
+    merges, _ = _bpe_train_chain(docs)
+    names = part.select(F.lower(F.col("p_name")).alias("name")).distinct()
+    toks = names.select(
+        "name", F.explode(T.tokens(F.col("name"))).alias("tok")
+    )
+    enc = bpe_encode(toks, merges, rounds=_BPE_TRAIN_ROUNDS)
+    return (
+        enc.groupBy("name")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy(F.desc("n_tokens"), F.asc("name"))
+        .limit(10)
+    )
+
+
+def _bpe_oov_oracle() -> str:
+    sep = "chr(31)"
+    sep2 = f"{sep} || {sep}"
+    name_toks = (
+        "list_filter(string_split_regex(trim(name), '\\s+'), t -> len(t) > 0)"
+    )
+    enc_ctes = [
+        """names AS (SELECT DISTINCT lower(p_name) AS name FROM part)""",
+        f"""e0 AS (
+      SELECT name, CASE WHEN contains(tok, {sep}) OR len(tok) = 0
+             THEN NULL
+             ELSE {sep} || array_to_string(
+                    list_transform(range(1, len(tok) + 1),
+                                   i -> substring(tok, i, 1)), {sep2})
+                  || {sep} END AS w
+      FROM (SELECT name, unnest({name_toks}) AS tok FROM names)
+    )""",
+    ]
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        enc_ctes.append(f"""e{r} AS MATERIALIZED (
+      SELECT name, replace(w, {sep} || x || {sep2} || y || {sep},
+                              {sep} || x || y || {sep}) AS w
+      FROM e{r - 1}, t{r}
+    )""")
+    return (
+        "WITH " + ",\n    ".join(_bpe_chain_ctes() + enc_ctes)
+        + f"""
+    SELECT name, count(*) AS n_words,
+           CAST(sum(CAST((len(w) - len(replace(w, {sep}, ''))) / 2
+                         AS BIGINT)) AS BIGINT) AS n_tokens,
+           CAST(sum(len(replace(w, {sep}, ''))) AS BIGINT) AS n_chars
+    FROM e{_BPE_TRAIN_ROUNDS} GROUP BY name
+    ORDER BY n_tokens DESC, name ASC LIMIT 10
+    """
+    )
+
+
+oracle("t38_bpe_oov_encode", _bpe_oov_oracle())

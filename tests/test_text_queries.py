@@ -430,3 +430,44 @@ def test_t37_encode_consistent_with_t36_merges(spark, sf001):
         assert r["tokens_per_word"] < r["n_chars"] / r["n_words"]
         assert r["tokens_per_word"] == round(r["n_tokens"] / r["n_words"], 6)
         assert r["chars_per_token"] == round(r["n_chars"] / r["n_tokens"], 6)
+
+
+def test_bpe_encode_inference_matches_trainer_encoding(spark, sf001):
+    """Once-in-rank-order inference must reproduce the trainer's own
+    encoding exactly for every word IN the training vocabulary (the
+    topological-consistency argument, checked on ~all word types), and
+    encode genuinely unseen words by composing learned merges."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.operators.bpe import (
+        SEP,
+        bpe_encode,
+        bpe_train,
+        word_types,
+    )
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    merges, words = bpe_train(word_types(docs))
+    trainer = words.select(
+        "tok",
+        (
+            (F.length("w") - F.length(F.replace(F.col("w"), F.lit(SEP), F.lit(""))))
+            / F.lit(2)
+        ).cast("long").alias("train_syms"),
+    )
+    inferred = bpe_encode(words.select("tok"), merges)
+    diff = (
+        trainer.join(inferred, "tok")
+        .filter(F.col("train_syms") != F.col("n_syms"))
+        .count()
+    )
+    assert diff == 0
+
+    # Unseen word composed of learned merges: with the sf corpus's top
+    # merges, an OOV string still compresses below character level.
+    m = {(r["x"], r["y"]) for r in merges.collect()}
+    x, y = next(iter(m))
+    oov = spark.createDataFrame([(x + y + x + y + "q",)], "tok string")
+    (row,) = bpe_encode(oov, merges).collect()
+    assert row["n_chars"] == len(x + y) * 2 + 1
+    assert row["n_syms"] < row["n_chars"]  # at least one merge fired
