@@ -122,6 +122,12 @@ HEADLINE = [
     "t36_bpe_merge_train",      # 6-round in-engine BPE merge training
     "t37_bpe_encode_stats",     # encode corpus under the learned vocab
     "t38_bpe_oov_encode",       # rank-order inference on unseen text
+    # Stored-index SERVING rows (round-4 VERDICT #1/#5): these two read
+    # content-addressed parquet artifacts (artifacts/ — built at most
+    # once per corpus fingerprint) so the bench measures QUERY-TIME cost
+    # for both serving arms, the number p42/p40 could not isolate.
+    "p44_graph_serve_stored",   # beam walk over the FROZEN graph artifact
+    "p45_ivf_serve_stored",     # DPP-pruned probe of the stored IVF layout
 ]
 
 

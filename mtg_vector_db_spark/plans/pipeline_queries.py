@@ -4044,3 +4044,308 @@ def _p43_oracle() -> str:
 
 
 oracle("p43_quantized_oversample_sweep", _p43_oracle())
+
+
+# ---------------------------------------------------------------------------
+# P44 (extension): graph serving FROM A STORED INDEX — the build-once /
+# serve-many split the reference embodies (index built once at schema
+# create, db/init.sql:50-53; walked per query with an ef_search beam,
+# db/search_strategies.py:147-162). p42 measures the recall curve but
+# re-derives the NN-Descent graph inside its own body every execution
+# (round-4 VERDICT #1: the bench therefore tracked BUILD cost for the
+# arm whose headline claim is SERVING latency). Here the p40 graph
+# (k=24 lists, 3 rounds) is a content-addressed parquet artifact
+# (operators/artifacts.py): built at most once per (corpus fingerprint,
+# params), then every execution only seeds from dual-md5 buckets and
+# walks ≤3 bounded hop-joins against the FROZEN lists — query-time work
+# is O(|bucket| + rounds·beam·k) per probe, corpus-scan-free except the
+# exact rescore. Output: the serving ANSWER itself (query_id,
+# neighbor_id, sim, rank — top-10 per probe), not a recall report; the
+# oracle replays build + walk end-to-end in MATERIALIZED CTEs, which is
+# exactly why the stored lists must be (and are) bit-identical to a
+# fresh build: deterministic md5 buckets, round(·,6) sims, id
+# tie-breaks, and an exact double round-trip through parquet.
+# ---------------------------------------------------------------------------
+_P44_K = 10  # answers per query
+
+
+def _stored_graph_path(spark: SparkSession, sf_dir: str, nb: int) -> str:
+    """Build-if-missing path of the frozen p40 graph for this corpus.
+    Key = corpus parquet fingerprint + build params + algo version; the
+    artifact is the graph sibling of partitioning.partition_by_cell."""
+    import os
+
+    from mtg_vector_db_spark.operators.artifacts import (
+        artifact_key,
+        artifact_root,
+        dataset_fingerprint,
+        ensure_artifact,
+    )
+
+    fp = dataset_fingerprint(f"{sf_dir}/embeddings.parquet")
+    key = artifact_key(
+        "nn_descent_graph", "v1", _P40_K, _P40_ROUNDS, nb, fp
+    )
+    path = os.path.join(artifact_root(), "graph_knn", key)
+
+    def build(tmp: str) -> None:
+        from mtg_vector_db_spark.operators.ann import (
+            nn_descent_init,
+            nn_descent_round,
+        )
+        from mtg_vector_db_spark.session import pin
+
+        (emb,) = tables(spark, sf_dir, "embeddings")
+        g = pin(nn_descent_init(emb, nb, _P40_K))
+        for _ in range(_P40_ROUNDS):
+            g = pin(nn_descent_round(g, emb, _P40_K))
+        g.write.parquet(tmp)
+
+    ensure_artifact(path, build)
+    return path
+
+
+@query("p44_graph_serve_stored")
+def p44_graph_serve_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators import ann as A
+    from mtg_vector_db_spark.operators.ann import graph_beam_search
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    nb = A.dynamic_bucket_count(emb, min_buckets=_P40_BUCKETS)
+    g = spark.read.parquet(_stored_graph_path(spark, sf_dir, nb))
+    probes = emb.filter(F.col("vec_id") < _P40_PROBES)
+    ans = graph_beam_search(
+        g, emb, probes,
+        k=_P44_K, n_buckets=nb, beam=_P42_BEAM, rounds=_P42_ROUNDS,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q").orderBy(F.desc("sim"), F.asc("b"))
+    return (
+        ans.select(
+            F.col("q").alias("query_id"),
+            F.col("b").alias("neighbor_id"),
+            "sim",
+            F.row_number().over(w).alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _p44_oracle() -> str:
+    from mtg_vector_db_spark.plans.corpus_queries import _hash_frac
+
+    k, nb, probes = _P40_K, _P40_BUCKETS, _P40_PROBES
+    beam, rounds = _P42_BEAM, _P42_ROUNDS
+    h1 = _hash_frac("CAST(vec_id AS VARCHAR)")
+    h2 = _hash_frac("CAST(vec_id AS VARCHAR) || ':b2'")
+    ctes = _p40_graph_ctes(k, nb, rounds=_P40_ROUNDS)
+    last_g = f"g{_P40_ROUNDS}"
+    ctes += f""",
+    qv AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id < {probes}),
+    qasg AS MATERIALIZED (
+        SELECT vec_id, CAST(floor({h1} * nb) AS INT) AS cell
+        FROM qv CROSS JOIN nbv
+        UNION ALL
+        SELECT vec_id, CAST(floor({h2} * nb) AS INT) + nb AS cell
+        FROM qv CROSS JOIN nbv),
+    seeds AS MATERIALIZED (
+        SELECT DISTINCT qa.vec_id AS q, ca.vec_id AS b
+        FROM qasg qa JOIN asg ca USING (cell)
+        WHERE qa.vec_id <> ca.vec_id),
+    s0 AS MATERIALIZED (
+        SELECT sd.q, sd.b,
+               round(list_cosine_similarity(eq.v, eb.v), 6) AS sim
+        FROM seeds sd
+        JOIN e eq ON eq.vec_id = sd.q
+        JOIN e eb ON eb.vec_id = sd.b),
+    und AS MATERIALIZED (
+        SELECT DISTINCT a, b FROM (
+          SELECT a, b FROM {last_g}
+          UNION ALL SELECT b, a FROM {last_g}))"""
+    for r in range(1, rounds + 1):
+        ctes += f""",
+    bm{r} AS MATERIALIZED (
+        SELECT q, b FROM (
+          SELECT q, b, row_number() OVER (PARTITION BY q
+            ORDER BY sim DESC, b) AS rn FROM s{r - 1}) WHERE rn <= {beam}),
+    fr{r} AS MATERIALIZED (
+        SELECT DISTINCT bm.q, u.b
+        FROM bm{r} bm JOIN und u ON u.a = bm.b
+        WHERE bm.q <> u.b),
+    sf{r} AS MATERIALIZED (
+        SELECT fr.q, fr.b,
+               round(list_cosine_similarity(eq.v, eb.v), 6) AS sim
+        FROM fr{r} fr
+        JOIN e eq ON eq.vec_id = fr.q
+        JOIN e eb ON eb.vec_id = fr.b),
+    s{r} AS MATERIALIZED (
+        SELECT DISTINCT q, b, sim FROM (
+          SELECT q, b, sim FROM s{r - 1}
+          UNION ALL SELECT q, b, sim FROM sf{r}))"""
+    return ctes + f"""
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT q AS query_id, b AS neighbor_id, sim,
+             row_number() OVER (PARTITION BY q
+               ORDER BY sim DESC, b) AS rank
+      FROM s{rounds})
+    WHERE rank <= {_P44_K}
+    ORDER BY query_id, rank"""
+
+
+oracle("p44_graph_serve_stored", _p44_oracle())
+
+
+# ---------------------------------------------------------------------------
+# P45 (extension): IVF serving FROM THE STORED CELL LAYOUT — the second
+# half of round-4 VERDICT #5: partition_by_cell's pruning behavior was
+# plan-tested but no registered query actually READ a partitionBy(cell)
+# layout, so the driver never saw the pruned-scan serving shape. The
+# corpus is assigned to frozen dynamic seed cells (dynamic_seed_cells —
+# cells ∝ n) and written hive-partitioned by cell as a content-addressed
+# artifact (built at most once per corpus fingerprint). Serving: the 50
+# probe vectors pick their nprobe=4 nearest cells (ivf_ranked_assign —
+# map-side centroid-literal argmin), and the layout scan is pruned to
+# exactly those cells by Spark DYNAMIC PARTITION PRUNING — the probe
+# side is broadcast and the scan's PartitionFilters carries
+# dynamicpruningexpression(cell IN ...), so only the probed cells'
+# files are read (plan-asserted in tests/test_plans.py). No driver
+# collect anywhere: the cell list never leaves the JVM. Output: the
+# serving answer (query_id, neighbor_id, sim, rank — top-10 per probe);
+# the oracle replays seed cells + assignment + probe + rescore (the p36
+# machinery) with the dynamic cell count as a scalar subquery.
+# ---------------------------------------------------------------------------
+_P45_NPROBE = 4
+_P45_K = 10
+
+
+def _stored_ivf_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing path of the frozen cell-partitioned IVF layout:
+    the layout IS the index (operators/ann.py:ivf_index_append)."""
+    import os
+
+    from mtg_vector_db_spark.operators.artifacts import (
+        artifact_key,
+        artifact_root,
+        dataset_fingerprint,
+        ensure_artifact,
+    )
+
+    fp = dataset_fingerprint(f"{sf_dir}/embeddings.parquet")
+    key = artifact_key("ivf_cell_layout", "v1", 250, 8, fp)
+    path = os.path.join(artifact_root(), "ivf_cells", key)
+
+    def build(tmp: str) -> None:
+        from mtg_vector_db_spark.operators.ann import (
+            dynamic_seed_cells,
+            ivf_assign,
+        )
+
+        (emb,) = tables(spark, sf_dir, "embeddings")
+        cents = dynamic_seed_cells(emb)
+        ivf_assign(emb, cents).select(
+            "vec_id", "embedding", "cell"
+        ).write.partitionBy("cell").parquet(tmp)
+
+    ensure_artifact(path, build)
+    return path
+
+
+@query("p45_ivf_serve_stored")
+def p45_ivf_serve_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions.vector import cosine_similarity
+    from mtg_vector_db_spark.operators.ann import (
+        dynamic_seed_cells,
+        ivf_ranked_assign,
+    )
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    layout = spark.read.parquet(_stored_ivf_path(spark, sf_dir))
+    cents = dynamic_seed_cells(emb)
+    probes = emb.filter(F.col("vec_id") < _P40_PROBES)
+    pcells = ivf_ranked_assign(probes, cents, nprobe=_P45_NPROBE).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        "cell",
+    )
+    # Probe side broadcast → DPP prunes the layout scan to probed cells.
+    cand = (
+        layout.join(F.broadcast(pcells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("query_vec")),
+                R,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _P45_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _p45_oracle() -> str:
+    return f"""
+    WITH kc AS (
+      SELECT greatest(8, CAST(ceil(count(*) / 250.0) AS INT)) AS k
+      FROM embeddings
+    ),
+    c AS (
+      SELECT CAST(vec_id AS INT) AS cell,
+             CAST(embedding AS DOUBLE[]) AS cvec,
+             list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS n2
+      FROM embeddings WHERE vec_id < (SELECT k FROM kc)
+    ),
+    n AS (SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> x / sqrt(list_inner_product(
+                     CAST(embedding AS DOUBLE[]),
+                     CAST(embedding AS DOUBLE[])))) AS nx
+          FROM embeddings),
+    d AS (SELECT n.vec_id, c.cell,
+                 c.n2 - 2 * list_inner_product(c.cvec, n.nx) AS dist
+          FROM n CROSS JOIN c),
+    assigned AS (SELECT vec_id, cell FROM (
+                   SELECT vec_id, cell,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY dist, cell) AS rn
+                   FROM d) WHERE rn = 1),
+    probe AS (SELECT vec_id AS query_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cell) AS rn
+                FROM d WHERE vec_id < {_P40_PROBES})
+              WHERE rn <= {_P45_NPROBE}),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < {_P40_PROBES}),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.qv), {R}) AS sim
+      FROM assigned a
+      JOIN probe p USING (cell)
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      JOIN q ON q.query_id = p.query_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS rank
+      FROM cand)
+    WHERE rank <= {_P45_K}
+    ORDER BY query_id, rank
+    """
+
+
+oracle("p45_ivf_serve_stored", _p45_oracle())

@@ -1,0 +1,225 @@
+"""Index-artifact store (operators/artifacts.py) and the two serving
+queries that read it: p44 (stored k-NN graph walk) and p45 (stored IVF
+cell layout with dynamic partition pruning) — the build-once/serve-many
+split of the reference (index built at schema create, init.sql:50-53;
+walked per query, search_strategies.py:147-162)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mtg_vector_db_spark.operators.artifacts import (
+    artifact_key,
+    dataset_fingerprint,
+    ensure_artifact,
+)
+from mtg_vector_db_spark.plans import registry
+
+registry.load_all()
+
+
+# ---------------------------------------------------------------------------
+# Store mechanics
+# ---------------------------------------------------------------------------
+def test_dataset_fingerprint_stable_and_content_sensitive(spark, tmp_path):
+    p1 = str(tmp_path / "t1")
+    spark.range(100).write.parquet(p1)
+    fp_a = dataset_fingerprint(p1)
+    assert fp_a == dataset_fingerprint(p1)  # stable across calls
+
+    p2 = str(tmp_path / "t2")
+    spark.range(101).write.parquet(p2)
+    assert fp_a != dataset_fingerprint(p2)  # row count differs
+
+    # Single-file parquet (pandas writer) works too.
+    import pandas as pd
+
+    f = tmp_path / "one.parquet"
+    pd.DataFrame({"x": [1, 2, 3]}).to_parquet(f, index=False)
+    assert dataset_fingerprint(str(f)) != fp_a
+
+
+def test_artifact_key_depends_on_every_field():
+    a = artifact_key("graph", "v1", 24, 3, "fp")
+    assert a == artifact_key("graph", "v1", 24, 3, "fp")
+    assert a != artifact_key("graph", "v2", 24, 3, "fp")
+    assert a != artifact_key("graph", "v1", 25, 3, "fp")
+    assert len(a) == 16
+
+
+def test_ensure_artifact_builds_once_then_reuses(spark, tmp_path):
+    target = str(tmp_path / "store" / "abc123")
+    calls = []
+
+    def build(tmp):
+        calls.append(tmp)
+        spark.range(10).write.parquet(tmp)
+
+    assert ensure_artifact(target, build) == "built"
+    assert ensure_artifact(target, build) == "reused"
+    assert len(calls) == 1
+    assert os.path.exists(os.path.join(target, "_SUCCESS"))
+    assert spark.read.parquet(target).count() == 10
+
+
+def test_ensure_artifact_clears_crashed_half_build(spark, tmp_path):
+    target = str(tmp_path / "store" / "half")
+    # A dir without _SUCCESS is an aborted build — must be rebuilt.
+    os.makedirs(target)
+    with open(os.path.join(target, "part-junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+
+    def build(tmp):
+        spark.range(5).write.parquet(tmp)
+
+    assert ensure_artifact(target, build) == "built"
+    assert spark.read.parquet(target).count() == 5
+
+
+def test_ensure_artifact_rejects_build_without_success_marker(tmp_path):
+    target = str(tmp_path / "store" / "nosuccess")
+
+    def build(tmp):
+        os.makedirs(tmp)
+
+    with pytest.raises(RuntimeError, match="_SUCCESS"):
+        ensure_artifact(target, build)
+    assert not os.path.isdir(target)  # nothing renamed into place
+
+
+# ---------------------------------------------------------------------------
+# p44: stored-graph serving
+# ---------------------------------------------------------------------------
+def test_p44_stored_graph_equals_fresh_build(spark, sf0001):
+    """The artifact must be byte-equivalent to a fresh NN-Descent build —
+    the invariant that lets the oracle replay the build in CTEs while the
+    query reads parquet."""
+    from mtg_vector_db_spark.operators import ann as A
+    from mtg_vector_db_spark.operators.ann import (
+        nn_descent_init,
+        nn_descent_round,
+    )
+    from mtg_vector_db_spark.plans.pipeline_queries import (
+        _P40_BUCKETS,
+        _P40_K,
+        _P40_ROUNDS,
+        _stored_graph_path,
+    )
+
+    emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
+    nb = A.dynamic_bucket_count(emb, min_buckets=_P40_BUCKETS)
+    path = _stored_graph_path(spark, sf0001, nb)
+    stored = spark.read.parquet(path)
+
+    fresh = nn_descent_init(emb, nb, _P40_K)
+    for _ in range(_P40_ROUNDS):
+        fresh = nn_descent_round(fresh, emb, _P40_K)
+
+    assert stored.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(stored).count() == 0
+
+
+def test_p44_second_call_reuses_artifact(spark, sf0001):
+    from mtg_vector_db_spark.operators import ann as A
+    from mtg_vector_db_spark.plans.pipeline_queries import (
+        _P40_BUCKETS,
+        _stored_graph_path,
+    )
+
+    emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
+    nb = A.dynamic_bucket_count(emb, min_buckets=_P40_BUCKETS)
+    p1 = _stored_graph_path(spark, sf0001, nb)
+    mtime = os.path.getmtime(p1)
+    p2 = _stored_graph_path(spark, sf0001, nb)
+    assert p1 == p2
+    assert os.path.getmtime(p2) == mtime  # untouched, not rebuilt
+
+
+def test_p44_serving_executes_without_rebuilding_artifact(spark, sf0001):
+    """Serve-many: executing the registered query end-to-end must leave
+    the stored graph untouched (no rebuild, no rewrite) — the build cost
+    is paid at most once per corpus. (The beam walk itself is pinned
+    per round — session.py:pin — so the final physical plan reads
+    checkpointed blocks; the artifact scan is asserted via the store's
+    mtime staying frozen across a full execution.)"""
+    from mtg_vector_db_spark.operators import ann as A
+    from mtg_vector_db_spark.plans.pipeline_queries import (
+        _P40_BUCKETS,
+        _stored_graph_path,
+    )
+
+    emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
+    nb = A.dynamic_bucket_count(emb, min_buckets=_P40_BUCKETS)
+    path = _stored_graph_path(spark, sf0001, nb)
+    mtime = os.path.getmtime(path)
+    rows = registry.QUERIES["p44_graph_serve_stored"](spark, sf0001).collect()
+    assert len(rows) > 0
+    assert os.path.getmtime(path) == mtime
+    # The stored lists are what the walk reads: schema is the frozen
+    # (a, b, sim) adjacency — nothing else is materialized in the store.
+    assert set(spark.read.parquet(path).columns) == {"a", "b", "sim"}
+
+
+def test_p44_answers_are_true_neighbors_mostly(spark, sf0001):
+    """Serving recall sanity on the real corpus: top-10-per-probe from the
+    stored graph should overlap exact KNN heavily (p42 measured 0.94 at
+    sf0.1; assert a conservative floor at sf0.001)."""
+    from mtg_vector_db_spark.operators.knn import knn_join
+    from mtg_vector_db_spark.plans.pipeline_queries import _P40_PROBES
+
+    emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
+    got = registry.QUERIES["p44_graph_serve_stored"](spark, sf0001)
+    probes = emb.filter(F.col("vec_id") < _P40_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = knn_join(emb, probes, k=10, round_digits=6).select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+    n_hit = got.join(exact, ["query_id", "neighbor_id"]).count()
+    n_all = got.count()
+    assert n_all > 0
+    assert n_hit / n_all >= 0.8
+
+
+# ---------------------------------------------------------------------------
+# p45: stored-IVF serving with dynamic partition pruning
+# ---------------------------------------------------------------------------
+def test_p45_layout_scan_is_dynamically_pruned(spark, sf0001):
+    """The registered serving query's layout scan must carry a DPP
+    partition filter on cell — only probed cells' files are read, no
+    driver-side cell collect."""
+    df = registry.QUERIES["p45_ivf_serve_stored"](spark, sf0001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "ivf_cells" in ln
+    ]
+    assert scan_lines, "no FileScan over the stored IVF layout"
+    assert any(
+        "dynamicpruning" in ln for ln in scan_lines
+    ), "layout scan is not partition-pruned by the probe cells"
+
+
+def test_p45_layout_partitions_match_assignment(spark, sf0001):
+    """Every stored row's hive partition equals its frozen-cell argmin
+    assignment (the layout IS the index)."""
+    from mtg_vector_db_spark.operators.ann import (
+        dynamic_seed_cells,
+        ivf_assign,
+    )
+    from mtg_vector_db_spark.plans.pipeline_queries import _stored_ivf_path
+
+    emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
+    layout = spark.read.parquet(_stored_ivf_path(spark, sf0001))
+    want = ivf_assign(emb, dynamic_seed_cells(emb)).select("vec_id", "cell")
+    diff = (
+        layout.select("vec_id", "cell")
+        .exceptAll(want.select("vec_id", F.col("cell").cast("int")))
+        .count()
+    )
+    assert diff == 0
+    assert layout.count() == emb.count()
