@@ -99,6 +99,16 @@ def bpe_train(
     ties break on (count DESC, x ASC, y ASC) so the argmax cannot flip
     between engines. Each round's winner is a 1-row broadcast
     crossJoined into the rewrite — no driver-side loop state.
+
+    Degenerate corpora (round-4 ADVICE): if a round finds NO mergeable
+    pair (every word fully merged to one symbol before ``rounds``
+    complete), training STOPS there — ``merges`` holds the rounds that
+    did learn a pair and ``words`` keeps the last successful rewrite —
+    instead of the empty crossJoin silently emptying the words table.
+    The emptiness check is a 1-row count over the already-pinned round
+    winner, not a new job. The registered oracles (t36/t37) replay the
+    full fixed-round chain, which is identical whenever the corpus
+    supports ``rounds`` merges — their precondition, held by fixture.
     """
     from mtg_vector_db_spark.session import pin
 
@@ -114,6 +124,10 @@ def bpe_train(
             .limit(1)
             .withColumn("round", F.lit(rnd))
         )
+        if top1.isEmpty():
+            if merges is None:
+                merges = top1  # zero learned merges, correct (empty) schema
+            break
         merges = top1 if merges is None else merges.unionByName(top1)
         words = pin(
             words.crossJoin(F.broadcast(top1.select("x", "y")))
@@ -151,10 +165,15 @@ def bpe_encode(
     encodes strings never seen in training (the production tokenizer
     path). Tokens containing the sentinel get NULL counts (excluded from
     training for the same reason). ``rounds`` must match the trainer's
-    (fully declarative — no action to discover it); on a degenerate
-    corpus whose merge table is missing a rank, the rank's crossJoin
-    empties the output, mirroring the trainer's own degenerate behavior
-    (the oracle replays identically).
+    (fully declarative — no action to discover it); a rank MISSING from
+    the merge table (the trainer stopped early on a degenerate corpus —
+    round-4 ADVICE) is a declarative no-op: each rank's broadcast side is
+    padded with a never-matching null row and the rewrite is guarded by
+    ``x IS NULL``, so the crossJoin stays exactly-one-row and the symbol
+    string passes through unchanged. For well-formed merge tables the
+    padded row loses the ``ORDER BY x NULLS LAST LIMIT 1`` and the plan
+    applies the identical replace as before (t38's oracle values are
+    unchanged).
     """
     s1, s2 = F.lit(SEP), F.lit(SEP * 2)
     chars = F.transform(
@@ -168,16 +187,26 @@ def bpe_encode(
             F.lit(None).cast("string"),
         ).otherwise(F.concat(s1, F.array_join(chars, SEP * 2), s1)),
     )
+    pad = df.sparkSession.range(1).select(
+        F.lit(None).cast("string").alias("x"),
+        F.lit(None).cast("string").alias("y"),
+    )
     for rnd in range(1, rounds + 1):
         m = F.broadcast(
-            merges.filter(F.col("round") == rnd).select("x", "y")
+            merges.filter(F.col("round") == rnd)
+            .select("x", "y")
+            .unionByName(pad)
+            .orderBy(F.col("x").asc_nulls_last())
+            .limit(1)
         )
         out = out.crossJoin(m).withColumn(
             "_w",
-            F.replace(
-                F.col("_w"),
-                F.concat(s1, F.col("x"), s2, F.col("y"), s1),
-                F.concat(s1, F.col("x"), F.col("y"), s1),
+            F.when(F.col("x").isNull(), F.col("_w")).otherwise(
+                F.replace(
+                    F.col("_w"),
+                    F.concat(s1, F.col("x"), s2, F.col("y"), s1),
+                    F.concat(s1, F.col("x"), F.col("y"), s1),
+                )
             ),
         ).drop("x", "y")
     nosep = F.replace(F.col("_w"), s1, F.lit(""))

@@ -124,6 +124,7 @@ def dup_clusters_converged(
         .distinct()
     )
     n_edges = e.count()
+    converged = False
     for _ in range(max_rounds):
         # Large-star: every node connects its LARGER neighbors to the
         # minimum of its closed neighborhood (m <= u < v, so the emitted
@@ -163,8 +164,20 @@ def dup_clusters_converged(
         # difference means the sets are equal (both are distinct sets).
         if n2 == n_edges and e2.exceptAll(e).count() == 0:
             e = e2
+            converged = True
             break
         e, n_edges = e2, n2
+    if not converged:
+        # Round-4 ADVICE: exhausting max_rounds without the fixpoint break
+        # would otherwise emit duplicate doc_id rows with CONFLICTING
+        # cluster_ids from the final hi->lo join — undetected wrong output.
+        # O(log n) convergence makes 16 rounds ample for any real graph, so
+        # hitting this is a configuration error worth failing loudly on.
+        raise RuntimeError(
+            "dup_clusters_converged: star-forest fixpoint not reached in "
+            f"{max_rounds} rounds — raise max_rounds (converges in O(log n) "
+            "rounds; 16 covers graphs of any practical diameter)"
+        )
     labels = e.select(F.col("hi").alias("node"), F.col("lo").alias("label"))
     return nodes.join(labels, "node", "left").select(
         F.col("node").alias("doc_id"),

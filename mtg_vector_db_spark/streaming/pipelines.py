@@ -18,6 +18,22 @@ from pyspark.sql.streaming import DataStreamWriter
 
 
 def _missing_path(exc: Exception) -> bool:
+    """True IFF ``exc`` is Spark's path-does-not-exist error. Prefers the
+    STRUCTURED error class (round-4 ADVICE: a Spark release rewording the
+    message must not turn every first micro-batch bootstrap into a raise):
+    ``getCondition()`` on Spark 4+, ``getErrorClass()`` on older releases.
+    The message substring is only the last-resort fallback for exceptions
+    that carry no error class at all."""
+    for attr in ("getCondition", "getErrorClass"):
+        get = getattr(exc, attr, None)
+        if get is None:
+            continue
+        try:
+            cond = get()
+        except Exception:
+            continue
+        if cond is not None:
+            return cond == "PATH_NOT_FOUND"
     msg = str(exc)
     return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
 

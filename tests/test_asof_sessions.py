@@ -1377,3 +1377,42 @@ def test_state_df_missing_path_vs_genuine_read_error(spark, tmp_path):
     except Exception:
         raised = True
     assert raised, "corrupt store was read as empty state instead of raising"
+
+
+def test_missing_path_keys_on_structured_error_class(spark, tmp_path):
+    """Round-4 ADVICE: the missing-store classifier keys on Spark's
+    STRUCTURED error condition (PATH_NOT_FOUND via getCondition /
+    getErrorClass), so a release that rewords the message cannot turn
+    every first-batch bootstrap into a raise — and an unrelated error
+    whose MESSAGE merely contains the magic string is not mistaken for
+    a missing store."""
+    from pyspark.errors import AnalysisException
+
+    from mtg_vector_db_spark.streaming.pipelines import _missing_path
+
+    try:
+        spark.read.parquet(str(tmp_path / "never_written"))
+        raise AssertionError("read of a missing path did not raise")
+    except AnalysisException as e:
+        cond = None
+        for attr in ("getCondition", "getErrorClass"):
+            fn = getattr(e, attr, None)
+            if fn is not None and cond is None:
+                cond = fn()
+        # The structured field exists on this Spark and is what the
+        # classifier reads (message text is irrelevant below).
+        assert cond == "PATH_NOT_FOUND"
+        assert _missing_path(e)
+
+    class RewordedOtherError(Exception):
+        """Structured class says NOT missing; message lies."""
+
+        def getCondition(self):
+            return "SOMETHING_ELSE"
+
+    assert not _missing_path(RewordedOtherError("... Path does not exist ..."))
+
+    # No structured field at all -> the message fallback still works
+    # (older Spark releases).
+    assert _missing_path(Exception("PATH_NOT_FOUND: gone"))
+    assert not _missing_path(Exception("some other failure"))

@@ -396,3 +396,21 @@ def test_leakage_free_split_invariants(spark, sf001):
     assert r["naive_leaks"] > 0
     assert abs(r["train_frac_cluster"] - r["train_frac_naive"]) < 0.05
     assert r["n_clusters"] < r["n_docs"]
+
+
+def test_converged_raises_when_max_rounds_exhausted(spark):
+    """Round-4 ADVICE: exhausting max_rounds without reaching the
+    star-forest fixpoint must RAISE — the final hi->lo join would
+    otherwise emit duplicate doc_ids with conflicting cluster_ids,
+    silently. A 33-node path cannot flatten in one star round; the same
+    graph converges to the min-label component once the bound is
+    adequate."""
+    chain = [(i, i + 1) for i in range(32)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="fixpoint not reached"):
+        C.dup_clusters_converged(pairs, max_rounds=1)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in C.dup_clusters_converged(pairs, max_rounds=16).collect()
+    }
+    assert got == {i: 0 for i in range(33)}

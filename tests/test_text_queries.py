@@ -471,3 +471,45 @@ def test_bpe_encode_inference_matches_trainer_encoding(spark, sf001):
     (row,) = bpe_encode(oov, merges).collect()
     assert row["n_chars"] == len(x + y) * 2 + 1
     assert row["n_syms"] < row["n_chars"]  # at least one merge fired
+
+
+def test_bpe_train_stops_on_exhausted_corpus_instead_of_emptying(spark):
+    """Round-4 ADVICE: a training round that finds no mergeable pair
+    (corpus fully merged before `rounds` complete) must STOP — keeping
+    the merge table learned so far and the last successful words rewrite —
+    not let the empty crossJoin silently empty the words table."""
+    from mtg_vector_db_spark.operators.bpe import (
+        SEP,
+        bpe_encode,
+        bpe_train,
+    )
+
+    # One two-char word type: exactly ONE learnable merge, then exhausted.
+    wf = spark.createDataFrame([("ab", 5)], ["tok", "freq"])
+    merges, words = bpe_train(wf, rounds=6)
+    assert [(r["round"], r["x"], r["y"], r["cnt"]) for r in merges.collect()] == [
+        (1, "a", "b", 5)
+    ]
+    w = words.collect()
+    assert len(w) == 1  # NOT emptied by rounds 2-6
+    assert w[0]["w"] == f"{SEP}ab{SEP}"  # fully merged single symbol
+
+    # Inference at the REQUESTED round count passes through missing ranks
+    # declaratively (the null-padded broadcast guard) instead of emptying.
+    toks = spark.createDataFrame([("ab",), ("abab",), ("zq",)], "tok string")
+    enc = {
+        r["tok"]: (r["n_syms"], r["n_chars"])
+        for r in bpe_encode(toks, merges, rounds=6).collect()
+    }
+    assert enc == {"ab": (1, 2), "abab": (2, 4), "zq": (2, 2)}
+
+    # Degenerate-from-round-1 corpus: zero merges, words intact, encoding
+    # stays character-level.
+    wf1 = spark.createDataFrame([("a", 3)], ["tok", "freq"])
+    merges1, words1 = bpe_train(wf1, rounds=3)
+    assert merges1.count() == 0
+    assert words1.count() == 1
+    (row,) = bpe_encode(
+        spark.createDataFrame([("aaa",)], "tok string"), merges1, rounds=3
+    ).collect()
+    assert (row["n_syms"], row["n_chars"]) == (3, 3)
