@@ -144,6 +144,97 @@ def bpe_train(
     return merges, words
 
 
+def bpe_train_batched(
+    word_freq: DataFrame,
+    n_merges: int = 64,
+    batch_m: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Multi-merge-per-round BPE training — the scale path past
+    :func:`bpe_train`'s one-merge-per-round bound (round-4 VERDICT #3):
+    a production tokenizer is ~32k merges, and 32k sequential Spark
+    rounds is a scheduler problem, not a data problem. Per round this
+    takes the top ``batch_m`` NON-INTERACTING pairs (no symbol shared
+    between any two selected pairs, and no pair consuming another
+    selection's product) and applies them in ONE rewrite pass — turning
+    32k merges into ~32k/batch_m rounds.
+
+    Non-interaction is what makes the batch exact: a merge (a,b) only
+    changes adjacencies that involve ``a`` or ``b`` (neighbors of the
+    fused ``ab``), so pairs over disjoint symbols neither create nor
+    destroy each other's occurrences — each selected pair's count, and
+    its rewrite, is identical to what sequential training would have
+    seen when its turn came. Where candidates DO interact (share a
+    symbol), the conflicting pair is deferred to a later round and
+    re-counted — never applied against a stale count. Batched training
+    therefore equals sequential training exactly whenever the top pairs
+    are independent (the common case in a large vocabulary), and remains
+    a valid greedy-BPE run (every applied merge was a true argmax of its
+    recount) when they are not.
+
+    The per-round candidate fetch is a driver-side collect of at most
+    ``4*batch_m`` rows — vocabulary-bounded (pair-type counts), never
+    corpus-bounded, the same class as the k-row centroid fetches
+    (tests/test_plans.py allowlist). The round's rewrite is one
+    projection with ``<=batch_m`` nested ``replace()`` calls in rank
+    order — order-independent across the batch by the disjointness
+    invariant, and each round is pinned like :func:`bpe_train`'s.
+
+    Returns ``(merges, words)`` with ``merges`` carrying the GLOBAL rank
+    as ``round`` (1..n_merges, one row each) plus the batch round it was
+    learned in (``batch_round``) — :func:`bpe_encode` applies it
+    unchanged via ``rounds=n_merges``.
+    """
+    from mtg_vector_db_spark.session import pin
+
+    spark = word_freq.sparkSession
+    words = pin(encode_words(word_freq))
+    learned: list[tuple[int, int, str, str, int]] = []  # rank, batch_round, x, y, cnt
+    batch_round = 0
+    while len(learned) < n_merges:
+        batch_round += 1
+        want = min(batch_m, n_merges - len(learned))
+        # collect: bounded to 4*batch_m pair-type rows (the greedy
+        # selection needs slack for conflict-skipped candidates) —
+        # vocabulary-bounded, never corpus rows.
+        cands = (
+            words.select("freq", F.explode(_adjacent_pairs(F.col("w"))).alias("p"))
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("x"), F.asc("y"))
+            .limit(4 * batch_m)
+            .collect()
+        )
+        if not cands:
+            break
+        used: set[str] = set()
+        batch: list[tuple[str, str, int]] = []
+        for r in cands:
+            if len(batch) >= want:
+                break
+            x, y, fused = r["x"], r["y"], r["x"] + r["y"]
+            # Interaction guards: components disjoint from every earlier
+            # selection's components AND products; our product must not
+            # be a component another selection already consumed.
+            if x in used or y in used or fused in used:
+                continue
+            used.update((x, y, fused))
+            batch.append((x, y, int(r["cnt"])))
+        for x, y, cnt in batch:
+            learned.append((len(learned) + 1, batch_round, x, y, cnt))
+        w = F.col("w")
+        for x, y, _ in batch:
+            w = F.replace(
+                w,
+                F.lit(SEP + x + SEP * 2 + y + SEP),
+                F.lit(SEP + x + y + SEP),
+            )
+        words = pin(words.select("tok", w.alias("w"), "freq"))
+    merges = spark.createDataFrame(
+        learned, "round int, batch_round int, x string, y string, cnt bigint"
+    )
+    return merges, words
+
+
 def bpe_encode(
     df: DataFrame,
     merges: DataFrame,

@@ -328,6 +328,11 @@ def test_no_driver_collect_outside_documented_bounded_artifacts():
         # itself is corpus-sized and never leaves the executors.
         ("streaming/pipelines.py", "_max_batch_id"),
         ("operators/quantize.py", "sq_train"),    # per-dim min/max scalars
+        # Batched BPE round candidates: <=4*batch_m PAIR-TYPE rows
+        # (vocabulary-bounded counts, never corpus rows) fetched for the
+        # driver-side greedy non-interaction selection — the same class
+        # as the k-row centroid fetches.
+        ("operators/bpe.py", "bpe_train_batched"),
         ("operators/quantize.py", "pq_train"),    # m*k codebook rows
         ("operators/quantize.py", "seeded_pq_codebooks"),  # m*k rows
         ("operators/ann.py", "ivf_probe_labels"),     # k centroid rows
