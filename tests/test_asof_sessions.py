@@ -1416,3 +1416,118 @@ def test_missing_path_keys_on_structured_error_class(spark, tmp_path):
     # (older Spark releases).
     assert _missing_path(Exception("PATH_NOT_FOUND: gone"))
     assert not _missing_path(Exception("some other failure"))
+
+
+def test_streaming_funnel_recovers_from_checkpoint_restart(spark, tmp_path):
+    """Checkpoint RECOVERY for the funnel's per-user stage-timestamp
+    state (round-4 VERDICT #4 — the intricate applyInPandasWithState
+    face): three fully-stopped runs against one checkpoint dir, with a
+    conversion whose THREE stages straddle BOTH restarts (view in run 1,
+    click in run 2, purchase in run 3 — pure state carry across two
+    recoveries). Also pinned: a conversion completed before the restart
+    is NOT re-emitted afterwards (append-mode exactly-once across
+    recovery), batch ids continue rather than restart, and the end
+    state equals the batch join-chain over everything ever written."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.streaming.pipelines import streaming_funnel
+
+    T0 = 1704067200_000000
+    MIN = 60_000_000
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+
+    def mk(rows, offset):
+        return spark.createDataFrame(
+            [(offset + i, u, et) for i, (u, et) in enumerate(rows)],
+            ["seq", "user_id", "event_type"],
+        ).select(
+            F.col("seq").alias("event_id"),
+            F.timestamp_micros(F.lit(T0) + F.col("seq") * F.lit(MIN)).alias("ts"),
+            "user_id",
+            "event_type",
+            F.lit(1.0).alias("value"),
+        )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    marks = tmp_path / "batch_marks"
+    marks.mkdir()
+
+    def run_once():
+        def emit(batch_df, batch_id):
+            # Marker per processed batch id: append mode emits nothing for
+            # batches without completed conversions, so batch-id
+            # continuation across restarts is observed here, not via rows.
+            (marks / str(batch_id)).touch()
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(sink)
+
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_funnel(stream)
+            .writeStream.foreachBatch(emit)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(sink).collect()
+        return rows, max(int(f.name) for f in marks.iterdir())
+
+    # user 1: full conversion inside run 1 (the exactly-once canary);
+    # user 2: view only (state must survive two restarts).
+    waves = [
+        [(1, "view"), (1, "click"), (1, "purchase"), (2, "view")],
+        [(2, "click"), (3, "view")],          # user 2 advances post-restart
+        [(2, "purchase"), (3, "click"), (3, "purchase")],  # both complete
+    ]
+    offsets = [0, 4, 6]
+
+    mk(waves[0], offsets[0]).coalesce(1).write.mode("append").parquet(str(src))
+    rows1, last1 = run_once()
+    assert {r["user_id"] for r in rows1} == {1}
+
+    # Query fully stopped; wave 2 lands, new query recovers state.
+    mk(waves[1], offsets[1]).coalesce(1).write.mode("append").parquet(str(src))
+    rows2, last2 = run_once()
+    assert last2 > last1  # state-store epochs resumed, not restarted
+    # No completions yet in run 2 — and user 1 NOT re-emitted.
+    assert sorted(r["batch_id"] for r in rows2) == sorted(
+        r["batch_id"] for r in rows1
+    )
+
+    mk(waves[2], offsets[2]).coalesce(1).write.mode("append").parquet(str(src))
+    rows3, last3 = run_once()
+    assert last3 > last2
+    run3 = [r for r in rows3 if r["batch_id"] > max(r2["batch_id"] for r2 in rows2)]
+    # user 2's stages straddled BOTH restarts; user 3's straddled one.
+    assert {r["user_id"] for r in run3} == {2, 3}
+    # Exactly one emission per converting user across all three runs.
+    by_user = {}
+    for r in rows3:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert {u: len(v) for u, v in by_user.items()} == {1: 1, 2: 1, 3: 1}
+
+    # End state == the batch join-chain over everything ever written.
+    all_events = spark.read.schema(schema).parquet(str(src))
+    expect = {
+        r["user_id"]: (
+            int(r["t_view"].timestamp() * 1e6),
+            int(r["t_click"].timestamp() * 1e6),
+            int(r["t_purchase"].timestamp() * 1e6),
+        )
+        for r in streaming_funnel(all_events).collect()
+    }
+    got = {
+        r["user_id"]: (r["t_view_us"], r["t_click_us"], r["t_purchase_us"])
+        for r in rows3
+    }
+    assert got == expect
