@@ -1308,3 +1308,118 @@ def vocab_counts(spark: SparkSession, vocab_path: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.sum("freq").alias("freq"))
     )
+
+
+def streaming_cc_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    clusters_path: str,
+    checkpoint: str,
+    schema: str = "id_a long, id_b long",
+) -> "DataStreamWriter":
+    """Incremental connected components over an arriving near-dup pair
+    stream — the streaming face of
+    operators/corpus.dup_clusters_converged (round-4 VERDICT #8): per
+    micro-batch only the components the new pairs TOUCH are re-solved;
+    untouched clusters pass through by identity.
+
+    Per batch, with the persisted map M: ``doc_id -> cluster_id``:
+
+    1. Translate each new pair's endpoints through M (left join +
+       coalesce-to-self). Endpoints inside known clusters collapse to
+       their cluster ROOTS, so the CC instance below is over touched
+       roots plus genuinely new doc ids — bounded by the batch and what
+       it touches, never by corpus history.
+    2. Run the convergence-safe batch resolver on the translated edges
+       (the SAME operator — same star-contraction, same fixpoint raise),
+       yielding a remap ``old root / new doc -> final root``.
+    3. Rewrite M: a join on ``cluster_id`` relabels every member of a
+       merged cluster in one pass; an anti-join appends first-seen docs.
+
+    Exactness: every stored cluster is connected by induction, so
+    contracting it to its root preserves the union graph's components —
+    after any batch the map equals ``dup_clusters_converged`` over ALL
+    pairs ever seen (pinned stream ≡ batch on planted cross-batch
+    merges, incl. a chain assembled one edge per batch).
+
+    Replay: folding the same pairs twice is IDEMPOTENT — their endpoints
+    then map into one root, the translated edges vanish at the
+    ``lo != hi`` filter, and the rewrite is the identity — so no
+    batch-id watermark is needed (the monotone-accumulation contract of
+    the Bloom/HLL faces, by graph semantics instead of bit algebra).
+
+    Scale: the CC solve is bounded by touched components and the remap
+    is broadcast-small (one row per touched root), but the relabel
+    rewrites the full map per batch in this form. At 100 TB, partition
+    the map by a ``cluster_id`` bucket and switch the writer to dynamic
+    partition overwrite — only buckets containing remapped roots
+    rewrite; steps 1-3 are unchanged by that layout. The new map is
+    pinned (eager localCheckpoint) before the overwrite so the write
+    never reads its own input files.
+    """
+    from mtg_vector_db_spark.operators.corpus import dup_clusters_converged
+    from mtg_vector_db_spark.session import pin
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        m = _state_df(s, clusters_path)
+        pairs = batch_df.filter(
+            F.col("id_a").isNotNull() & F.col("id_b").isNotNull()
+        )
+        if m is None:
+            m = s.createDataFrame([], "doc_id long, cluster_id long")
+        translated = (
+            pairs.join(
+                m.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("cluster_id").alias("_ra"),
+                ),
+                "id_a",
+                "left",
+            )
+            .join(
+                m.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("cluster_id").alias("_rb"),
+                ),
+                "id_b",
+                "left",
+            )
+            .select(
+                F.coalesce("_ra", F.col("id_a")).alias("id_a"),
+                F.coalesce("_rb", F.col("id_b")).alias("id_b"),
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+        )
+        remap = dup_clusters_converged(translated).select(
+            F.col("doc_id").alias("old_id"),
+            F.col("cluster_id").alias("new_root"),
+        )
+        relabeled = (
+            m.join(
+                F.broadcast(remap.withColumnRenamed("old_id", "cluster_id")),
+                "cluster_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce("new_root", F.col("cluster_id")).alias("cluster_id"),
+            )
+        )
+        first_seen = remap.join(
+            m.select("doc_id"),
+            remap["old_id"] == m["doc_id"],
+            "left_anti",
+        ).select(
+            F.col("old_id").alias("doc_id"),
+            F.col("new_root").alias("cluster_id"),
+        )
+        new_map = pin(relabeled.unionByName(first_seen))
+        new_map.write.mode("overwrite").parquet(clusters_path)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )

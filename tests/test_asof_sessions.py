@@ -1531,3 +1531,71 @@ def test_streaming_funnel_recovers_from_checkpoint_restart(spark, tmp_path):
         for r in rows3
     }
     assert got == expect
+
+
+def test_streaming_cc_maintenance_matches_batch_on_cross_batch_merges(
+    spark, tmp_path
+):
+    """The incremental CC face (round-4 VERDICT #8): clusters formed in
+    earlier batches MERGE when a later batch's pair bridges them, a
+    chain assembled across three batches resolves to one min-label
+    component, and after every wave the maintained map equals the batch
+    resolver over ALL pairs ever seen. A fresh-checkpoint replay of all
+    files folds to the identity (graph-semantics idempotence — no
+    watermark needed)."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.operators.corpus import dup_clusters_converged
+    from mtg_vector_db_spark.streaming.pipelines import (
+        streaming_cc_maintenance,
+    )
+
+    src = tmp_path / "pairs"
+    src.mkdir()
+    store = str(tmp_path / "clusters")
+    schema = "id_a long, id_b long"
+
+    def run(ckpt):
+        q = streaming_cc_maintenance(
+            spark, str(src), store, str(tmp_path / ckpt), schema
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    def store_map():
+        return {
+            r["doc_id"]: r["cluster_id"]
+            for r in spark.read.parquet(store).collect()
+        }
+
+    def batch_map(pairs):
+        df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+        return {
+            r["doc_id"]: r["cluster_id"]
+            for r in dup_clusters_converged(df).collect()
+        }
+
+    waves = [
+        [(1, 2), (3, 4), (10, 11)],   # three disjoint clusters
+        [(2, 3)],                      # bridges {1,2} and {3,4} -> root 1
+        [(4, 5), (20, 21)],            # extends the merged cluster; new one
+    ]
+    seen = []
+    for i, w in enumerate(waves):
+        spark.createDataFrame(w, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        run("ckpt")
+        seen += w
+        assert store_map() == batch_map(seen), f"diverged after wave {i + 1}"
+
+    # The planted cross-batch chain 1-2-3-4-5 resolved to min-label 1
+    # through TWO prior-cluster contractions.
+    final = store_map()
+    assert {final[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert final[10] == final[11] == 10
+    assert final[20] == final[21] == 20
+
+    # Replay everything via a fresh checkpoint: all endpoints translate
+    # into single roots, every edge vanishes, the store is unchanged.
+    run("ckpt_replay")
+    assert store_map() == final
