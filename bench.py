@@ -128,6 +128,7 @@ HEADLINE = [
     # for both serving arms, the number p42/p40 could not isolate.
     "p44_graph_serve_stored",   # beam walk over the FROZEN graph artifact
     "p45_ivf_serve_stored",     # DPP-pruned probe of the stored IVF layout
+    "p46_pq_serve_stored",      # code-only scan + bounded rescore (stored PQ)
 ]
 
 

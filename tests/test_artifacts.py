@@ -223,3 +223,79 @@ def test_p45_layout_partitions_match_assignment(spark, sf0001):
     )
     assert diff == 0
     assert layout.count() == emb.count()
+
+
+# ---------------------------------------------------------------------------
+# p46: stored-PQ-codes serving
+# ---------------------------------------------------------------------------
+def test_p46_stored_codes_equal_fresh_encode(spark, sf0001):
+    """The code artifact must be bit-identical to a fresh pq_encode —
+    the invariant that lets the oracle replay codebooks+encode in CTEs
+    while the query reads parquet (pq_encode's tie_digits argmin is the
+    determinism source)."""
+    from mtg_vector_db_spark.operators.quantize import (
+        pq_encode,
+        seeded_pq_codebooks,
+    )
+    from mtg_vector_db_spark.plans.pipeline_queries import (
+        _PQ_CODES,
+        _PQ_M,
+        _stored_pq_path,
+    )
+
+    emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
+    stored = spark.read.parquet(_stored_pq_path(spark, sf0001))
+    cbs = seeded_pq_codebooks(emb, m=_PQ_M, n_codes=_PQ_CODES)
+    fresh = pq_encode(emb, cbs).select("vec_id", "codes")
+    assert stored.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(stored).count() == 0
+    assert set(stored.columns) == {"vec_id", "codes"}
+
+
+def test_p46_serving_scans_codes_not_corpus_for_ranking(spark, sf0001):
+    """Serve-many shape: executing the registered query leaves the code
+    store untouched (built at most once per corpus), and the plan's scan
+    of the stored artifact reads ONLY (vec_id, codes) — the raw
+    embeddings enter the plan solely through the probe slice and the
+    bounded top-K*os rescore join."""
+    from mtg_vector_db_spark.plans.pipeline_queries import _stored_pq_path
+
+    path = _stored_pq_path(spark, sf0001)
+    mtime = os.path.getmtime(path)
+    df = registry.QUERIES["p46_pq_serve_stored"](spark, sf0001)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert os.path.getmtime(path) == mtime  # reused, never rebuilt
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    code_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "pq_codes" in ln
+    ]
+    assert code_scans, "no FileScan over the stored code table"
+    assert all(
+        "ReadSchema: struct<vec_id:bigint,codes:array<int>" in ln
+        for ln in code_scans
+    ), "code scan reads more than (vec_id, codes)"
+
+
+def test_p46_answers_are_true_neighbors_mostly(spark, sf0001):
+    """Serving recall sanity: top-10-per-probe from the stored codes at
+    os=32 should overlap exact KNN heavily (p43's frontier: ~0.85 at
+    sf0.1; conservative floor here at sf0.001)."""
+    from mtg_vector_db_spark.operators.knn import knn_join
+    from mtg_vector_db_spark.plans.pipeline_queries import _P46_PROBES
+
+    emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
+    got = registry.QUERIES["p46_pq_serve_stored"](spark, sf0001)
+    probes = emb.filter(F.col("vec_id") < _P46_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = knn_join(emb, probes, k=10, round_digits=6).select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+    n_hit = got.join(exact, ["query_id", "neighbor_id"]).count()
+    n_all = got.count()
+    assert n_all > 0
+    assert n_hit / n_all >= 0.8
