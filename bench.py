@@ -129,6 +129,7 @@ HEADLINE = [
     "p44_graph_serve_stored",   # beam walk over the FROZEN graph artifact
     "p45_ivf_serve_stored",     # DPP-pruned probe of the stored IVF layout
     "p46_pq_serve_stored",      # code-only scan + bounded rescore (stored PQ)
+    "t39_bpe_batched_train",    # multi-merge BPE round w/ recursive-CTE oracle
 ]
 
 

@@ -148,6 +148,7 @@ def bpe_train_batched(
     word_freq: DataFrame,
     n_merges: int = 64,
     batch_m: int = 16,
+    max_rounds: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Multi-merge-per-round BPE training — the scale path past
     :func:`bpe_train`'s one-merge-per-round bound (round-4 VERDICT #3):
@@ -183,6 +184,11 @@ def bpe_train_batched(
     as ``round`` (1..n_merges, one row each) plus the batch round it was
     learned in (``batch_round``) — :func:`bpe_encode` applies it
     unchanged via ``rounds=n_merges``.
+
+    ``max_rounds`` caps the number of batch rounds (conflicts can defer
+    picks, stretching n_merges over extra rounds) — the fixed-structure
+    form the t39 oracle replays; ``None`` (production) runs until
+    ``n_merges`` are learned or the corpus is exhausted.
     """
     from mtg_vector_db_spark.session import pin
 
@@ -190,7 +196,9 @@ def bpe_train_batched(
     words = pin(encode_words(word_freq))
     learned: list[tuple[int, int, str, str, int]] = []  # rank, batch_round, x, y, cnt
     batch_round = 0
-    while len(learned) < n_merges:
+    while len(learned) < n_merges and (
+        max_rounds is None or batch_round < max_rounds
+    ):
         batch_round += 1
         want = min(batch_m, n_merges - len(learned))
         # collect: bounded to 4*batch_m pair-type rows (the greedy

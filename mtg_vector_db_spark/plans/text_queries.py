@@ -2572,3 +2572,140 @@ def _bpe_oov_oracle() -> str:
 
 
 oracle("t38_bpe_oov_encode", _bpe_oov_oracle())
+
+
+# ---------------------------------------------------------------------------
+# T39: BATCHED BPE training, oracle-replayed — the multi-merge-per-round
+# scale path (operators/bpe.py:bpe_train_batched; round-4 VERDICT #3)
+# as a registered, driver-checked query. Per batch round: top-M
+# symbol-DISJOINT pairs among the top-4M candidates (conflicting pairs
+# defer to the next recount), applied in one rewrite pass. The oracle
+# replays the whole thing in SQL: the greedy non-interacting selection
+# is a RECURSIVE CTE walking candidate ranks while accumulating the
+# used-symbol set as a sentinel-wrapped string (symbols never contain
+# the sentinel, so `contains(used, ␟sym␟)` IS set membership), and the
+# batch rewrite is a second recursive CTE folding the picked merges in
+# rank order — both engines then agree merge-for-merge (the planted
+# test pins batched ≡ sequential on independent pairs; THIS query pins
+# batched ≡ batched across engines on real corpora, every round).
+#
+# Constants satisfy n_merges = batch_m * rounds so the per-round pick
+# budget is the constant batch_m on both sides (the Spark trainer's
+# `want` = min(batch_m, remaining) can otherwise shrink — keep the
+# invariant if retuning).
+# ---------------------------------------------------------------------------
+_T39_M = 4
+_T39_ROUNDS = 2
+_T39_MERGES = _T39_M * _T39_ROUNDS
+
+
+@query("t39_bpe_batched_train")
+def t39_bpe_batched_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators import bpe
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    merges, _ = bpe.bpe_train_batched(
+        bpe.word_types(docs),
+        n_merges=_T39_MERGES,
+        batch_m=_T39_M,
+        max_rounds=_T39_ROUNDS,
+    )
+    return merges.select(
+        "round", "batch_round", "x", "y", "cnt"
+    ).orderBy("round")
+
+
+def _t39_round_ctes(r: int) -> str:
+    sep = "chr(31)"
+    sep2 = f"{sep} || {sep}"
+    m, cands = _T39_M, 4 * _T39_M
+    ok = (
+        f"s.picked < {m}"
+        f" AND NOT contains(s.used, {sep} || c.x || {sep})"
+        f" AND NOT contains(s.used, {sep} || c.y || {sep})"
+        f" AND NOT contains(s.used, {sep} || c.x || c.y || {sep})"
+    )
+    return f""",
+    p{r} AS (
+      SELECT syms[i] AS x, syms[i + 1] AS y, freq
+      FROM (SELECT string_split(w[2:len(w) - 1], {sep2}) AS syms, freq
+            FROM b{r - 1}) s,
+           unnest(range(1, len(syms))) AS u(i)
+    ),
+    cand{r} AS MATERIALIZED (
+      SELECT x, y, cnt,
+             row_number() OVER (ORDER BY cnt DESC, x ASC, y ASC) AS rn
+      FROM (SELECT x, y, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM p{r} GROUP BY x, y)
+      ORDER BY rn LIMIT {cands}
+    ),
+    sel{r} AS (
+      SELECT 0 AS rn, 0 AS picked, '' AS used,
+             CAST(NULL AS VARCHAR) AS x, CAST(NULL AS VARCHAR) AS y,
+             CAST(NULL AS BIGINT) AS cnt, FALSE AS take
+      UNION ALL
+      SELECT c.rn,
+             s.picked + CASE WHEN {ok} THEN 1 ELSE 0 END,
+             s.used || CASE WHEN {ok}
+                        THEN {sep} || c.x || {sep} || {sep} || c.y || {sep}
+                             || {sep} || c.x || c.y || {sep}
+                        ELSE '' END,
+             c.x, c.y, c.cnt,
+             ({ok}) AS take
+      FROM sel{r} s JOIN cand{r} c ON c.rn = s.rn + 1
+    ),
+    picks{r} AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY rn) AS k, x, y, cnt
+      FROM sel{r} WHERE take
+    ),
+    apply{r} AS (
+      SELECT tok, w, freq, 0 AS k FROM b{r - 1}
+      UNION ALL
+      SELECT a.tok,
+             replace(a.w, {sep} || m.x || {sep2} || m.y || {sep},
+                          {sep} || m.x || m.y || {sep}),
+             a.freq, a.k + 1
+      FROM apply{r} a JOIN picks{r} m ON m.k = a.k + 1
+    ),
+    b{r} AS MATERIALIZED (
+      SELECT tok, w, freq FROM apply{r}
+      WHERE k = (SELECT count(*) FROM picks{r})
+    )"""
+
+
+def _t39_oracle() -> str:
+    sep = "chr(31)"
+    sep2 = f"{sep} || {sep}"
+    sql = f"""
+    WITH RECURSIVE wt AS (
+      SELECT tok, count(*) AS freq
+      FROM (SELECT unnest({_TOKS_L}) AS tok FROM documents)
+      WHERE NOT contains(tok, {sep}) GROUP BY tok
+    ),
+    b0 AS MATERIALIZED (
+      SELECT tok, {sep} || array_to_string(
+               list_transform(range(1, len(tok) + 1),
+                              i -> substring(tok, i, 1)), {sep2})
+             || {sep} AS w, freq
+      FROM wt
+    )"""
+    for r in range(1, _T39_ROUNDS + 1):
+        sql += _t39_round_ctes(r)
+    unions = []
+    for r in range(1, _T39_ROUNDS + 1):
+        off = " + ".join(
+            ["0"] + [f"(SELECT count(*) FROM picks{j})" for j in range(1, r)]
+        )
+        unions.append(
+            f"SELECT CAST(k + {off} AS INT) AS round,"
+            f" {r} AS batch_round, x, y, cnt FROM picks{r}"
+        )
+    return (
+        sql
+        + "\n    SELECT * FROM ("
+        + "\n    UNION ALL ".join(unions)
+        + ") ORDER BY round"
+    )
+
+
+oracle("t39_bpe_batched_train", _t39_oracle())

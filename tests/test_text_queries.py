@@ -604,3 +604,43 @@ def test_bpe_train_batched_stops_on_exhausted_corpus(spark):
     merges, words = bpe_train_batched(wf, n_merges=50, batch_m=8)
     assert merges.count() == 2
     assert words.count() == 2
+
+
+def test_t39_batched_train_oracle_on_degenerate_corpora(spark, tmp_path):
+    """The t39 oracle's recursive greedy selection must track the Spark
+    trainer through every degenerate shape: merge exhaustion after one
+    pick, mid-round-2 exhaustion, conflict-heavy chained pairs (picks
+    deferred across rounds), zero learnable merges, and empty docs."""
+    import shutil
+
+    import pandas as pd
+
+    src = "/root/testdata/sf0.001"
+    cases = {
+        "exhaust1": (["ab ab ab"], 1),
+        "exhaust2": (["ab ab ab cd cd xy"], 3),
+        "conflict": (["abcde abcde abcd bcde abc bcd cde ab bc cd de"] * 3, 4),
+        "none": (["a b c d e"], 0),
+        "empty": (["", "   ", "x"], 0),
+    }
+    for name, (texts, want_merges) in cases.items():
+        d = tmp_path / name
+        d.mkdir()
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "embeddings"
+        ).split():
+            shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+        pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": texts,
+                "source": ["x"] * len(texts),
+                "lang": ["en"] * len(texts),
+            }
+        ).to_parquet(str(d / "documents.parquet"), index=False)
+        df = registry.QUERIES["t39_bpe_batched_train"](spark, str(d))
+        assert df.count() == want_merges, name
+        assert_matches_oracle(
+            df, registry.ORACLES["t39_bpe_batched_train"], str(d)
+        )
