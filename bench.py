@@ -130,6 +130,7 @@ HEADLINE = [
     "p45_ivf_serve_stored",     # DPP-pruned probe of the stored IVF layout
     "p46_pq_serve_stored",      # code-only scan + bounded rescore (stored PQ)
     "t39_bpe_batched_train",    # multi-merge BPE round w/ recursive-CTE oracle
+    "t40_trigram_serve_stored", # GIN-analog posting-list probe (stored index)
 ]
 
 

@@ -2709,3 +2709,135 @@ def _t39_oracle() -> str:
 
 
 oracle("t39_bpe_batched_train", _t39_oracle())
+
+
+# ---------------------------------------------------------------------------
+# T40: TRIGRAM SEARCH FROM A STORED POSTING LIST — the GIN-index analog,
+# completing reference parity for its SECOND index: the reference builds
+# a pg_trgm GIN index at schema create (/root/reference/db/init.sql:32)
+# and every fuzzy-tier query only probes it
+# (db/search_strategies.py:97-106); t01 reproduces the similarity math
+# but re-derives every name's trigram set per execution. Here the
+# posting list (tg, p_name, n_d) is a content-addressed artifact,
+# range-partitioned and sorted by trigram so the serving scan's
+# `tg IN (<query trigrams>)` filter is PUSHED to parquet (plan-asserted
+# — only row groups containing the query's ~8 trigrams are read, the
+# GIN posting-fetch access pattern). Shared-count aggregation then
+# reconstructs EXACT pg_trgm similarity relationally:
+# |A∩B| = shared postings, |A∪B| = nq + n_d − shared — so t40's top-10
+# equals t01's scan answer bit-for-bit (pinned), the same way p44/p45/
+# p46 serve the vector arms from their stored indexes.
+# ---------------------------------------------------------------------------
+_T40_Q = "blu bolt"
+_T40_K = 10
+
+
+def _pg_trgm_set(s: str) -> list[str]:
+    """pg_trgm trigram set in Python — mirrors functions/trigram.py
+    operation-for-operation (lowercase, split on non-alphanumeric runs,
+    pad '  w ', all 3-substrings, dedup) for QUERY literals only; any
+    divergence from the engine construction would break the t40↔t01
+    equality test and the oracle compare, both pinned."""
+    import re
+
+    out: list[str] = []
+    seen = set()
+    for w in re.split("[^a-z0-9]+", s.lower()):
+        if not w:
+            continue
+        p = "  " + w + " "
+        for i in range(len(p) - 2):
+            t = p[i : i + 3]
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+    return out
+
+
+def _stored_trgm_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing path of the frozen trigram posting list over
+    distinct part names. Sorted+range-partitioned by trigram: parquet
+    min/max stats make the serving IN-filter skip every row group that
+    holds none of the query's trigrams."""
+    import os
+
+    from mtg_vector_db_spark.operators.artifacts import (
+        artifact_key,
+        artifact_root,
+        dataset_fingerprint,
+        ensure_artifact,
+    )
+
+    fp = dataset_fingerprint(f"{sf_dir}/part.parquet")
+    key = artifact_key("trgm_postings", "v1", fp)
+    path = os.path.join(artifact_root(), "trgm_postings", key)
+
+    def build(tmp: str) -> None:
+        from mtg_vector_db_spark.functions.trigram import trigram_set
+
+        (part,) = tables(spark, sf_dir, "part")
+        names = part.select("p_name").distinct()
+        tris = trigram_set(F.col("p_name"))
+        (
+            names.select(
+                "p_name",
+                F.size(tris).alias("n_d"),
+                F.explode(tris).alias("tg"),
+            )
+            .repartitionByRange(8, "tg")
+            .sortWithinPartitions("tg")
+            .write.parquet(tmp)
+        )
+
+    ensure_artifact(path, build)
+    return path
+
+
+@query("t40_trigram_serve_stored")
+def t40_trigram_serve_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qtris = _pg_trgm_set(_T40_Q)
+    nq = len(qtris)
+    post = spark.read.parquet(_stored_trgm_path(spark, sf_dir))
+    shared = (
+        post.filter(F.col("tg").isin(qtris))  # pushed to the parquet scan
+        .groupBy("p_name", "n_d")
+        .agg(F.count(F.lit(1)).alias("sh"))
+    )
+    sim = F.round(
+        F.col("sh").cast("double")
+        / (F.lit(nq) + F.col("n_d") - F.col("sh")).cast("double"),
+        R,
+    )
+    return (
+        shared.select("p_name", sim.alias("sim"))
+        .filter(F.col("sim") > 0.0)
+        .orderBy(F.desc("sim"), F.asc("p_name"))
+        .limit(_T40_K)
+    )
+
+
+def _t40_oracle() -> str:
+    from mtg_vector_db_spark.functions.trigram import duckdb_trigram_set_sql
+
+    tri_name = duckdb_trigram_set_sql("p_name")
+    tri_q = duckdb_trigram_set_sql(f"'{_T40_Q}'")
+    return f"""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    post AS MATERIALIZED (
+      SELECT p_name, len({tri_name}) AS n_d, unnest({tri_name}) AS tg
+      FROM names),
+    q AS (SELECT unnest({tri_q}) AS tg),
+    nq AS (SELECT count(*) AS n_q FROM q),
+    shared AS (
+      SELECT p_name, n_d, count(*) AS sh
+      FROM post JOIN q USING (tg) GROUP BY p_name, n_d)
+    SELECT p_name,
+           round(CAST(sh AS DOUBLE)
+                 / CAST(nq.n_q + n_d - sh AS DOUBLE), {R}) AS sim
+    FROM shared CROSS JOIN nq
+    WHERE round(CAST(sh AS DOUBLE)
+                / CAST(nq.n_q + n_d - sh AS DOUBLE), {R}) > 0.0
+    ORDER BY sim DESC, p_name ASC LIMIT {_T40_K}"""
+
+
+oracle("t40_trigram_serve_stored", _t40_oracle())

@@ -299,3 +299,62 @@ def test_p46_answers_are_true_neighbors_mostly(spark, sf0001):
     n_all = got.count()
     assert n_all > 0
     assert n_hit / n_all >= 0.8
+
+
+# ---------------------------------------------------------------------------
+# t40: stored trigram posting-list serving (the GIN analog)
+# ---------------------------------------------------------------------------
+def test_t40_serves_exactly_t01s_scan_answer(spark, sf0001):
+    """The posting-list reconstruction |A∩B|/(nq + n_d − shared) must
+    reproduce pg_trgm similarity EXACTLY: t40's top-10 from the stored
+    index equals t01's full-scan answer bit-for-bit."""
+    got = sorted(
+        (r["p_name"], r["sim"])
+        for r in registry.QUERIES["t40_trigram_serve_stored"](
+            spark, sf0001
+        ).collect()
+    )
+    want = sorted(
+        (r["p_name"], r["sim"])
+        for r in registry.QUERIES["t01_trigram_topk"](spark, sf0001).collect()
+    )
+    assert got == want
+
+
+def test_t40_scan_pushes_query_trigrams(spark, sf0001):
+    """GIN posting-fetch shape: the serving scan carries the query's
+    trigram IN-filter down to the parquet source (sorted/range-
+    partitioned by tg, so row groups without the query's trigrams are
+    skipped via min/max stats), and the store is never rebuilt."""
+    from mtg_vector_db_spark.plans.text_queries import _stored_trgm_path
+
+    path = _stored_trgm_path(spark, sf0001)
+    mtime = os.path.getmtime(path)
+    df = registry.QUERIES["t40_trigram_serve_stored"](spark, sf0001)
+    assert df.count() > 0
+    assert os.path.getmtime(path) == mtime
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "trgm_postings" in ln
+    ]
+    assert scans, "no FileScan over the stored posting list"
+    assert any("In(tg" in ln or "IN (" in ln for ln in scans), (
+        "query-trigram filter not pushed to the posting scan"
+    )
+
+
+def test_t40_python_trigrams_match_engine_construction(spark):
+    """_pg_trgm_set (the query-literal side) must mirror the engine
+    trigram_set exactly — checked on strings covering multi-word,
+    case folding, punctuation splits, short words, and digits."""
+    from mtg_vector_db_spark.functions.trigram import trigram_set
+    from mtg_vector_db_spark.plans.text_queries import _pg_trgm_set
+
+    cases = ["blu bolt", "A", "ab-cd 42", "  spaced  out  ", "MiXeD CaSe9"]
+    df = spark.createDataFrame([(c,) for c in cases], ["s"]).select(
+        "s", trigram_set(F.col("s")).alias("t")
+    )
+    for r in df.collect():
+        assert sorted(r["t"]) == sorted(_pg_trgm_set(r["s"])), r["s"]
