@@ -1423,3 +1423,88 @@ def streaming_cc_maintenance(
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def streaming_trgm_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    postings_path: str,
+    checkpoint: str,
+    schema: str = "p_name string",
+) -> "DataStreamWriter":
+    """Incremental trigram posting-list maintenance — the GIN analog's
+    streaming face (t40 serves the batch-built artifact; this keeps a
+    LIVE posting store fresh as names arrive, the pattern of
+    streaming_ivf_ingest: frozen geometry, appended rows).
+
+    Per batch: explode each NEW distinct name into its pg_trgm posting
+    rows ``(tg, p_name, n_d, batch_id)`` — O(batch names × ~name_len)
+    — and APPEND them; history is never rescanned or rewritten. Names
+    already in the store are skipped via a left-anti probe (posting
+    rows are per-name-complete, so re-adding a name would double its
+    shared counts at serve time — the same reason a re-delivered batch
+    id is skipped via the high-watermark: posting append, like SUM, is
+    not idempotent). Serving probes the store exactly like t40 probes
+    the artifact: IN-filter on the query's trigrams, shared-count
+    aggregation, exact pg_trgm similarity.
+    """
+    from mtg_vector_db_spark.functions.trigram import trigram_set
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        existing = _state_df(s, postings_path)
+        if existing is not None:
+            last = _max_batch_id(existing)
+            if last is not None and batch_id <= last:
+                return  # replayed batch: already folded, skip
+        new_names = batch_df.select("p_name").distinct().filter(
+            F.col("p_name").isNotNull()
+        )
+        if existing is not None:
+            new_names = new_names.join(
+                existing.select("p_name").distinct(), "p_name", "left_anti"
+            )
+        tris = trigram_set(F.col("p_name"))
+        (
+            new_names.select(
+                "p_name",
+                F.size(tris).alias("n_d"),
+                F.explode(tris).alias("tg"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(postings_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def trgm_probe(spark: SparkSession, postings_path: str, q: str, k: int = 10):
+    """Serve a fuzzy-name query from the MAINTAINED posting store —
+    identical math to t40's artifact probe (exact pg_trgm similarity
+    from shared counts), the read side of streaming_trgm_maintenance."""
+    from mtg_vector_db_spark.plans.text_queries import _pg_trgm_set
+
+    qtris = _pg_trgm_set(q)
+    nq = len(qtris)
+    post = spark.read.parquet(postings_path)
+    shared = (
+        post.filter(F.col("tg").isin(qtris))
+        .groupBy("p_name", "n_d")
+        .agg(F.count(F.lit(1)).alias("sh"))
+    )
+    sim = F.round(
+        F.col("sh").cast("double")
+        / (F.lit(nq) + F.col("n_d") - F.col("sh")).cast("double"),
+        6,
+    )
+    return (
+        shared.select("p_name", sim.alias("sim"))
+        .filter(F.col("sim") > 0.0)
+        .orderBy(F.desc("sim"), F.asc("p_name"))
+        .limit(k)
+    )

@@ -1599,3 +1599,71 @@ def test_streaming_cc_maintenance_matches_batch_on_cross_batch_merges(
     # into single roots, every edge vanishes, the store is unchanged.
     run("ckpt_replay")
     assert store_map() == final
+
+
+def test_streaming_trgm_maintenance_matches_batch_probe(spark, tmp_path):
+    """The maintained posting store after two waves answers EXACTLY like
+    the t40-style scan over all names seen (stream == batch), names
+    re-delivered in a later wave are not double-posted (anti-join
+    guard), and a fresh-checkpoint full replay leaves the store
+    unchanged (high-watermark guard)."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.functions.trigram import trigram_similarity
+    from mtg_vector_db_spark.streaming.pipelines import (
+        streaming_trgm_maintenance,
+        trgm_probe,
+    )
+
+    src = tmp_path / "names"
+    src.mkdir()
+    store = str(tmp_path / "postings")
+
+    def run(ckpt):
+        q = streaming_trgm_maintenance(
+            spark, str(src), store, str(tmp_path / ckpt)
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    w1 = ["blue bolt", "blunt edge", "bolt cutter"]
+    w2 = ["blue bolt", "bland tone", "azure volt"]  # first is a re-delivery
+    spark.createDataFrame([(n,) for n in w1], "p_name string").coalesce(
+        1
+    ).write.mode("append").parquet(str(src))
+    run("ckpt")
+    spark.createDataFrame([(n,) for n in w2], "p_name string").coalesce(
+        1
+    ).write.mode("append").parquet(str(src))
+    run("ckpt")
+
+    post = spark.read.parquet(store)
+    # no double-posting: one posting set per DISTINCT name
+    assert post.select("p_name").distinct().count() == 5
+    assert (
+        post.groupBy("p_name", "tg").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+
+    got = {
+        r["p_name"]: r["sim"]
+        for r in trgm_probe(spark, store, "blu bolt").collect()
+    }
+    names = spark.createDataFrame(
+        [(n,) for n in set(w1 + w2)], "p_name string"
+    )
+    want = {
+        r["p_name"]: r["sim"]
+        for r in names.select(
+            "p_name",
+            F.round(
+                trigram_similarity(F.col("p_name"), F.lit("blu bolt")), 6
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") > 0.0)
+        .collect()
+    }
+    assert got == want
+
+    before = post.count()
+    run("ckpt_replay")  # fresh checkpoint: batch 0 re-delivers everything
+    assert spark.read.parquet(store).count() == before
