@@ -131,6 +131,7 @@ HEADLINE = [
     "p46_pq_serve_stored",      # code-only scan + bounded rescore (stored PQ)
     "t39_bpe_batched_train",    # multi-merge BPE round w/ recursive-CTE oracle
     "t40_trigram_serve_stored", # GIN-analog posting-list probe (stored index)
+    "p47_ivfpq_serve_stored",   # combined IVF-PQ: DPP cells + code-only ADC
 ]
 
 

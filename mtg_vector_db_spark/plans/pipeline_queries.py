@@ -4557,3 +4557,250 @@ def _p46_oracle() -> str:
 
 
 oracle("p46_pq_serve_stored", _p46_oracle())
+
+
+# ---------------------------------------------------------------------------
+# P47 (extension): IVF-PQ serving FROM THE STORED LAYOUT — the combined
+# production ANN shape (FAISS IVFPQ): ONE artifact holds the PQ codes
+# hive-partitioned by IVF cell, so a query (a) probes nprobe cells
+# map-side (p45's centroid-literal argmin), (b) scans ONLY those cells'
+# CODE rows under dynamic partition pruning — per-query bytes read =
+# (nprobe/cells) × 9 small ints per vector, the 100 TB serving claim in
+# one number — (c) ranks candidates by broadcast-ADC lookups, and
+# (d) exact-rescores the bounded top K·os. p45 proves the pruning arm,
+# p46 the code-scan arm; this is their composition, which is what a
+# real deployment runs. Oracle: p45's assignment/probe CTEs feeding
+# p46's codebook/encode/ADC chain, restricted to probed cells, then
+# the rescore — all replayable because both halves are deterministic.
+# ---------------------------------------------------------------------------
+_P47_NPROBE = 4
+_P47_OS = 32
+_P47_K = 10
+_P47_PROBES = 10
+
+
+def _stored_ivfpq_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing path of the frozen IVF-PQ layout: PQ codes
+    partitioned by their vector's IVF cell (codes + cell assignment are
+    both pure deterministic functions of the corpus)."""
+    import os
+
+    from mtg_vector_db_spark.operators.artifacts import (
+        artifact_key,
+        artifact_root,
+        dataset_fingerprint,
+        ensure_artifact,
+    )
+
+    fp = dataset_fingerprint(f"{sf_dir}/embeddings.parquet")
+    key = artifact_key(
+        "ivfpq_layout", "v1", 250, 8, _PQ_M, _PQ_CODES, fp
+    )
+    path = os.path.join(artifact_root(), "ivfpq_layout", key)
+
+    def build(tmp: str) -> None:
+        from mtg_vector_db_spark.operators.ann import (
+            dynamic_seed_cells,
+            ivf_assign,
+        )
+        from mtg_vector_db_spark.operators.quantize import (
+            pq_encode,
+            seeded_pq_codebooks,
+        )
+
+        (emb,) = tables(spark, sf_dir, "embeddings")
+        cbs = seeded_pq_codebooks(emb, m=_PQ_M, n_codes=_PQ_CODES)
+        coded = pq_encode(emb, cbs).select("vec_id", "codes")
+        cells = ivf_assign(emb, dynamic_seed_cells(emb)).select(
+            "vec_id", "cell"
+        )
+        coded.join(cells, "vec_id").write.partitionBy("cell").parquet(tmp)
+
+    ensure_artifact(path, build)
+    return path
+
+
+@query("p47_ivfpq_serve_stored")
+def p47_ivfpq_serve_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions.vector import (
+        cosine_similarity,
+        l2_normalize,
+    )
+    from mtg_vector_db_spark.operators.ann import (
+        dynamic_seed_cells,
+        ivf_ranked_assign,
+    )
+    from mtg_vector_db_spark.operators.quantize import seeded_pq_codebooks
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    layout = spark.read.parquet(_stored_ivfpq_path(spark, sf_dir))
+    probes = emb.filter(F.col("vec_id") < _P47_PROBES)
+    cents = dynamic_seed_cells(emb)
+    pcells = ivf_ranked_assign(probes, cents, nprobe=_P47_NPROBE).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        "cell",
+    )
+    cbs = seeded_pq_codebooks(emb, m=_PQ_M, n_codes=_PQ_CODES)
+    cw = spark.createDataFrame(
+        [
+            (s, c, list(cbs[s][c]))
+            for s in range(_PQ_M)
+            for c in range(_PQ_CODES)
+        ],
+        "s int, code int, w array<double>",
+    )
+    qslice = F.slice(
+        l2_normalize(F.col("query_vec")), F.col("s") * _PQ_DSUB + 1, _PQ_DSUB
+    )
+    dt = (
+        pcells.select("query_id", "query_vec").distinct()
+        .crossJoin(F.broadcast(cw))
+        .select(
+            "query_id",
+            "s",
+            "code",
+            F.aggregate(
+                F.zip_with(
+                    F.col("w"), qslice, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dv"),
+        )
+    )
+    # (b) probe side broadcast -> DPP prunes the CODE scan to probed
+    # cells; only those cells' 9-int rows are ever read.
+    cand_codes = (
+        layout.join(F.broadcast(pcells.select("query_id", "cell")), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.posexplode("codes").alias("s", "code"))
+    )
+    adc = (
+        cand_codes.join(F.broadcast(dt), ["query_id", "s", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("doc_id"))
+        .agg(F.round(F.sum("dv"), R).alias("adc_dist"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("doc_id")
+    )
+    cand = (
+        adc.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= _P47_K * _P47_OS)
+        .select("query_id", "doc_id")
+    )
+    qv = pcells.select("query_id", "query_vec").distinct()
+    resc = emb.join(
+        F.broadcast(cand.join(F.broadcast(qv), "query_id")),
+        emb["vec_id"] == F.col("doc_id"),
+    ).select(
+        "query_id",
+        F.col("doc_id").alias("neighbor_id"),
+        F.round(
+            cosine_similarity(F.col("embedding"), F.col("query_vec")), R
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        resc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _P47_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _p47_oracle() -> str:
+    d, m, nc = _PQ_DSUB, _PQ_M, _PQ_CODES
+    k, os_, probes, nprobe = _P47_K, _P47_OS, _P47_PROBES, _P47_NPROBE
+    return f"""
+    WITH kc AS (
+      SELECT greatest(8, CAST(ceil(count(*) / 250.0) AS INT)) AS k
+      FROM embeddings),
+    e AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS MATERIALIZED (
+        SELECT vec_id, v,
+               list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                 AS nx
+        FROM e),
+    c AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec,
+                 list_inner_product(v, v) AS n2
+          FROM e WHERE vec_id < (SELECT k FROM kc)),
+    dmat AS (SELECT n.vec_id, c.cell,
+                    c.n2 - 2 * list_inner_product(c.cvec, n.nx) AS dist
+             FROM n CROSS JOIN c),
+    assigned AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, cell) AS rn
+          FROM dmat) WHERE rn = 1),
+    probe AS (SELECT vec_id AS query_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cell) AS rn
+                FROM dmat WHERE vec_id < {probes})
+              WHERE rn <= {nprobe}),
+    qs AS MATERIALIZED (
+        SELECT vec_id AS query_id, v AS qv, nx AS nq
+        FROM n WHERE vec_id < {probes}),
+    cw AS MATERIALIZED (
+        SELECT t.s, n.vec_id AS code,
+               n.nx[t.s * {d} + 1 : t.s * {d} + {d}] AS w
+        FROM n, range(0, {m}) t(s) WHERE n.vec_id < {nc}),
+    sub AS (SELECT n.vec_id, t.s,
+                   n.nx[t.s * {d} + 1 : t.s * {d} + {d}] AS sv
+            FROM n, range(0, {m}) t(s)),
+    enc AS MATERIALIZED (
+        SELECT vec_id, s, code FROM (
+          SELECT sub.vec_id, sub.s, cw.code,
+                 row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY round(list_inner_product(sub.sv, sub.sv)
+                                  - 2 * list_inner_product(sub.sv, cw.w)
+                                  + list_inner_product(cw.w, cw.w), 9),
+                            cw.code) AS rn
+          FROM sub JOIN cw ON sub.s = cw.s) WHERE rn = 1),
+    dt AS MATERIALIZED (
+        SELECT query_id, s, code,
+               list_inner_product(diff, diff) AS dv FROM (
+          SELECT q.query_id, cw.s, cw.code,
+                 list_transform(range(1, {d + 1}),
+                   i -> cw.w[i] - q.nq[cw.s * {d} + i]) AS diff
+          FROM cw CROSS JOIN qs q)),
+    cand0 AS MATERIALIZED (
+        SELECT DISTINCT p.query_id, a.vec_id
+        FROM assigned a JOIN probe p USING (cell)
+        WHERE a.vec_id <> p.query_id),
+    adc AS MATERIALIZED (
+        SELECT c0.query_id, enc.vec_id AS doc_id,
+               round(sum(dt.dv), {R}) AS adc_dist
+        FROM cand0 c0
+        JOIN enc ON enc.vec_id = c0.vec_id
+        JOIN dt ON dt.query_id = c0.query_id
+               AND dt.s = enc.s AND dt.code = enc.code
+        GROUP BY c0.query_id, enc.vec_id),
+    cand AS MATERIALIZED (
+        SELECT query_id, doc_id FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist ASC, doc_id ASC) AS arank
+          FROM adc) WHERE arank <= {k * os_}),
+    resc AS (
+        SELECT c.query_id, c.doc_id AS neighbor_id,
+               round(list_cosine_similarity(e.v, q.qv), {R}) AS sim
+        FROM cand c
+        JOIN e ON e.vec_id = c.doc_id
+        JOIN qs q ON q.query_id = c.query_id)
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM resc)
+    WHERE rank <= {k}
+    ORDER BY query_id, rank"""
+
+
+oracle("p47_ivfpq_serve_stored", _p47_oracle())

@@ -358,3 +358,129 @@ def test_t40_python_trigrams_match_engine_construction(spark):
     )
     for r in df.collect():
         assert sorted(r["t"]) == sorted(_pg_trgm_set(r["s"])), r["s"]
+
+
+# ---------------------------------------------------------------------------
+# p47: combined IVF-PQ stored serving
+# ---------------------------------------------------------------------------
+def test_p47_layout_equals_fresh_build(spark, sf0001):
+    """The IVF-PQ layout must be bit-identical to a fresh assign+encode
+    (both are pure deterministic functions of the corpus) — the oracle
+    replays them in CTEs while the query reads parquet."""
+    from mtg_vector_db_spark.operators.ann import (
+        dynamic_seed_cells,
+        ivf_assign,
+    )
+    from mtg_vector_db_spark.operators.quantize import (
+        pq_encode,
+        seeded_pq_codebooks,
+    )
+    from mtg_vector_db_spark.plans.pipeline_queries import (
+        _PQ_CODES,
+        _PQ_M,
+        _stored_ivfpq_path,
+    )
+
+    emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
+    stored = spark.read.parquet(_stored_ivfpq_path(spark, sf0001)).select(
+        "vec_id", "codes", F.col("cell").cast("int").alias("cell")
+    )
+    cbs = seeded_pq_codebooks(emb, m=_PQ_M, n_codes=_PQ_CODES)
+    fresh = (
+        pq_encode(emb, cbs)
+        .select("vec_id", "codes")
+        .join(
+            ivf_assign(emb, dynamic_seed_cells(emb)).select(
+                "vec_id", F.col("cell").cast("int").alias("cell")
+            ),
+            "vec_id",
+        )
+    )
+    assert stored.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(stored).count() == 0
+
+
+def test_p47_scan_is_pruned_and_codes_only(spark, sf0001):
+    """The production IVF-PQ serving claim, plan-asserted: the layout
+    scan is confined to probed cells by DYNAMIC PARTITION PRUNING and
+    reads ONLY (vec_id, codes) — per-query bytes = (nprobe/cells) x
+    9 small ints per vector. Raw embeddings enter the plan only via
+    the probe slice and the bounded top-K*os rescore."""
+    from mtg_vector_db_spark.plans.pipeline_queries import _stored_ivfpq_path
+
+    path = _stored_ivfpq_path(spark, sf0001)
+    mtime = os.path.getmtime(path)
+    df = registry.QUERIES["p47_ivfpq_serve_stored"](spark, sf0001)
+    assert df.count() > 0
+    assert os.path.getmtime(path) == mtime  # reused, never rebuilt
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "ivfpq_layout" in ln
+    ]
+    assert scans, "no FileScan over the stored IVF-PQ layout"
+    assert any("dynamicpruning" in ln for ln in scans), (
+        "code scan is not partition-pruned by the probe cells"
+    )
+    assert all(
+        "ReadSchema: struct<vec_id:bigint,codes:array<int>" in ln
+        for ln in scans
+    ), "code scan reads more than (vec_id, codes)"
+
+
+def test_p47_recall_within_probed_cells_is_exact(spark, sf0001):
+    """Within the probed cells the ADC+rescore chain must not lose
+    true neighbors: p47's top-10 equals exact KNN RESTRICTED to the
+    same probed cells whenever the candidate pool exceeds the rescore
+    depth is not binding (os=32 rescore depth >= pool here), i.e. the
+    only recall loss vs exact KNN is the IVF cell selection itself."""
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions.vector import cosine_similarity
+    from mtg_vector_db_spark.operators.ann import (
+        dynamic_seed_cells,
+        ivf_assign,
+        ivf_ranked_assign,
+    )
+    from mtg_vector_db_spark.plans.pipeline_queries import (
+        _P47_K,
+        _P47_NPROBE,
+        _P47_PROBES,
+    )
+
+    emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
+    got = registry.QUERIES["p47_ivfpq_serve_stored"](spark, sf0001)
+
+    cents = dynamic_seed_cells(emb)
+    probes = emb.filter(F.col("vec_id") < _P47_PROBES)
+    pcells = ivf_ranked_assign(probes, cents, nprobe=_P47_NPROBE).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        "cell",
+    )
+    pool = (
+        ivf_assign(emb, cents)
+        .join(F.broadcast(pcells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("query_vec")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    exact = pool.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= _P47_K
+    )
+    a = sorted(
+        (r["query_id"], r["neighbor_id"], r["sim"]) for r in got.collect()
+    )
+    b = sorted(
+        (r["query_id"], r["neighbor_id"], r["sim"]) for r in exact.collect()
+    )
+    assert a == b
