@@ -1508,3 +1508,59 @@ def trgm_probe(spark: SparkSession, postings_path: str, q: str, k: int = 10):
         .orderBy(F.desc("sim"), F.asc("p_name"))
         .limit(k)
     )
+
+
+def streaming_ivfpq_append(
+    spark: SparkSession,
+    source_dir: str,
+    centroids: DataFrame,
+    codebooks: list,
+    layout_path: str,
+    checkpoint: str,
+    schema: str = "vec_id long, embedding array<float>",
+) -> "DataStreamWriter":
+    """Incremental IVF-PQ index maintenance — the streaming face of the
+    p47 stored layout, completing the set (graph: streaming_graph_append;
+    IVF cells: streaming_ivf_ingest; trigram postings:
+    streaming_trgm_maintenance; CC map: streaming_cc_maintenance).
+
+    Per batch, against FROZEN geometry: assign each new vector to its
+    coarse cell (map-side centroid-literal argmin, no refit) and encode
+    it against the frozen PQ codebooks (Arrow-batched argmin, no
+    retrain), then APPEND ``(vec_id, codes, batch_id)`` rows into the
+    ``partitionBy(cell)`` layout — existing files never rewritten, the
+    p47 probe path sees new vectors at the next read, per-batch work is
+    O(batch). Codebook/centroid refit is a periodic batch job (the
+    kmeans_ivf_build / pq_train pattern), exactly like the cell face.
+
+    Unlike raw-vector cell append, code rows are NOT naturally
+    idempotent under re-delivery (a doubled code row double-counts in
+    any candidate aggregation), so a re-delivered batch id is skipped
+    via the store's high-watermark — the vocab-face guard.
+    """
+    from mtg_vector_db_spark.operators.ann import ivf_assign
+    from mtg_vector_db_spark.operators.quantize import pq_encode
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        existing = _state_df(s, layout_path)
+        if existing is not None:
+            last = _max_batch_id(existing)
+            if last is not None and batch_id <= last:
+                return  # replayed batch: already appended, skip
+        coded = pq_encode(batch_df, codebooks).select("vec_id", "codes")
+        cells = ivf_assign(batch_df, centroids).select("vec_id", "cell")
+        (
+            coded.join(cells, "vec_id")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(layout_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )

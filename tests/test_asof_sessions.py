@@ -1667,3 +1667,64 @@ def test_streaming_trgm_maintenance_matches_batch_probe(spark, tmp_path):
     before = post.count()
     run("ckpt_replay")  # fresh checkpoint: batch 0 re-delivers everything
     assert spark.read.parquet(store).count() == before
+
+
+def test_streaming_ivfpq_append_matches_batch_layout(spark, tmp_path, sf0001):
+    """The maintained IVF-PQ layout after two appended waves equals a
+    one-shot batch assign+encode over all vectors (frozen centroids and
+    codebooks — the p47 build), partitions land in the assigned cells,
+    and a fresh-checkpoint replay appends nothing (watermark guard)."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.operators.ann import (
+        dynamic_seed_cells,
+        ivf_assign,
+    )
+    from mtg_vector_db_spark.operators.quantize import (
+        pq_encode,
+        seeded_pq_codebooks,
+    )
+    from mtg_vector_db_spark.streaming.pipelines import streaming_ivfpq_append
+
+    emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
+    cents = dynamic_seed_cells(emb)
+    cbs = seeded_pq_codebooks(emb, m=8, n_codes=16)
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    store = str(tmp_path / "layout")
+
+    def run(ckpt):
+        q = streaming_ivfpq_append(
+            spark, str(src), cents, cbs, store, str(tmp_path / ckpt)
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    w1 = emb.filter(F.col("vec_id") < 60)
+    w2 = emb.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 120))
+    w1.coalesce(1).write.mode("append").parquet(str(src))
+    run("ckpt")
+    w2.coalesce(1).write.mode("append").parquet(str(src))
+    run("ckpt")
+
+    both = emb.filter(F.col("vec_id") < 120)
+    want = (
+        pq_encode(both, cbs)
+        .select("vec_id", "codes")
+        .join(
+            ivf_assign(both, cents).select(
+                "vec_id", F.col("cell").cast("int").alias("cell")
+            ),
+            "vec_id",
+        )
+    )
+    got = spark.read.parquet(store).select(
+        "vec_id", "codes", F.col("cell").cast("int").alias("cell")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # Fresh checkpoint re-delivers everything as batch 0 -> watermarked out.
+    n = got.count()
+    run("ckpt_replay")
+    assert spark.read.parquet(store).count() == n
