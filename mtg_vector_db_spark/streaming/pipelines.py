@@ -1316,6 +1316,7 @@ def streaming_cc_maintenance(
     clusters_path: str,
     checkpoint: str,
     schema: str = "id_a long, id_b long",
+    bucket_by: int | None = None,
 ) -> "DataStreamWriter":
     """Incremental connected components over an arriving near-dup pair
     stream — the streaming face of
@@ -1349,11 +1350,19 @@ def streaming_cc_maintenance(
     the Bloom/HLL faces, by graph semantics instead of bit algebra).
 
     Scale: the CC solve is bounded by touched components and the remap
-    is broadcast-small (one row per touched root), but the relabel
-    rewrites the full map per batch in this form. At 100 TB, partition
-    the map by a ``cluster_id`` bucket and switch the writer to dynamic
-    partition overwrite — only buckets containing remapped roots
-    rewrite; steps 1-3 are unchanged by that layout. The new map is
+    is broadcast-small (one row per touched root). With ``bucket_by``
+    unset the relabel rewrites the full map per batch (fine for
+    moderate stores); set ``bucket_by=N`` for the 100 TB layout — the
+    map is hive-partitioned by ``pmod(doc_id, N)`` and the rewrite uses
+    DYNAMIC PARTITION OVERWRITE over only the buckets holding RELABELED
+    docs (changed labels + first-seen rows): untouched buckets' files
+    are never rewritten (test-pinned via partition mtimes). Bucketing
+    keys on doc_id, NOT cluster_id, deliberately: a doc's bucket is
+    immutable, so a cluster merge can never strand stale rows in a
+    partition the dynamic overwrite doesn't emit (the cluster-keyed
+    layout has exactly that hazard when every member leaves a bucket).
+    The affected-bucket read is itself partition-pruned (broadcast join
+    on the partition column → DPP, the p45 mechanism). The new map is
     pinned (eager localCheckpoint) before the overwrite so the write
     never reads its own input files.
     """
@@ -1369,7 +1378,14 @@ def streaming_cc_maintenance(
             F.col("id_a").isNotNull() & F.col("id_b").isNotNull()
         )
         if m is None:
-            m = s.createDataFrame([], "doc_id long, cluster_id long")
+            cols = "doc_id long, cluster_id long"
+            if bucket_by is not None:
+                cols += ", cluster_bucket long"
+            m = s.createDataFrame([], cols)
+        elif bucket_by is not None:
+            m = m.withColumn(
+                "cluster_bucket", F.col("cluster_bucket").cast("long")
+            )
         translated = (
             pairs.join(
                 m.select(
@@ -1416,8 +1432,42 @@ def streaming_cc_maintenance(
             F.col("old_id").alias("doc_id"),
             F.col("new_root").alias("cluster_id"),
         )
-        new_map = pin(relabeled.unionByName(first_seen))
-        new_map.write.mode("overwrite").parquet(clusters_path)
+        if bucket_by is None:
+            new_map = pin(relabeled.unionByName(first_seen))
+            new_map.write.mode("overwrite").parquet(clusters_path)
+            return
+        # Bucketed path: rewrite ONLY partitions holding relabeled docs.
+        bkt = lambda c: F.pmod(F.col(c), F.lit(bucket_by))  # noqa: E731
+        remap_cid = F.broadcast(
+            remap.withColumnRenamed("old_id", "cluster_id")
+        )
+        changed_buckets = (
+            m.join(remap_cid, "cluster_id")
+            .filter(F.col("new_root") != F.col("cluster_id"))
+            .select(bkt("doc_id").alias("cluster_bucket"))
+            .unionByName(
+                first_seen.select(bkt("doc_id").alias("cluster_bucket"))
+            )
+            .distinct()
+        )
+        # Partition-pruned read of just the affected buckets (DPP via
+        # broadcast join on the partition column — the p45 mechanism).
+        affected = m.join(F.broadcast(changed_buckets), "cluster_bucket")
+        relabeled_aff = affected.join(remap_cid, "cluster_id", "left").select(
+            "doc_id",
+            F.coalesce("new_root", F.col("cluster_id")).alias("cluster_id"),
+        )
+        out = pin(
+            relabeled_aff.unionByName(first_seen).withColumn(
+                "cluster_bucket", bkt("doc_id")
+            )
+        )
+        (
+            out.write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("cluster_bucket")
+            .parquet(clusters_path)
+        )
 
     return (
         stream.writeStream.foreachBatch(fold)

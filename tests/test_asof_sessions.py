@@ -1728,3 +1728,94 @@ def test_streaming_ivfpq_append_matches_batch_layout(spark, tmp_path, sf0001):
     n = got.count()
     run("ckpt_replay")
     assert spark.read.parquet(store).count() == n
+
+
+def test_streaming_cc_maintenance_bucketed_rewrites_only_touched(
+    spark, tmp_path
+):
+    """The 100 TB layout of the incremental CC map: hive-partitioned by
+    pmod(doc_id, N) with dynamic partition overwrite. A merge that
+    relabels docs in ONE bucket rewrites exactly that bucket — the
+    untouched buckets' files keep their mtimes — while the map stays
+    equal to the batch resolver, and a fresh-checkpoint replay writes
+    nothing anywhere. Bucketing keys on doc_id so a cluster merge can
+    never strand stale rows in a partition the overwrite doesn't emit."""
+    import os as _os
+
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.operators.corpus import dup_clusters_converged
+    from mtg_vector_db_spark.streaming.pipelines import (
+        streaming_cc_maintenance,
+    )
+
+    src = tmp_path / "pairs"
+    src.mkdir()
+    store = tmp_path / "clusters"
+    schema = "id_a long, id_b long"
+
+    def run(ckpt):
+        q = streaming_cc_maintenance(
+            spark, str(src), str(store), str(tmp_path / ckpt), schema,
+            bucket_by=4,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    def bucket_mtimes():
+        out = {}
+        for d in store.iterdir():
+            if d.name.startswith("cluster_bucket="):
+                out[d.name] = sorted(
+                    (f.name, _os.path.getmtime(f))
+                    for f in d.iterdir()
+                    if f.name.endswith(".parquet")
+                )
+        return out
+
+    def store_map():
+        return {
+            r["doc_id"]: r["cluster_id"]
+            for r in spark.read.parquet(str(store)).select(
+                "doc_id", "cluster_id"
+            ).collect()
+        }
+
+    # Three clusters whose docs land in distinct buckets (mod 4):
+    # {1,2} -> buckets 1,2; {4,8} -> bucket 0; {7,11} -> bucket 3.
+    w1 = [(1, 2), (4, 8), (7, 11)]
+    spark.createDataFrame(w1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run("ckpt")
+    assert store_map() == {1: 1, 2: 1, 4: 4, 8: 4, 7: 7, 11: 7}
+    before = bucket_mtimes()
+    assert set(before) == {f"cluster_bucket={b}" for b in (0, 1, 2, 3)}
+
+    # (2, 7) merges clusters 1 and 7 -> root 1. Only docs 7 and 11
+    # change labels; both live in bucket 3. Buckets 0/1/2 stay frozen.
+    spark.createDataFrame([(2, 7)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run("ckpt")
+    after = bucket_mtimes()
+    for b in (0, 1, 2):
+        assert after[f"cluster_bucket={b}"] == before[f"cluster_bucket={b}"], b
+    assert after["cluster_bucket=3"] != before["cluster_bucket=3"]
+
+    allp = spark.createDataFrame(w1 + [(2, 7)], schema)
+    want = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters_converged(allp).collect()
+    }
+    got = store_map()
+    assert got == want
+    # No duplicate/stale doc rows anywhere in the layout.
+    assert (
+        spark.read.parquet(str(store))
+        .groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    )
+
+    # Full replay via a fresh checkpoint: every edge translates into a
+    # single root, nothing is written in ANY bucket.
+    run("ckpt_replay")
+    assert bucket_mtimes() == after
