@@ -967,6 +967,8 @@ def graph_beam_search_rounds(
     beam: int = 24,
     rounds: int = 3,
     round_digits: int = 6,
+    pre_undirected: bool = False,
+    bucket_by: int | None = None,
 ) -> list[DataFrame]:
     """QUERY-TIME beam search over a frozen k-NN graph — the serving
     path that completes the HNSW analogy (the reference's indexes are
@@ -994,7 +996,17 @@ def graph_beam_search_rounds(
     joins key on ids; vectors ride payloads only. Per-query work is
     O(|bucket| + rounds·beam·k_graph) — corpus-size-independent once
     ``n_buckets`` grows ∝ n (dynamic_bucket_count), exactly like the
-    append face."""
+    append face.
+
+    Stored-layout opt-ins (the p44 serving path; defaults leave the
+    in-memory/p42 plan byte-identical): ``pre_undirected=True`` means
+    ``graph`` ALREADY holds the distinct undirected adjacency (skip the
+    reverse-union — the stored expansion), and ``bucket_by=B`` means it
+    carries an ``abucket = pmod(a, B)`` hive-partition column; each hop
+    join then includes the bucket key with the beam side broadcast, so
+    DYNAMIC PARTITION PRUNING confines every hop's graph read to the
+    frontier's buckets — at 100 TB a hop reads O(beam) adjacency
+    partitions, never the full edge table."""
     from mtg_vector_db_spark.session import pin
 
     qe = queries_emb.select("vec_id", "embedding")
@@ -1016,19 +1028,39 @@ def graph_beam_search_rounds(
         .withColumnRenamed("a", "q")
     )
     out = [scored]
-    und = graph.select("a", "b").union(
-        graph.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    if pre_undirected:
+        und = graph
+    else:
+        und = graph.select("a", "b").union(
+            graph.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
     for _ in range(rounds):
         beam_df = _graph_topk(
             out[-1].withColumnRenamed("q", "a"), beam
         ).select(F.col("a").alias("q"), F.col("b").alias("hop"))
-        frontier = (
-            beam_df.join(und, beam_df["hop"] == und["a"])
-            .select("q", und["b"].alias("b"))
-            .filter(F.col("q") != F.col("b"))
-            .distinct()
-        )
+        if bucket_by is not None:
+            bcast = F.broadcast(
+                beam_df.withColumn(
+                    "abucket", F.pmod(F.col("hop"), F.lit(bucket_by))
+                )
+            )
+            frontier = (
+                und.join(
+                    bcast,
+                    (und["abucket"] == bcast["abucket"])
+                    & (bcast["hop"] == und["a"]),
+                )
+                .select("q", und["b"].alias("b"))
+                .filter(F.col("q") != F.col("b"))
+                .distinct()
+            )
+        else:
+            frontier = (
+                beam_df.join(und, beam_df["hop"] == und["a"])
+                .select("q", und["b"].alias("b"))
+                .filter(F.col("q") != F.col("b"))
+                .distinct()
+            )
         fresh = _score_pairs(
             frontier.withColumnRenamed("q", "a"),
             qe,
@@ -1048,13 +1080,15 @@ def graph_beam_search(
     beam: int = 24,
     rounds: int = 3,
     round_digits: int = 6,
+    pre_undirected: bool = False,
+    bucket_by: int | None = None,
 ) -> DataFrame:
     """Top-k ANN answers via :func:`graph_beam_search_rounds` — the
     user-facing serving operator: ``(q, b, sim)``, ≤k rows per query,
     exact similarities (graph candidates are always exact-rescored)."""
     final = graph_beam_search_rounds(
         graph, corpus_emb, queries_emb, n_buckets, beam, rounds,
-        round_digits,
+        round_digits, pre_undirected, bucket_by,
     )[-1]
     return _graph_topk(
         final.withColumnRenamed("q", "a"), k

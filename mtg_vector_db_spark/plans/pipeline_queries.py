@@ -4069,10 +4069,21 @@ oracle("p43_quantized_oversample_sweep", _p43_oracle())
 _P44_K = 10  # answers per query
 
 
+_P44_HOPBUCKETS = 16  # adjacency partitions; scale ∝ n in production
+
+
 def _stored_graph_path(spark: SparkSession, sf_dir: str, nb: int) -> str:
     """Build-if-missing path of the frozen p40 graph for this corpus.
     Key = corpus parquet fingerprint + build params + algo version; the
-    artifact is the graph sibling of partitioning.partition_by_cell."""
+    artifact is the graph sibling of partitioning.partition_by_cell.
+
+    v2 layout (round 5): the DISTINCT UNDIRECTED adjacency expansion,
+    hive-partitioned by ``abucket = pmod(a, _P44_HOPBUCKETS)`` — the
+    serving walk joins each hop on (abucket, a) with the beam side
+    broadcast, so dynamic partition pruning confines every hop's graph
+    read to the frontier's buckets (plan-asserted). Identical walk
+    results: the v1 reader derived exactly this set with a
+    reverse-union + distinct at query time."""
     import os
 
     from mtg_vector_db_spark.operators.artifacts import (
@@ -4084,7 +4095,8 @@ def _stored_graph_path(spark: SparkSession, sf_dir: str, nb: int) -> str:
 
     fp = dataset_fingerprint(f"{sf_dir}/embeddings.parquet")
     key = artifact_key(
-        "nn_descent_graph", "v1", _P40_K, _P40_ROUNDS, nb, fp
+        "nn_descent_graph", "v2", _P40_K, _P40_ROUNDS, nb,
+        _P44_HOPBUCKETS, fp,
     )
     path = os.path.join(artifact_root(), "graph_knn", key)
 
@@ -4099,7 +4111,13 @@ def _stored_graph_path(spark: SparkSession, sf_dir: str, nb: int) -> str:
         g = pin(nn_descent_init(emb, nb, _P40_K))
         for _ in range(_P40_ROUNDS):
             g = pin(nn_descent_round(g, emb, _P40_K))
-        g.write.parquet(tmp)
+        und = (
+            g.select("a", "b")
+            .union(g.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
+            .withColumn("abucket", F.pmod(F.col("a"), F.lit(_P44_HOPBUCKETS)))
+        )
+        und.write.partitionBy("abucket").parquet(tmp)
 
     ensure_artifact(path, build)
     return path
@@ -4117,6 +4135,7 @@ def p44_graph_serve_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     ans = graph_beam_search(
         g, emb, probes,
         k=_P44_K, n_buckets=nb, beam=_P42_BEAM, rounds=_P42_ROUNDS,
+        pre_undirected=True, bucket_by=_P44_HOPBUCKETS,
     )
     from pyspark.sql import Window
 

@@ -94,9 +94,12 @@ def test_ensure_artifact_rejects_build_without_success_marker(tmp_path):
 # p44: stored-graph serving
 # ---------------------------------------------------------------------------
 def test_p44_stored_graph_equals_fresh_build(spark, sf0001):
-    """The artifact must be byte-equivalent to a fresh NN-Descent build —
-    the invariant that lets the oracle replay the build in CTEs while the
-    query reads parquet."""
+    """The artifact must be byte-equivalent to a fresh NN-Descent
+    build's distinct undirected expansion (the v2 layout stores exactly
+    the set the v1 reader derived at query time) — the invariant that
+    lets the oracle replay build + reverse-union in CTEs while the
+    query reads parquet. The partition column is pmod(a, hop buckets)
+    for every row."""
     from mtg_vector_db_spark.operators import ann as A
     from mtg_vector_db_spark.operators.ann import (
         nn_descent_init,
@@ -106,20 +109,28 @@ def test_p44_stored_graph_equals_fresh_build(spark, sf0001):
         _P40_BUCKETS,
         _P40_K,
         _P40_ROUNDS,
+        _P44_HOPBUCKETS,
         _stored_graph_path,
     )
 
     emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
     nb = A.dynamic_bucket_count(emb, min_buckets=_P40_BUCKETS)
     path = _stored_graph_path(spark, sf0001, nb)
-    stored = spark.read.parquet(path)
+    stored = spark.read.parquet(path).select(
+        "a", "b", F.col("abucket").cast("long").alias("abucket")
+    )
 
     fresh = nn_descent_init(emb, nb, _P40_K)
     for _ in range(_P40_ROUNDS):
         fresh = nn_descent_round(fresh, emb, _P40_K)
-
-    assert stored.exceptAll(fresh).count() == 0
-    assert fresh.exceptAll(stored).count() == 0
+    und = (
+        fresh.select("a", "b")
+        .union(fresh.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .withColumn("abucket", F.pmod(F.col("a"), F.lit(_P44_HOPBUCKETS)))
+    )
+    assert stored.exceptAll(und).count() == 0
+    assert und.exceptAll(stored).count() == 0
 
 
 def test_p44_second_call_reuses_artifact(spark, sf0001):
@@ -158,9 +169,46 @@ def test_p44_serving_executes_without_rebuilding_artifact(spark, sf0001):
     rows = registry.QUERIES["p44_graph_serve_stored"](spark, sf0001).collect()
     assert len(rows) > 0
     assert os.path.getmtime(path) == mtime
-    # The stored lists are what the walk reads: schema is the frozen
-    # (a, b, sim) adjacency — nothing else is materialized in the store.
-    assert set(spark.read.parquet(path).columns) == {"a", "b", "sim"}
+    # The stored lists are what the walk reads: the frozen undirected
+    # (a, b) adjacency plus its hop-bucket partition column — nothing
+    # else is materialized in the store.
+    assert set(spark.read.parquet(path).columns) == {"a", "b", "abucket"}
+
+
+def test_p44_hop_join_is_partition_pruned(spark, sf0001):
+    """The serving walk's hop join must carry a DPP filter on the
+    stored adjacency's abucket partition (the p45/p47 mechanism applied
+    to graph hops): a hop reads only the frontier's buckets, never the
+    full edge table. Asserted on the hop join itself — the registered
+    query's final plan hides the scans behind the per-round pins."""
+    from mtg_vector_db_spark.operators import ann as A
+    from mtg_vector_db_spark.plans.pipeline_queries import (
+        _P40_BUCKETS,
+        _P44_HOPBUCKETS,
+        _stored_graph_path,
+    )
+
+    emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
+    nb = A.dynamic_bucket_count(emb, min_buckets=_P40_BUCKETS)
+    und = spark.read.parquet(_stored_graph_path(spark, sf0001, nb))
+    beam = F.broadcast(
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("q"), F.col("vec_id").alias("hop"))
+        .withColumn("abucket", F.pmod(F.col("hop"), F.lit(_P44_HOPBUCKETS)))
+    )
+    hop = und.join(
+        beam,
+        (und["abucket"] == beam["abucket"]) & (beam["hop"] == und["a"]),
+    ).select("q", und["b"].alias("b"))
+    plan = hop._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "graph_knn" in ln
+    ]
+    assert scans, "no FileScan over the stored adjacency"
+    assert any("dynamicpruning" in ln for ln in scans), (
+        "hop join is not partition-pruned by the frontier's buckets"
+    )
 
 
 def test_p44_answers_are_true_neighbors_mostly(spark, sf0001):
