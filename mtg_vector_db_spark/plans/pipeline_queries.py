@@ -1190,9 +1190,24 @@ def p19_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
+            # Integer-MICRO average (the r05/r72 tie fix): the quality
+            # sum is exact in decimal(18,6); dividing the micro-unit
+            # integer and rounding the ratio keeps any true x.5 tie at
+            # the 6th digit exactly representable, which both engines
+            # round away from zero identically (round(double_sum/n, 6)
+            # diverged on fuzz seed 70707: Spark rounds the shortest
+            # repr, DuckDB the binary value).
             F.round(
-                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
+                F.round(
+                    F.sum(
+                        (
+                            F.col("quality").cast("decimal(18,6)")
+                            * 1_000_000
+                        ).cast("long")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                )
+                / 1_000_000,
                 6,
             ).alias("avg_quality"),
         )
@@ -1228,8 +1243,9 @@ def _p19_oracle() -> str:
                 WHEN frac < 0.9 THEN 'eval' ELSE 'test' END AS split,
            lang, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-           round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 6) AS avg_quality
+           round(round(CAST(sum(CAST(CAST(quality AS DECIMAL(18,6)) * 1000000
+                                   AS BIGINT)) AS DOUBLE)
+                       / count(*)) / 1000000, 6) AS avg_quality
     FROM gated GROUP BY 1, 2 ORDER BY 1, 2
     """
 
@@ -1572,9 +1588,24 @@ def p24_decontaminated_corpus_build(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
+            # Integer-MICRO average (the r05/r72 tie fix): the quality
+            # sum is exact in decimal(18,6); dividing the micro-unit
+            # integer and rounding the ratio keeps any true x.5 tie at
+            # the 6th digit exactly representable, which both engines
+            # round away from zero identically (round(double_sum/n, 6)
+            # diverged on fuzz seed 70707: Spark rounds the shortest
+            # repr, DuckDB the binary value).
             F.round(
-                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
+                F.round(
+                    F.sum(
+                        (
+                            F.col("quality").cast("decimal(18,6)")
+                            * 1_000_000
+                        ).cast("long")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                )
+                / 1_000_000,
                 6,
             ).alias("avg_quality"),
         )
@@ -1658,8 +1689,9 @@ def _p24_oracle() -> str:
     )
     SELECT split, lang, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-           round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 6) AS avg_quality
+           round(round(CAST(sum(CAST(CAST(quality AS DECIMAL(18,6)) * 1000000
+                                   AS BIGINT)) AS DOUBLE)
+                       / count(*)) / 1000000, 6) AS avg_quality
     FROM clean GROUP BY 1, 2 ORDER BY 1, 2
     """
 
@@ -2220,9 +2252,24 @@ def p30_dataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
+            # Integer-MICRO average (the r05/r72 tie fix): the quality
+            # sum is exact in decimal(18,6); dividing the micro-unit
+            # integer and rounding the ratio keeps any true x.5 tie at
+            # the 6th digit exactly representable, which both engines
+            # round away from zero identically (round(double_sum/n, 6)
+            # diverged on fuzz seed 70707: Spark rounds the shortest
+            # repr, DuckDB the binary value).
             F.round(
-                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
+                F.round(
+                    F.sum(
+                        (
+                            F.col("quality").cast("decimal(18,6)")
+                            * 1_000_000
+                        ).cast("long")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                )
+                / 1_000_000,
                 6,
             ).alias("avg_quality"),
             F.round(
@@ -2256,8 +2303,9 @@ def _p30_oracle() -> str:
     )
     SELECT coalesce(lang, 'ALL') AS lang, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-           round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 6) AS avg_quality,
+           round(round(CAST(sum(CAST(CAST(quality AS DECIMAL(18,6)) * 1000000
+                                   AS BIGINT)) AS DOUBLE)
+                       / count(*)) / 1000000, 6) AS avg_quality,
            round(1 - count(DISTINCT content) * 1.0 / count(*), 6) AS dup_rate
     FROM base GROUP BY ROLLUP (lang) ORDER BY lang
     """

@@ -236,3 +236,32 @@ def test_decimal_multiply_keeps_scale(spark):
     t = df.schema["p"].dataType
     assert (t.precision, t.scale) == (35, 12), t
     assert str(df.collect()[0].p) == "-8.720671786827"
+
+
+# ---------------------------------------------------------------------------
+# Seed 70707 caught the double-round representation tie in the
+# avg_quality aggregations (round-5 close sweep): a 2-doc group whose
+# exact decimal-6 quality sum divides to a true x.xxxxxx5 mean — Spark
+# rounds the double's shortest decimal repr up while DuckDB rounds the
+# binary value down (SCALE.md's fourth float-parity instance, previously
+# fixed for money in r05/r72). All three avg_quality sites now sum
+# integer MICRO-units and round the integer ratio, keeping ties on
+# exactly-representable .5 halves both engines round identically.
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def seed70707_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("fuzz70707")
+    return _build_fuzz_corpus(spark, root, seed=70707)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "p19_corpus_build_e2e",
+        "p24_decontaminated_corpus_build",
+        "p30_dataset_report",
+    ],
+)
+def test_avg_quality_tie_regression(spark, seed70707_dir, name):
+    df = registry.QUERIES[name](spark, seed70707_dir)
+    assert_matches_oracle(df, registry.ORACLES[name], seed70707_dir)
