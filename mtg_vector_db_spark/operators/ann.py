@@ -1034,6 +1034,16 @@ def graph_beam_search_rounds(
         und = graph.select("a", "b").union(
             graph.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
+        if bucket_by is not None:
+            # The derived reverse-union has only (a, b); the bucketed hop
+            # join below references und["abucket"], so derive it here with
+            # the same pmod rule the stored layout partitions by. (No DPP
+            # win on an in-memory union — the column exists for plan-shape
+            # parity with the stored path, and so bucket_by without
+            # pre_undirected is usable instead of an AnalysisException.)
+            und = und.withColumn(
+                "abucket", F.pmod(F.col("a"), F.lit(bucket_by))
+            )
     for _ in range(rounds):
         beam_df = _graph_topk(
             out[-1].withColumnRenamed("q", "a"), beam

@@ -159,18 +159,27 @@ def bpe_train_batched(
     selection's product) and applies them in ONE rewrite pass — turning
     32k merges into ~32k/batch_m rounds.
 
-    Non-interaction is what makes the batch exact: a merge (a,b) only
+    Non-interaction keeps the selected COUNTS exact: a merge (a,b) only
     changes adjacencies that involve ``a`` or ``b`` (neighbors of the
     fused ``ab``), so pairs over disjoint symbols neither create nor
     destroy each other's occurrences — each selected pair's count, and
     its rewrite, is identical to what sequential training would have
     seen when its turn came. Where candidates DO interact (share a
     symbol), the conflicting pair is deferred to a later round and
-    re-counted — never applied against a stale count. Batched training
-    therefore equals sequential training exactly whenever the top pairs
-    are independent (the common case in a large vocabulary), and remains
-    a valid greedy-BPE run (every applied merge was a true argmax of its
-    recount) when they are not.
+    re-counted — never applied against a stale count. Equivalence to
+    sequential greedy is narrower than count-exactness, though: an
+    applied merge's fused product can form NEW pairs (e.g. ``(ab, c)``)
+    whose recounted frequency outranks a later pick in the same batch,
+    and sequential training would have taken that new pair first. So
+    batched ≡ sequential holds only when the selected pairs are
+    symbol-disjoint AND no pair newly created by an earlier pick in the
+    batch outranks a remaining pick; in general this is a valid
+    batched-greedy VARIANT (the standard one — counts always fresh,
+    picks rank-ordered within a round), not a sequential-replay
+    guarantee. Only the first pick of each round is a true global
+    argmax of its recount; later picks are argmax among non-interacting
+    survivors. The t39 oracle replays the batched algorithm itself, so
+    cross-engine parity is unaffected by this distinction.
 
     The per-round candidate fetch is a driver-side collect of at most
     ``4*batch_m`` rows — vocabulary-bounded (pair-type counts), never

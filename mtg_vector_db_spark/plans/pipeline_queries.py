@@ -4,7 +4,7 @@ retrieve-then-rerank, multi-source fan-out, IVF centroid build + probe.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from mtg_vector_db_spark.operators.ann import (
     centroid_vectors,
@@ -1190,28 +1190,60 @@ def p19_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
-            # Integer-MICRO average (the r05/r72 tie fix): the quality
-            # sum is exact in decimal(18,6); dividing the micro-unit
-            # integer and rounding the ratio keeps any true x.5 tie at
-            # the 6th digit exactly representable, which both engines
-            # round away from zero identically (round(double_sum/n, 6)
-            # diverged on fuzz seed 70707: Spark rounds the shortest
-            # repr, DuckDB the binary value).
-            F.round(
-                F.round(
-                    F.sum(
-                        (
-                            F.col("quality").cast("decimal(18,6)")
-                            * 1_000_000
-                        ).cast("long")
-                    ).cast("double")
-                    / F.count(F.lit(1))
-                )
-                / 1_000_000,
-                6,
-            ).alias("avg_quality"),
+            # Exact integer-micro average (seed-70707 tie fix, made
+            # 2^53-safe in round 6 — see _avg_quality_exact).
+            _avg_quality_exact(),
         )
         .orderBy("split", "lang")
+    )
+
+
+def _avg_quality_exact() -> Column:
+    """Exact integer-arithmetic HALF_UP mean of per-doc quality at 6
+    digits — shared by the p19/p24/p30 datasheet aggregates.
+
+    Round-5 had fixed the double-round representation tie (fuzz seed
+    70707) by summing integer micro-units, but then cast the long sum to
+    double before dividing — lossy once Σ(quality·1e6) exceeds 2^53
+    (~9e9 quality units, reachable at the billions-of-docs scale this
+    engine targets), silently degrading the exact-.5-tie guarantee
+    (round-5 ADVICE). This form never leaves integer arithmetic until
+    the final ≤1e6-magnitude value: mean = sign·(|S| div n + 1 if
+    2·(|S| mod n) ≥ n) — integer div/mod on the long sum, half-away-
+    from-zero, exact at ANY corpus size. The sign split also keeps the
+    Spark (`div` truncates toward zero) and DuckDB (`//` floors)
+    replays identical for negative sums (p30 has no quality≥0.5 gate,
+    and quality_score can reach −0.2/doc). The trailing /1e6 division
+    is a ≤7-digit integer over a power of ten — exact in double."""
+    s = "sum(CAST(CAST(quality AS DECIMAL(18,6)) * 1000000 AS BIGINT))"
+    n = "count(*)"
+    mean = (
+        f"(CASE WHEN {s} < 0 THEN -1 ELSE 1 END)"
+        f" * ((abs({s}) div {n})"
+        f" + (CASE WHEN 2 * (abs({s}) % {n}) >= {n} THEN 1 ELSE 0 END))"
+    )
+    # CAST(... AS DOUBLE): a bare 1000000.0 literal is DECIMAL in Spark
+    # SQL, which would silently flip the output type to decimal(28,6)
+    # while DuckDB returns DOUBLE.
+    return F.expr(
+        f"round(CAST(({mean}) AS DOUBLE) / CAST(1000000 AS DOUBLE), 6)"
+    ).alias("avg_quality")
+
+
+def _avg_quality_exact_sql() -> str:
+    """DuckDB replay of :func:`_avg_quality_exact` — same integer
+    div/mod arithmetic (`//`/`%` on BIGINT over abs), so the two engines
+    agree bit-for-bit at every corpus size, ties included."""
+    s = "sum(CAST(CAST(quality AS DECIMAL(18,6)) * 1000000 AS BIGINT))"
+    n = "count(*)"
+    mean = (
+        f"(CASE WHEN {s} < 0 THEN -1 ELSE 1 END)"
+        f" * ((abs({s}) // {n})"
+        f" + (CASE WHEN 2 * (abs({s}) % {n}) >= {n} THEN 1 ELSE 0 END))"
+    )
+    return (
+        f"round(CAST(({mean}) AS DOUBLE) / CAST(1000000 AS DOUBLE), 6)"
+        " AS avg_quality"
     )
 
 
@@ -1243,9 +1275,7 @@ def _p19_oracle() -> str:
                 WHEN frac < 0.9 THEN 'eval' ELSE 'test' END AS split,
            lang, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-           round(round(CAST(sum(CAST(CAST(quality AS DECIMAL(18,6)) * 1000000
-                                   AS BIGINT)) AS DOUBLE)
-                       / count(*)) / 1000000, 6) AS avg_quality
+           {_avg_quality_exact_sql()}
     FROM gated GROUP BY 1, 2 ORDER BY 1, 2
     """
 
@@ -1588,26 +1618,9 @@ def p24_decontaminated_corpus_build(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
-            # Integer-MICRO average (the r05/r72 tie fix): the quality
-            # sum is exact in decimal(18,6); dividing the micro-unit
-            # integer and rounding the ratio keeps any true x.5 tie at
-            # the 6th digit exactly representable, which both engines
-            # round away from zero identically (round(double_sum/n, 6)
-            # diverged on fuzz seed 70707: Spark rounds the shortest
-            # repr, DuckDB the binary value).
-            F.round(
-                F.round(
-                    F.sum(
-                        (
-                            F.col("quality").cast("decimal(18,6)")
-                            * 1_000_000
-                        ).cast("long")
-                    ).cast("double")
-                    / F.count(F.lit(1))
-                )
-                / 1_000_000,
-                6,
-            ).alias("avg_quality"),
+            # Exact integer-micro average (seed-70707 tie fix, made
+            # 2^53-safe in round 6 — see _avg_quality_exact).
+            _avg_quality_exact(),
         )
         .orderBy("split", "lang")
     )
@@ -1689,9 +1702,7 @@ def _p24_oracle() -> str:
     )
     SELECT split, lang, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-           round(round(CAST(sum(CAST(CAST(quality AS DECIMAL(18,6)) * 1000000
-                                   AS BIGINT)) AS DOUBLE)
-                       / count(*)) / 1000000, 6) AS avg_quality
+           {_avg_quality_exact_sql()}
     FROM clean GROUP BY 1, 2 ORDER BY 1, 2
     """
 
@@ -2252,26 +2263,9 @@ def p30_dataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
-            # Integer-MICRO average (the r05/r72 tie fix): the quality
-            # sum is exact in decimal(18,6); dividing the micro-unit
-            # integer and rounding the ratio keeps any true x.5 tie at
-            # the 6th digit exactly representable, which both engines
-            # round away from zero identically (round(double_sum/n, 6)
-            # diverged on fuzz seed 70707: Spark rounds the shortest
-            # repr, DuckDB the binary value).
-            F.round(
-                F.round(
-                    F.sum(
-                        (
-                            F.col("quality").cast("decimal(18,6)")
-                            * 1_000_000
-                        ).cast("long")
-                    ).cast("double")
-                    / F.count(F.lit(1))
-                )
-                / 1_000_000,
-                6,
-            ).alias("avg_quality"),
+            # Exact integer-micro average (seed-70707 tie fix, made
+            # 2^53-safe in round 6 — see _avg_quality_exact).
+            _avg_quality_exact(),
             F.round(
                 1 - F.count_distinct("content") / F.count(F.lit(1)), 6
             ).alias("dup_rate"),
@@ -2303,9 +2297,7 @@ def _p30_oracle() -> str:
     )
     SELECT coalesce(lang, 'ALL') AS lang, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-           round(round(CAST(sum(CAST(CAST(quality AS DECIMAL(18,6)) * 1000000
-                                   AS BIGINT)) AS DOUBLE)
-                       / count(*)) / 1000000, 6) AS avg_quality,
+           {_avg_quality_exact_sql()},
            round(1 - count(DISTINCT content) * 1.0 / count(*), 6) AS dup_rate
     FROM base GROUP BY ROLLUP (lang) ORDER BY lang
     """

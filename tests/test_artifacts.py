@@ -133,6 +133,31 @@ def test_p44_stored_graph_equals_fresh_build(spark, sf0001):
     assert und.exceptAll(stored).count() == 0
 
 
+def test_beam_search_bucket_by_without_pre_undirected(spark, sf0001):
+    """bucket_by on a DIRECTED graph (pre_undirected=False) must derive
+    the abucket column on the in-memory reverse-union instead of raising
+    AnalysisException (round-5 ADVICE: the bucketed hop join referenced
+    und["abucket"], which only the stored v2 layout carries), and the
+    walk's answers must be identical to the unbucketed path — bucketing
+    is a physical-layout opt-in, never a semantics knob."""
+    from mtg_vector_db_spark.operators.ann import (
+        graph_beam_search,
+        nn_descent_init,
+    )
+
+    emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
+    g = nn_descent_init(emb, n_buckets=8, k=8)
+    probes = emb.filter(F.col("vec_id") < 5)
+    plain = graph_beam_search(
+        g, emb, probes, k=5, n_buckets=8, beam=8, rounds=1
+    )
+    bucketed = graph_beam_search(
+        g, emb, probes, k=5, n_buckets=8, beam=8, rounds=1, bucket_by=4
+    )
+    assert bucketed.exceptAll(plain).count() == 0
+    assert plain.exceptAll(bucketed).count() == 0
+
+
 def test_p44_second_call_reuses_artifact(spark, sf0001):
     from mtg_vector_db_spark.operators import ann as A
     from mtg_vector_db_spark.plans.pipeline_queries import (

@@ -245,8 +245,10 @@ def test_decimal_multiply_keeps_scale(spark):
 # rounds the double's shortest decimal repr up while DuckDB rounds the
 # binary value down (SCALE.md's fourth float-parity instance, previously
 # fixed for money in r05/r72). All three avg_quality sites now sum
-# integer MICRO-units and round the integer ratio, keeping ties on
-# exactly-representable .5 halves both engines round identically.
+# integer MICRO-units and round the mean with pure integer div/mod
+# (pipeline_queries._avg_quality_exact — round-6 ADVICE hardened the
+# round-5 fix, whose long→double cast was lossy past 2^53), so ties
+# are half-away-from-zero exact at any corpus size in both engines.
 # ---------------------------------------------------------------------------
 @pytest.fixture(scope="module")
 def seed70707_dir(spark, tmp_path_factory):
