@@ -202,7 +202,7 @@ def test_dedup_corpus_families_total_on_empty_tables(spark, tmp_path):
     """Every dedup/corpus/text/pipeline query must be TOTAL on empty
     inputs — an empty corpus (or an index not yet built) yields an empty
     (or zero-valued) result, never a plan-time exception. Guards the
-    empty-centroid-literal class of failure (ann._scored_cells)."""
+    empty-centroid-literal class of failure (ann._cents_literal)."""
     from mtg_vector_db_spark.plans import registry
 
     registry.load_all()

@@ -1,0 +1,152 @@
+"""Frozen-centroid assignment strategies (round-5 VERDICT #1 fix).
+
+The IVF assignment kernels (ivf_assign / ivf_multi_assign /
+ivf_ranked_assign) have two physical strategies sharing one scoring
+expression: a plan LITERAL (driver collect of ≤ IVF_LITERAL_MAX_CELLS
+rows — cheapest per task at small k) and a one-row BROADCAST fold (the
+centroid table never leaves the JVM — the 100×-regime path, since the
+engine's own cells-∝-n rules make cell COUNT grow with the corpus).
+These tests pin: bit-equality of the two strategies, the auto switch at
+the threshold, an O(1)-in-cells plan above the threshold, empty-table
+behavior, and oracle parity of every registered IVF query driven
+through the broadcast path end-to-end ($SPARK_GRAFT_IVF_STRATEGY)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mtg_vector_db_spark.operators import ann as A
+from mtg_vector_db_spark.operators.ann import (
+    ivf_assign,
+    ivf_multi_assign,
+    ivf_ranked_assign,
+)
+from mtg_vector_db_spark.plans import registry
+from tests.oracle_utils import assert_matches_oracle
+
+
+def _vecs(spark, n, dim, seed, id_col="vec_id", vec_col="embedding"):
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, f"{id_col} int, {vec_col} array<double>"
+    )
+
+
+def _cents(spark, k, dim, seed):
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(k)
+    ]
+    return spark.createDataFrame(rows, "cell int, centroid array<double>")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("kernel", ["assign", "multi", "ranked"])
+def test_literal_equals_broadcast_bitwise(spark, kernel):
+    """The two strategies must agree on every assignment — 300 vectors ×
+    50 cells makes near-tie distances likely, so any association-order
+    drift between the driver-side literal precompute and the JVM fold
+    (n2 = Σx²) would flip a cell here."""
+    emb = _vecs(spark, 300, 16, seed=11)
+    cents = _cents(spark, 50, 16, seed=23)
+    fns = {
+        "assign": lambda s: ivf_assign(emb, cents, strategy=s),
+        "multi": lambda s: ivf_multi_assign(emb, cents, nprobe=3, strategy=s),
+        "ranked": lambda s: ivf_ranked_assign(
+            emb, cents, nprobe=3, strategy=s
+        ),
+    }
+    lit = fns[kernel]("literal").drop("embedding")
+    bc = fns[kernel]("broadcast").drop("embedding")
+    assert lit.exceptAll(bc).count() == 0
+    assert bc.exceptAll(lit).count() == 0
+
+
+def test_auto_switches_to_broadcast_above_threshold(spark, monkeypatch):
+    """auto = literal at ≤ threshold cells (no join in the plan),
+    broadcast above it (BroadcastNestedLoopJoin with the 1-row fold —
+    there is no equi-key, so BNLJ is the broadcast join of this shape;
+    and crucially NO O(cells) literal in the serialized plan)."""
+    emb = _vecs(spark, 20, 4, seed=5)
+    cents = _cents(spark, 10, 4, seed=7)
+
+    below = _plan(ivf_assign(emb, cents, strategy="auto"))
+    assert "Join" not in below
+
+    monkeypatch.setattr(A, "IVF_LITERAL_MAX_CELLS", 4)
+    above = _plan(ivf_assign(emb, cents, strategy="auto"))
+    assert "BroadcastNestedLoopJoin" in above
+
+
+def test_broadcast_plan_is_o1_in_cell_count(spark):
+    """2100 cells (≫ IVF_LITERAL_MAX_CELLS) under auto: the plan
+    must carry the broadcast join and stay small — a centroid literal at
+    this cardinality would serialize 2100×(dim+1) doubles into every
+    task (the exact 100×-regime bound this strategy removes)."""
+    emb = _vecs(spark, 50, 4, seed=3)
+    cents = _cents(spark, 2100, 4, seed=9)
+    df = ivf_assign(emb, cents, strategy="auto")
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    # A 2100-cell literal would be megabytes of plan text; the broadcast
+    # plan is O(1) in cell count.
+    assert len(plan) < 100_000, len(plan)
+    # And it still computes: every vector gets exactly one cell.
+    out = df.select("vec_id", "cell")
+    assert out.count() == 50
+    assert out.filter(F.col("cell").isNull()).count() == 0
+
+
+def test_broadcast_empty_centroids_matches_literal_semantics(spark):
+    """Empty centroid table (index not built yet / empty micro-batch):
+    hard assign keeps rows with a NULL cell, multi-assign emits no rows —
+    identical in both strategies."""
+    emb = _vecs(spark, 5, 4, seed=2)
+    empty = _cents(spark, 0, 4, seed=0)
+    for strategy in ("literal", "broadcast"):
+        hard = ivf_assign(emb, empty, strategy=strategy)
+        assert hard.count() == 5
+        assert hard.filter(F.col("cell").isNull()).count() == 5
+        assert ivf_multi_assign(emb, empty, strategy=strategy).count() == 0
+
+
+def test_unknown_strategy_raises(spark):
+    emb = _vecs(spark, 2, 4, seed=1)
+    cents = _cents(spark, 2, 4, seed=1)
+    with pytest.raises(ValueError, match="strategy"):
+        ivf_assign(emb, cents, strategy="nope")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: every registered query that rides the assignment kernels,
+# forced through the broadcast path, must stay oracle-green with the
+# oracles UNCHANGED (the round-5 VERDICT done-criterion). d06 = the
+# IVF-blocked near-dup self-join, p17 = the assignment query itself,
+# p45/p47 = the stored-layout serving probes (ivf_ranked_assign on the
+# query side), c21 = SemDeDup's cell blocking.
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "name",
+    [
+        "d06_embedding_neardup",
+        "p17_ivf_assign_cells",
+        "p45_ivf_serve_stored",
+        "p47_ivfpq_serve_stored",
+    ],
+)
+def test_registered_ivf_queries_green_through_broadcast_path(
+    spark, sf001, name, monkeypatch
+):
+    monkeypatch.setenv("SPARK_GRAFT_IVF_STRATEGY", "broadcast")
+    registry.load_all()
+    df = registry.QUERIES[name](spark, sf001)
+    assert_matches_oracle(df, registry.ORACLES[name], sf001)

@@ -337,7 +337,10 @@ def test_no_driver_collect_outside_documented_bounded_artifacts():
         ("operators/quantize.py", "seeded_pq_codebooks"),  # m*k rows
         ("operators/ann.py", "ivf_probe_labels"),     # k centroid rows
         ("operators/ann.py", "lloyd_ivf_build"),      # k centroids/iter
-        ("operators/ann.py", "_scored_cells"),        # k centroid rows
+        # ≤ IVF_LITERAL_MAX_CELLS+1 centroid rows: above the threshold
+        # the collect never happens — the broadcast-fold strategy keeps
+        # centroids JVM-side (round-5 VERDICT #1 fix).
+        ("operators/ann.py", "_with_scored_cells"),
         ("operators/ann.py", "recall_report"),        # 2k result ids
         ("operators/quantize.py", "seeded_rq_codebooks"),  # 2*k codebook rows
         # Spectral round artifacts: every collect below is exactly the
