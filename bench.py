@@ -132,7 +132,45 @@ HEADLINE = [
     "t39_bpe_batched_train",    # multi-merge BPE round w/ recursive-CTE oracle
     "t40_trigram_serve_stored", # GIN-analog posting-list probe (stored index)
     "p47_ivfpq_serve_stored",   # combined IVF-PQ: DPP cells + code-only ADC
+    "t41_bm25_serve_stored",    # BM25 from the stored posting index (round 6)
 ]
+
+
+# Cost-class labels (round-5 VERDICT #3): BUILD rows construct an index
+# inside the query body (self-contained oracle forms — a real deployment
+# pays them once per corpus, the reference's 45-75 min ingest+index,
+# QUICKSTART.md:109); SERVE rows read a frozen artifact / pruned layout
+# and measure per-query cost. Everything unlabeled is an ordinary query.
+# The split makes "30% of the headline is build-amortizable" a mechanical
+# subtotal instead of SCALE.md prose.
+CLASSES = {
+    "p40_nn_descent_graph": "build",
+    "p41_graph_index_append": "build",
+    "p42_graph_beam_search": "build",
+    "t36_bpe_merge_train": "build",
+    "t39_bpe_batched_train": "build",
+    "p04_ivf_search": "serve",
+    "p44_graph_serve_stored": "serve",
+    "p45_ivf_serve_stored": "serve",
+    "p46_pq_serve_stored": "serve",
+    "p47_ivfpq_serve_stored": "serve",
+    "t40_trigram_serve_stored": "serve",
+    "t41_bm25_serve_stored": "serve",
+}
+
+# Machine-state controls (round-5 VERDICT #4): three pinned queries whose
+# call paths have not changed since round 1, one per execution family —
+# pure JVM codegen agg (r01), HOF/vector arithmetic + TakeOrdered (v01),
+# shuffle-heavy band join (d03). Their committed round-1 sf0.1 medians
+# are the reference; the index is the median current/reference ratio.
+# A cross-round per-query delta divided by this index separates "the host
+# is 1.3x slower today" (round 5 burned a manual control sweep proving
+# exactly that) from a real regression. Only meaningful at sf0.1.
+MACHINE_CONTROLS = {
+    "r01_pricing_summary": 1.802,   # BENCH_r01.json, sf0.1
+    "v01_knn_topk": 0.672,
+    "d03_minhash_lsh_pairs": 2.322,
+}
 
 
 def _median(xs: list[float]) -> float:
@@ -196,6 +234,29 @@ def main() -> None:
     )
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # Machine-state index FIRST (before the timed headline loop, so the
+    # controls measure the same JVM/host state the loop runs under).
+    machine_state = None
+    if sf == 0.1:
+        ratios = {}
+        for name, ref in MACHINE_CONTROLS.items():
+            runs = []
+            for _ in range(max(n_runs, 2)):
+                t0 = time.perf_counter()
+                registry.QUERIES[name](spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            ratios[name] = round(_median(runs) / ref, 3)
+        machine_state = {
+            "controls": ratios,
+            # Median ratio: robust to one control drifting for a real
+            # (code) reason — two of three families must move together
+            # before the index moves.
+            "index": _median(sorted(ratios.values())),
+            "reference": "BENCH_r01.json medians, sf0.1",
+        }
+
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     total = 0.0
@@ -211,6 +272,14 @@ def main() -> None:
         raw_runs[name] = runs
         total += med
 
+    classes = {n: CLASSES.get(n, "query") for n in timings}
+    subtotals = {
+        cls: round(
+            sum(t for n, t in timings.items() if classes[n] == cls), 3
+        )
+        for cls in ("build", "serve", "query")
+    }
+
     detail = {
         "metric": "headline_total_wall_clock",
         "value": round(total, 3),
@@ -218,8 +287,13 @@ def main() -> None:
         "queries": timings,
         "runs": raw_runs,
         "runs_per_query": n_runs,
+        "class": classes,
+        "class_subtotals": subtotals,
         "sf": sf,
     }
+    if machine_state is not None:
+        detail["machine_state_index"] = machine_state["index"]
+        detail["machine_state"] = machine_state
 
     # Round-over-round delta: compare per-query medians against the PRIOR
     # round's committed record — prefer BENCH_local_r*.json (full map),
@@ -282,6 +356,28 @@ def main() -> None:
             detail["delta_vs"] = os.path.basename(prev_file)
             detail["delta"] = delta
             detail["delta_total"] = round(sum(delta.values()), 3)
+            # Normalized delta (round-5 VERDICT #4): rescale both runs
+            # to the round-1 reference machine via their machine-state
+            # indexes before differencing, so a uniform host slowdown
+            # reads as ~0 here while a real per-query regression
+            # survives. Older records without an index normalize only
+            # the current side.
+            msi_cur = (
+                machine_state["index"] if machine_state is not None else None
+            )
+            if msi_cur:
+                msi_prev = prev.get("machine_state_index") or 1.0
+                delta_norm = {
+                    n: round(
+                        timings[n] / msi_cur - prev_q[n] / msi_prev, 3
+                    )
+                    for n in timings
+                    if n in prev_q
+                }
+                detail["delta_normalized"] = delta_norm
+                detail["delta_normalized_total"] = round(
+                    sum(delta_norm.values()), 3
+                )
             break
         except (OSError, ValueError, KeyError, TypeError):
             continue
@@ -306,7 +402,13 @@ def main() -> None:
         "runs_per_query": n_runs,
         "queries_file": os.path.basename(local_path) if local_path else None,
     }
-    for k in ("delta_vs", "delta_total"):
+    for k in (
+        "delta_vs",
+        "delta_total",
+        "delta_normalized_total",
+        "machine_state_index",
+        "class_subtotals",
+    ):
         if k in detail:
             summary[k] = detail[k]
     spark.stop()

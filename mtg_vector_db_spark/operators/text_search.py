@@ -122,6 +122,50 @@ def rrf_fuse(
     )
 
 
+def bm25_from_postings(
+    post: DataFrame,
+    stats: DataFrame,
+    query_terms: Sequence[str],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k BM25 from a PRECOMPUTED posting table ``(term, doc_id, tf,
+    doclen)`` + 1-row stats ``(n_docs, avgdl)`` — the serve half of the
+    build-once split (t41 stored artifact; streaming bm25_probe). The
+    scoring DAG from the tf table down is operation-identical to
+    :func:`bm25_scores`, so serving a frozen index returns bit-for-bit
+    the full-scan answer: df(term) needs no separate table because the
+    fetched posting rows for a term ARE the docs containing it."""
+    sel = post.filter(
+        F.col("term").isin([str(t) for t in query_terms])
+    )
+    dfreq = sel.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = sel.join(F.broadcast(dfreq), "term").crossJoin(
+        F.broadcast(stats)
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    part = (
+        idf
+        * F.col("tf")
+        * (k1 + 1)
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("doclen") / F.col("avgdl"))
+        )
+    )
+    return (
+        scored.withColumn("part", part)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), round_digits).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def bm25_weighted_scores(
     docs: DataFrame,
     term_weights: DataFrame,

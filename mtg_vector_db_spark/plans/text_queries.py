@@ -2841,3 +2841,102 @@ def _t40_oracle() -> str:
 
 
 oracle("t40_trigram_serve_stored", _t40_oracle())
+
+
+# ---------------------------------------------------------------------------
+# T41: BM25 SEARCH FROM A STORED POSTING INDEX — the keyword arm gets the
+# t40 treatment (round-5 VERDICT #7): t14/p37/p39 rebuild the postings
+# and corpus stats inside every execution; a deployed keyword engine
+# builds (term, doc, tf, doclen) + (n_docs, avgdl) ONCE and every query
+# only fetches the query terms' posting rows. Two content-addressed
+# artifacts (postings range-partitioned + sorted by term → the serving
+# `term IN (...)` filter is PUSHED to parquet and row groups without the
+# query's terms are skipped — the inverted-index access pattern;
+# 1-row corpus stats). df(term) needs no third artifact: the fetched
+# posting rows for a term ARE the docs containing it, so df = count per
+# term over the fetch. Scoring from that point is operation-identical to
+# operators/text_search.py:bm25_scores, so t41's top-10 equals t14's
+# full-scan answer bit-for-bit (pinned), and the oracle replays the
+# whole build+score in CTEs exactly like t40's.
+# ---------------------------------------------------------------------------
+_T41_K = 10
+
+
+def _stored_bm25_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build-if-missing (postings, stats) artifact paths for the frozen
+    BM25 index over documents. Postings are the FULL term explode
+    (term, doc_id, tf, doclen) — built once per corpus fingerprint;
+    stats is the 1-row (n_docs, avgdl) table computed with the same
+    expressions as the in-query build (doubles round-trip parquet
+    exactly, so serving arithmetic is bit-identical)."""
+    import os
+
+    from mtg_vector_db_spark.operators.artifacts import (
+        artifact_key,
+        artifact_root,
+        dataset_fingerprint,
+        ensure_artifact,
+    )
+
+    fp = dataset_fingerprint(f"{sf_dir}/documents.parquet")
+    pkey = artifact_key("bm25_postings", "v1", fp)
+    skey = artifact_key("bm25_stats", "v1", fp)
+    ppath = os.path.join(artifact_root(), "bm25_postings", pkey)
+    spath = os.path.join(artifact_root(), "bm25_stats", skey)
+
+    def tok_df():
+        (docs,) = tables(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id", T.tokens(F.lower(F.col("text"))).alias("toks")
+        )
+
+    def build_postings(tmp: str) -> None:
+        (
+            tok_df()
+            .select(
+                "doc_id",
+                F.size("toks").alias("doclen"),
+                F.explode("toks").alias("term"),
+            )
+            .groupBy("doc_id", "doclen", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .repartitionByRange(8, "term")
+            .sortWithinPartitions("term")
+            .write.parquet(tmp)
+        )
+
+    def build_stats(tmp: str) -> None:
+        (
+            tok_df()
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.avg(F.size("toks")).alias("avgdl"),
+            )
+            .coalesce(1)
+            .write.parquet(tmp)
+        )
+
+    ensure_artifact(ppath, build_postings)
+    ensure_artifact(spath, build_stats)
+    return ppath, spath
+
+
+@query("t41_bm25_serve_stored")
+def t41_bm25_serve_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.text_search import bm25_from_postings
+
+    ppath, spath = _stored_bm25_paths(spark, sf_dir)
+    post = spark.read.parquet(ppath)
+    stats = spark.read.parquet(spath)
+    return bm25_from_postings(
+        post, stats, BM25_TERMS, _T41_K, round_digits=R
+    ).orderBy(F.desc("bm25"), F.asc("doc_id"))
+
+
+oracle(
+    "t41_bm25_serve_stored",
+    f"""
+    WITH {bm25_sql_ctes()}
+    SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT {_T41_K}
+    """,
+)

@@ -1560,6 +1560,108 @@ def trgm_probe(spark: SparkSession, postings_path: str, q: str, k: int = 10):
     )
 
 
+def streaming_bm25_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    postings_path: str,
+    stats_path: str,
+    checkpoint: str,
+    schema: str = "doc_id long, text string",
+) -> "DataStreamWriter":
+    """Incremental BM25 posting-index maintenance — the keyword arm's
+    streaming face (t41 serves the batch-built artifact; this keeps a
+    LIVE posting store + corpus-stats store fresh as documents arrive,
+    the streaming_trgm_maintenance pattern).
+
+    Per batch, O(new docs) work only:
+
+    * postings: explode each NEW doc (left-anti on doc_id — posting
+      append, like SUM, is not idempotent) into ``(term, doc_id, tf,
+      doclen, batch_id)`` rows and APPEND; history is never rescanned.
+    * stats: append ONE ``(n_docs, total_len, batch_id)`` delta row per
+      batch; serve-time avgdl = sum(total_len)/sum(n_docs) — additive
+      sufficient statistics, the nbayes.py discipline, so the store
+      needs no read-modify-write and a crashed batch can't corrupt it.
+
+    Replayed batches (fresh checkpoint / retry) are skipped via the
+    posting store's batch-id high-watermark. Serving reads both stores
+    (:func:`bm25_probe`) with math identical to the t41 artifact probe,
+    so stream-appended ≡ batch-built is pinned exactly."""
+    from mtg_vector_db_spark.functions.text import tokens
+    from mtg_vector_db_spark.session import pin
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        existing = _state_df(s, postings_path)
+        if existing is not None:
+            last = _max_batch_id(existing)
+            if last is not None and batch_id <= last:
+                return  # replayed batch: already folded, skip
+        new_docs = batch_df.filter(F.col("doc_id").isNotNull())
+        if existing is not None:
+            new_docs = new_docs.join(
+                existing.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+        tok = pin(
+            new_docs.select(
+                "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+            )
+        )
+        (
+            tok.select(
+                "doc_id",
+                F.size("toks").alias("doclen"),
+                F.explode("toks").alias("term"),
+            )
+            .groupBy("doc_id", "doclen", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(postings_path)
+        )
+        (
+            tok.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.size("toks")).alias("total_len"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("append").parquet(stats_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def bm25_probe(
+    spark: SparkSession,
+    postings_path: str,
+    stats_path: str,
+    query_terms,
+    k: int = 10,
+) -> DataFrame:
+    """Serve a keyword query from the MAINTAINED posting store — the
+    read side of streaming_bm25_maintenance, sharing the t41 artifact
+    probe's scoring DAG (operators/text_search.py:bm25_from_postings).
+    The only extra step: fold the additive stats deltas into one
+    (n_docs, avgdl) row — avgdl = Σtotal_len/Σn_docs is the same
+    double division F.avg performs, so stream ≡ batch is exact."""
+    from mtg_vector_db_spark.operators.text_search import bm25_from_postings
+
+    post = spark.read.parquet(postings_path)
+    stats = spark.read.parquet(stats_path).agg(
+        F.sum("n_docs").alias("n_docs"),
+        (
+            F.sum("total_len").cast("double")
+            / F.sum("n_docs").cast("double")
+        ).alias("avgdl"),
+    )
+    return bm25_from_postings(post, stats, query_terms, k)
+
+
 def streaming_ivfpq_append(
     spark: SparkSession,
     source_dir: str,

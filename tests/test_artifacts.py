@@ -434,6 +434,51 @@ def test_t40_python_trigrams_match_engine_construction(spark):
 
 
 # ---------------------------------------------------------------------------
+# t41: stored BM25 posting-index serving (the keyword arm's t40)
+# ---------------------------------------------------------------------------
+def test_t41_serves_exactly_t14s_scan_answer(spark, sf0001):
+    """BM25 from the frozen posting artifact must equal t14's full-scan
+    answer bit-for-bit: df is reconstructed from the fetched postings
+    (the rows for a term ARE the docs containing it), stats round-trip
+    parquet exactly, and the scoring DAG is shared code."""
+    got = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in registry.QUERIES["t41_bm25_serve_stored"](
+            spark, sf0001
+        ).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in registry.QUERIES["t14_bm25_topk"](spark, sf0001).collect()
+    )
+    assert got == want
+
+
+def test_t41_scan_pushes_query_terms(spark, sf0001):
+    """Inverted-index access pattern: the serving scan carries the query
+    terms' IN-filter down to the posting parquet (sorted/range-
+    partitioned by term, so row groups without the query's terms are
+    skipped via min/max stats), and neither artifact is rebuilt."""
+    from mtg_vector_db_spark.plans.text_queries import _stored_bm25_paths
+
+    ppath, spath = _stored_bm25_paths(spark, sf0001)
+    mtimes = (os.path.getmtime(ppath), os.path.getmtime(spath))
+    df = registry.QUERIES["t41_bm25_serve_stored"](spark, sf0001)
+    assert df.count() > 0
+    assert (os.path.getmtime(ppath), os.path.getmtime(spath)) == mtimes
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "bm25_postings" in ln
+    ]
+    assert scans, "no FileScan over the stored posting list"
+    assert any("In(term" in ln or "IN (" in ln for ln in scans), (
+        "query-term filter not pushed to the posting scan"
+    )
+
+
+# ---------------------------------------------------------------------------
 # p47: combined IVF-PQ stored serving
 # ---------------------------------------------------------------------------
 def test_p47_layout_equals_fresh_build(spark, sf0001):

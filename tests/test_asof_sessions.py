@@ -1669,6 +1669,85 @@ def test_streaming_trgm_maintenance_matches_batch_probe(spark, tmp_path):
     assert spark.read.parquet(store).count() == before
 
 
+def test_streaming_bm25_maintenance_matches_batch_topk(spark, tmp_path):
+    """The maintained BM25 store after two waves answers EXACTLY like
+    bm25_topk's full scan over all docs seen (stream == batch — postings
+    AND the additively-folded corpus stats), docs re-delivered in a
+    later wave are not double-posted, and a fresh-checkpoint full
+    replay leaves both stores unchanged (high-watermark guard)."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.operators.text_search import bm25_topk
+    from mtg_vector_db_spark.streaming.pipelines import (
+        bm25_probe,
+        streaming_bm25_maintenance,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    postings = str(tmp_path / "postings")
+    stats = str(tmp_path / "stats")
+
+    def run(ckpt):
+        q = streaming_bm25_maintenance(
+            spark, str(src), postings, stats, str(tmp_path / ckpt)
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    w1 = [
+        (1, "spark joins vectors with spark"),
+        (2, "a join of tables"),
+        (3, "vector vector vector"),
+    ]
+    w2 = [
+        (1, "spark joins vectors with spark"),  # re-delivery: must skip
+        (4, "spark spark join vector"),
+        (5, "nothing relevant here"),
+    ]
+    schema = "doc_id long, text string"
+    spark.createDataFrame(w1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run("ckpt")
+    spark.createDataFrame(w2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run("ckpt")
+
+    post = spark.read.parquet(postings)
+    # no double-posting: doc 1's rows appear once
+    assert (
+        post.groupBy("doc_id", "term").count()
+        .filter(F.col("count") > 1).count() == 0
+    )
+    # additive stats fold to the union corpus
+    st = spark.read.parquet(stats)
+    assert st.agg(F.sum("n_docs")).collect()[0][0] == 5
+
+    terms = ("vector", "join", "spark")
+    got = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_probe(spark, postings, stats, terms, k=10).collect()
+    )
+    full = spark.createDataFrame(
+        w1 + w2[1:], schema
+    )
+    want = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_topk(
+            full, terms, k=10, id_col="doc_id", text_col="text"
+        ).collect()
+    )
+    assert got == want
+
+    before = (post.count(), st.count())
+    run("ckpt_replay")  # fresh checkpoint: batch 0 re-delivers everything
+    assert (
+        spark.read.parquet(postings).count(),
+        spark.read.parquet(stats).count(),
+    ) == before
+
+
 def test_streaming_ivfpq_append_matches_batch_layout(spark, tmp_path, sf0001):
     """The maintained IVF-PQ layout after two appended waves equals a
     one-shot batch assign+encode over all vectors (frozen centroids and
