@@ -133,6 +133,7 @@ HEADLINE = [
     "t40_trigram_serve_stored", # GIN-analog posting-list probe (stored index)
     "p47_ivfpq_serve_stored",   # combined IVF-PQ: DPP cells + code-only ADC
     "t41_bm25_serve_stored",    # BM25 from the stored posting index (round 6)
+    "p48_graph_refresh_appended",  # appended-region re-descent refit (round 6)
 ]
 
 
@@ -149,6 +150,7 @@ CLASSES = {
     "p42_graph_beam_search": "build",
     "t36_bpe_merge_train": "build",
     "t39_bpe_batched_train": "build",
+    "p48_graph_refresh_appended": "build",
     "p04_ivf_search": "serve",
     "p44_graph_serve_stored": "serve",
     "p45_ivf_serve_stored": "serve",

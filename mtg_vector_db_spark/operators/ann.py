@@ -1081,6 +1081,67 @@ def nn_descent_append(
     )
 
 
+def nn_descent_refresh_appended(
+    graph: DataFrame,
+    corpus_emb: DataFrame,
+    new_emb: DataFrame,
+    k: int = 10,
+    rounds: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Periodic batch refresh of the APPENDED region of a frozen k-NN
+    graph — the graph twin of an IVF refit (round-5 VERDICT #5):
+    :func:`nn_descent_append` gives each arrival a good-enough list
+    (bucket mates + one frozen hop, recall 0.70 at the committed k=10
+    config, RECALL.md), and this job later runs bounded NN-Descent
+    rounds SEEDED FROM those lists to close the gap — candidates for an
+    appended node are its current list plus the 2-hop neighborhood
+    through the undirected combined graph, exact-rescored, top-k kept.
+
+    Scale shape: work is O(|appended|·k²) per round — the frozen corpus
+    lists are never recomputed (they pass through untouched; only rows
+    with ``a`` in the appended set re-enter the score/top-k path), so
+    the job costs by the append backlog, not the corpus. Targets are
+    restricted to CORPUS vectors (b ∈ corpus) to keep the audit
+    denominator identical to the append face's recall metric; the
+    refreshed list is the top-k of a superset of the current list under
+    the same exact scores, so recall is monotone non-decreasing by
+    construction (test-pinned).
+
+    ``graph`` holds corpus lists ∪ appended lists (``(a, b, sim)``);
+    returns the same shape with appended rows replaced."""
+    from mtg_vector_db_spark.session import pin
+
+    app_ids = new_emb.select(F.col("vec_id").alias("a"))
+    frozen = graph.join(app_ids, "a", "left_anti")
+    cur = pin(graph.join(app_ids, "a", "left_semi"))
+    corpus_ids = corpus_emb.select(F.col("vec_id").alias("b"))
+    for _ in range(rounds):
+        full = frozen.unionByName(cur)
+        und = full.select("a", "b").union(
+            full.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        base = cur.select("a", "b")
+        x, y = base.alias("x"), und.alias("y")
+        hop2 = (
+            x.join(y, F.col("x.b") == F.col("y.a"))
+            .select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
+        )
+        cand = (
+            base.union(hop2)
+            .filter(F.col("a") != F.col("b"))
+            .join(corpus_ids, "b", "left_semi")
+            .distinct()
+        )
+        cur = pin(
+            _graph_topk(
+                _score_pairs(cand, new_emb, round_digits, emb_b=corpus_emb),
+                k,
+            )
+        )
+    return frozen.unionByName(cur)
+
+
 def graph_beam_search_rounds(
     graph: DataFrame,
     corpus_emb: DataFrame,

@@ -4863,3 +4863,212 @@ def _p47_oracle() -> str:
 
 
 oracle("p47_ivfpq_serve_stored", _p47_oracle())
+
+
+# ---------------------------------------------------------------------------
+# P48: APPENDED-GRAPH REFRESH — the graph twin of an IVF refit (round-5
+# VERDICT #5). The append face (p41) gives each arriving vector a
+# good-enough list against the frozen graph; this query runs the
+# periodic batch job that closes the gap: one bounded NN-Descent round
+# SEEDED FROM the appended nodes' current lists
+# (operators/ann.py:nn_descent_refresh_appended — candidates = current
+# list ∪ 2-hop through the undirected combined graph, corpus targets,
+# exact rescore, monotone top-k). Work is O(|appended|·k²): frozen
+# corpus lists pass through untouched, so the job costs by the append
+# backlog, not the corpus — exactly the serve-vs-refit split the
+# reference implies but never ships (its HNSW has no refit path at all;
+# init.sql:50-53 builds once and per-row inserts forever). Config is
+# the SHIPPED serving graph (k=24 lists, 3 rounds — the p44 artifact's
+# build), where measured recall@10 of appended lists goes 0.946 → 0.992
+# at sf0.1 (RECALL.md; the k=10 demo substrate saturates at 0.71 —
+# refresh quality is bounded by substrate graph quality, which is why
+# the job targets the serving graph). Output: one row per stage
+# (appended / refreshed) with edge count, DECIMAL-exact mean list
+# similarity, and recall@10 of the lists' top-10 vs exact KNN over the
+# fixed 50-probe subset — the lift is machine-checked by the oracle,
+# and the ≥0.85 floor + monotonicity are test-pinned.
+# ---------------------------------------------------------------------------
+_P48_FRAC = 0.1
+
+
+@query("p48_graph_refresh_appended")
+def p48_graph_refresh_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.text import hash_fraction
+    from mtg_vector_db_spark.operators import ann as A
+    from mtg_vector_db_spark.operators.ann import (
+        _graph_topk,
+        nn_descent_append,
+        nn_descent_init,
+        nn_descent_refresh_appended,
+        nn_descent_round,
+    )
+    from mtg_vector_db_spark.operators.knn import knn_join
+    from mtg_vector_db_spark.session import pin
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    newf = (
+        hash_fraction(
+            F.concat(F.col("vec_id").cast("string"), F.lit(":new"))
+        )
+        < _P48_FRAC
+    )
+    corpus = emb.filter(~newf)
+    new = emb.filter(newf)
+    nb = A.dynamic_bucket_count(corpus, min_buckets=_P40_BUCKETS)
+
+    g = pin(nn_descent_init(corpus, nb, _P40_K))
+    for _ in range(_P40_ROUNDS):
+        g = pin(nn_descent_round(g, corpus, _P40_K))
+    app = pin(nn_descent_append(g, corpus, new, nb, _P40_K))
+    refreshed = nn_descent_refresh_appended(
+        g.unionByName(app), corpus, new, k=_P40_K, rounds=1
+    )
+    rapp = pin(
+        refreshed.join(
+            new.select(F.col("vec_id").alias("a")), "a", "left_semi"
+        )
+    )
+
+    # Fixed 50-probe exact audit (the p41 discipline: exact KNN over ALL
+    # held-out vectors is O(n_new·n_corpus) — quadratic since n_new ∝ n).
+    probes = new.orderBy("vec_id").limit(_P40_PROBES)
+    qdf = probes.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = pin(
+        knn_join(corpus, qdf, k=_P40_EVAL_K, round_digits=6)
+        .select(F.col("query_id").alias("a"), F.col("vec_id").alias("b"))
+    )
+    npb = probes.agg(F.count(F.lit(1)).alias("n_probes"))
+
+    def stage_row(lists: DataFrame, stage: str) -> DataFrame:
+        stats = lists.agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum(F.col("sim").cast("decimal(18,6)")).alias("ssim"),
+        )
+        hits = (
+            _graph_topk(lists, _P40_EVAL_K)
+            .join(exact, ["a", "b"])
+            .agg(F.count(F.lit(1)).alias("nhit"))
+        )
+        return (
+            stats.crossJoin(F.broadcast(hits))
+            .crossJoin(F.broadcast(npb))
+            .select(
+                F.lit(stage).alias("stage"),
+                "n_edges",
+                F.round(
+                    F.col("ssim").cast("double") / F.col("n_edges"), 6
+                ).alias("mean_sim"),
+                F.round(
+                    F.col("nhit").cast("double")
+                    / (
+                        F.col("n_probes") * F.lit(_P40_EVAL_K)
+                    ).cast("double"),
+                    6,
+                ).alias("recall_at_10"),
+            )
+        )
+
+    return (
+        stage_row(app, "appended")
+        .unionByName(stage_row(rapp, "refreshed"))
+        .orderBy("stage")
+    )
+
+
+def _p48_oracle() -> str:
+    from mtg_vector_db_spark.plans.corpus_queries import _hash_frac
+
+    k, ek, nb, probes = _P40_K, _P40_EVAL_K, _P40_BUCKETS, _P40_PROBES
+    hn = _hash_frac("CAST(vec_id AS VARCHAR) || ':new'")
+    h1 = _hash_frac("CAST(vec_id AS VARCHAR)")
+    h2 = _hash_frac("CAST(vec_id AS VARCHAR) || ':b2'")
+    chain = _p40_graph_ctes(
+        k, nb, corpus_where=f"NOT ({hn} < {_P48_FRAC})", rounds=_P40_ROUNDS
+    )
+    last_g = f"g{_P40_ROUNDS}"
+    tail = f""",
+    ne AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE {hn} < {_P48_FRAC}),
+    nasg AS MATERIALIZED (
+        SELECT vec_id, CAST(floor({h1} * nb) AS INT) AS cell
+        FROM ne CROSS JOIN nbv
+        UNION ALL
+        SELECT vec_id, CAST(floor({h2} * nb) AS INT) + nb AS cell
+        FROM ne CROSS JOIN nbv),
+    mates AS MATERIALIZED (
+        SELECT na.vec_id AS a, ca.vec_id AS b
+        FROM nasg na JOIN asg ca USING (cell)),
+    hop AS MATERIALIZED (
+        SELECT m.a, g.b AS b FROM mates m
+        JOIN {last_g} g ON g.a = m.b),
+    canda AS MATERIALIZED (
+        SELECT DISTINCT a, b FROM (
+          SELECT a, b FROM mates UNION ALL SELECT a, b FROM hop)
+        WHERE a <> b),
+    pa AS MATERIALIZED (
+        SELECT cd.a, cd.b,
+               round(list_cosine_similarity(ex.v, ey.v), 6) AS sim
+        FROM canda cd
+        JOIN ne ex ON ex.vec_id = cd.a
+        JOIN e ey ON ey.vec_id = cd.b),
+    ga AS MATERIALIZED (
+        SELECT a, b, sim FROM (
+          SELECT a, b, sim, row_number() OVER (PARTITION BY a
+            ORDER BY sim DESC, b) AS rn FROM pa) WHERE rn <= {k}),
+    fullg AS MATERIALIZED (
+        SELECT a, b FROM {last_g} UNION ALL SELECT a, b FROM ga),
+    ur AS MATERIALIZED (
+        SELECT a, b FROM fullg UNION ALL SELECT b, a FROM fullg),
+    candr AS MATERIALIZED (
+        SELECT DISTINCT a, b FROM (
+          SELECT x.a, y.b FROM ga x JOIN ur y ON x.b = y.a
+          UNION ALL SELECT a, b FROM ga)
+        WHERE a <> b AND b IN (SELECT vec_id FROM e)),
+    pr AS MATERIALIZED (
+        SELECT cd.a, cd.b,
+               round(list_cosine_similarity(ex.v, ey.v), 6) AS sim
+        FROM candr cd
+        JOIN ne ex ON ex.vec_id = cd.a
+        JOIN e ey ON ey.vec_id = cd.b),
+    gr AS MATERIALIZED (
+        SELECT a, b, sim FROM (
+          SELECT a, b, sim, row_number() OVER (PARTITION BY a
+            ORDER BY sim DESC, b) AS rn FROM pr) WHERE rn <= {k}),
+    nep AS MATERIALIZED (
+        SELECT vec_id, v FROM ne ORDER BY vec_id LIMIT {probes}),
+    xs2 AS MATERIALIZED (
+        SELECT q.vec_id AS a, t.vec_id AS b,
+               round(list_cosine_similarity(q.v, t.v), 6) AS sim
+        FROM nep q JOIN e t ON q.vec_id <> t.vec_id),
+    exct2 AS MATERIALIZED (
+        SELECT a, b FROM (
+          SELECT a, b, row_number() OVER (PARTITION BY a
+            ORDER BY sim DESC, b) AS rn FROM xs2) WHERE rn <= {ek}),
+    npb AS MATERIALIZED (SELECT count(*) AS n_probes FROM nep)"""
+    selects = []
+    for stage, rel in (("appended", "ga"), ("refreshed", "gr")):
+        selects.append(f"""
+    SELECT '{stage}' AS stage, s.n_edges,
+           round(s.ssim / s.n_edges, 6) AS mean_sim,
+           round(CAST(h.nhit AS DOUBLE)
+                 / CAST(p.n_probes * {ek} AS DOUBLE), 6) AS recall_at_10
+    FROM (SELECT count(*) AS n_edges,
+                 CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) AS ssim
+          FROM {rel}) s
+    CROSS JOIN (SELECT count(*) AS nhit FROM (
+                  SELECT a, b FROM (
+                    SELECT a, b, row_number() OVER (PARTITION BY a
+                      ORDER BY sim DESC, b) AS rn FROM {rel})
+                  WHERE rn <= {ek}) t10
+                JOIN exct2 USING (a, b)) h
+    CROSS JOIN npb p""")
+    return (
+        chain + tail + "\n" + "\n    UNION ALL\n".join(selects)
+        + "\n    ORDER BY stage"
+    )
+
+
+oracle("p48_graph_refresh_appended", _p48_oracle())

@@ -1163,6 +1163,71 @@ def streaming_graph_append(
     )
 
 
+def refresh_appended_graph_store(
+    spark: SparkSession,
+    graph_path: str,
+    corpus_path: str,
+    appended_lists_path: str,
+    new_vectors_path: str,
+    k: int = 10,
+    rounds: int = 1,
+) -> str:
+    """Periodic BATCH refit of the appended graph region — the job a
+    scheduler runs between streaming_graph_append micro-batches (the
+    graph twin of an IVF refit; round-5 VERDICT #5). Reads the frozen
+    graph + the live appended-lists store + the appended vectors, runs
+    :func:`~mtg_vector_db_spark.operators.ann.nn_descent_refresh_appended`
+    (bounded re-descent seeded from the appended nodes' current lists;
+    O(|appended|·k²), corpus lists untouched), and writes the REFRESHED
+    appended lists as a content-addressed artifact.
+
+    The artifact key hashes the frozen graph's AND the appended store's
+    parquet fingerprints plus the refresh params — so every new append
+    batch bumps the key (a fresh refresh runs over the grown backlog)
+    while re-running with unchanged inputs reuses the existing artifact
+    byte-for-byte (test-pinned, with the stream-appended ≡ one-shot
+    batch-appended refresh equality). Returns the artifact path; serving
+    reads frozen graph ∪ this artifact instead of frozen ∪ live store."""
+    import os
+
+    from mtg_vector_db_spark.operators.ann import (
+        nn_descent_refresh_appended,
+    )
+    from mtg_vector_db_spark.operators.artifacts import (
+        artifact_key,
+        artifact_root,
+        dataset_fingerprint,
+        ensure_artifact,
+    )
+
+    key = artifact_key(
+        "graph_appended_refresh",
+        "v1",
+        k,
+        rounds,
+        dataset_fingerprint(graph_path),
+        dataset_fingerprint(appended_lists_path),
+    )
+    path = os.path.join(artifact_root(), "graph_refresh", key)
+
+    def build(tmp: str) -> None:
+        g = spark.read.parquet(graph_path)
+        app = spark.read.parquet(appended_lists_path).select(
+            "a", "b", "sim"
+        )
+        corpus = spark.read.parquet(corpus_path)
+        new = spark.read.parquet(new_vectors_path)
+        refreshed = nn_descent_refresh_appended(
+            g.unionByName(app), corpus, new, k=k, rounds=rounds
+        )
+        refreshed.join(
+            new.select(F.col("vec_id").alias("a")), "a", "left_semi"
+        ).write.parquet(tmp)
+
+    ensure_artifact(path, build)
+    return path
+
+
 def streaming_moment_maintenance(
     spark: SparkSession,
     source_dir: str,

@@ -1139,6 +1139,116 @@ def test_streaming_graph_append_matches_batch(spark, tmp_path, sf001):
     assert streamed == batch and len(batch) > 0
 
 
+def test_refresh_appended_graph_store_stream_equals_batch(
+    spark, tmp_path, sf001
+):
+    """The periodic refresh job over a STREAM-built appended store must
+    produce exactly the lists of refreshing a one-shot batch append
+    (stream-appended ≡ refresh-then-serve), the artifact must be reused
+    byte-for-byte when inputs are unchanged, and a further append batch
+    must BUMP the content-addressed key (new backlog → new refresh)."""
+    import json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from mtg_vector_db_spark.operators.ann import (
+        nn_descent_append,
+        nn_descent_init,
+        nn_descent_refresh_appended,
+        nn_descent_round,
+    )
+    from mtg_vector_db_spark.streaming.pipelines import (
+        refresh_appended_graph_store,
+        streaming_graph_append,
+    )
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") < 480)
+    new_df = emb.filter(
+        (F.col("vec_id") >= 480) & (F.col("vec_id") < 494)
+    )
+    new = new_df.collect()
+
+    g = nn_descent_round(nn_descent_init(corpus), corpus)
+    corpus_path = str(tmp_path / "corpus")
+    graph_path = str(tmp_path / "graph")
+    new_path = str(tmp_path / "newvecs")
+    corpus.write.parquet(corpus_path)
+    g.write.parquet(graph_path)
+    new_df.write.parquet(new_path)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+
+    def rows(batch):
+        return "\n".join(
+            json.dumps(
+                {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+            )
+            for r in batch
+        )
+
+    lists_path = str(tmp_path / "lists")
+
+    def run():
+        q = streaming_graph_append(
+            spark, str(src), graph_path, corpus_path,
+            lists_path, str(tmp_path / "ckpt"),
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    (src / "b1.json").write_text(rows(new[:7]))
+    run()
+    (src / "b2.json").write_text(rows(new[7:]))
+    run()
+
+    p1 = refresh_appended_graph_store(
+        spark, graph_path, corpus_path, lists_path, new_path
+    )
+    got = {
+        (r["a"], r["b"], r["sim"])
+        for r in spark.read.parquet(p1).collect()
+    }
+
+    frozen_g = spark.read.parquet(graph_path)
+    frozen_c = spark.read.parquet(corpus_path)
+    app = nn_descent_append(frozen_g, frozen_c, new_df)
+    want = {
+        (r["a"], r["b"], r["sim"])
+        for r in nn_descent_refresh_appended(
+            frozen_g.unionByName(app), frozen_c, new_df
+        )
+        .join(
+            new_df.select(F.col("vec_id").alias("a")), "a", "left_semi"
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+    # Unchanged inputs: same key, artifact untouched (reused).
+    mtime = _os.path.getmtime(p1)
+    assert refresh_appended_graph_store(
+        spark, graph_path, corpus_path, lists_path, new_path
+    ) == p1
+    assert _os.path.getmtime(p1) == mtime
+
+    # A further append batch changes the store fingerprint → key bump.
+    extra = emb.filter(
+        (F.col("vec_id") >= 494) & (F.col("vec_id") < 500)
+    )
+    (src / "b3.json").write_text(rows(extra.collect()))
+    run()
+    extra_new_path = str(tmp_path / "newvecs2")
+    emb.filter(
+        (F.col("vec_id") >= 480) & (F.col("vec_id") < 500)
+    ).write.parquet(extra_new_path)
+    p2 = refresh_appended_graph_store(
+        spark, graph_path, corpus_path, lists_path, extra_new_path
+    )
+    assert p2 != p1
+
+
 def test_streaming_moment_maintenance_matches_batch_and_skips_replay(
     spark, tmp_path, sf001
 ):

@@ -442,6 +442,28 @@ def test_p42_beam_search_recall_clears_hnsw_bar(spark, sf001):
     assert vols[-1] < 50 * 499  # < exhaustive 50-probe scan
 
 
+def test_p48_refresh_recall_floor_and_monotone(spark, sf001):
+    """The appended-region refresh (round-5 VERDICT #5): one re-descent
+    round seeded from the appended lists must land ≥0.85 recall@10 at
+    the committed serving config (k=24/3-round substrate — measured
+    1.0 at sf0.01, 0.992 at sf0.1 from append's 0.954/0.946), and can
+    never make recall worse: the refreshed list is the top-k of a
+    superset of the current list under identical exact scores."""
+    rows = {
+        r["stage"]: r
+        for r in registry.QUERIES["p48_graph_refresh_appended"](
+            spark, sf001
+        ).collect()
+    }
+    assert set(rows) == {"appended", "refreshed"}
+    assert rows["refreshed"]["recall_at_10"] >= 0.85
+    assert (
+        rows["refreshed"]["recall_at_10"]
+        >= rows["appended"]["recall_at_10"]
+    )
+    assert rows["refreshed"]["n_edges"] >= rows["appended"]["n_edges"]
+
+
 def test_p43_quantized_operating_points(spark, sf001):
     """The quantized-arm cost↔recall frontier (round-4): recall must be
     monotone in oversample for both arms, and the committed operating
