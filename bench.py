@@ -134,6 +134,7 @@ HEADLINE = [
     "p47_ivfpq_serve_stored",   # combined IVF-PQ: DPP cells + code-only ADC
     "t41_bm25_serve_stored",    # BM25 from the stored posting index (round 6)
     "p48_graph_refresh_appended",  # appended-region re-descent refit (round 6)
+    "v18_mrl_operating_points",    # MRL prefix×oversample recall frontier
 ]
 
 

@@ -1456,3 +1456,145 @@ def _v17_oracle() -> str:
 
 
 oracle("v17_top2_spectrum", _v17_oracle())
+
+
+# ---------------------------------------------------------------------------
+# V18: MRL OPERATING-POINT SWEEP — the measured cost↔recall frontier for
+# the Matryoshka prefix arm (round-5 VERDICT #6: v11 was the one
+# approximate arm without a p43-style committed frontier; its fixed
+# prefix-16/os=5 point measures 0.50 recall at sf0.1). One corpus scan
+# (the p36/p43 discipline): both prefix similarities and the full-dim
+# similarity are computed in ONE projection over a pinned base, every
+# candidate set is a RANK FILTER over the widest top-(k·max os) fetch
+# (candidate sets are nested in rank, so "candidates at os" never
+# re-scans), and each branch's top-k is a TakeOrdered over ≤200 rows.
+# Output: (prefix, oversample) × (recall@10 vs exact full-dim top-10,
+# rescore_fraction = k·os/n — the fraction of FULL vectors fetched,
+# coarse_bytes_fraction = prefix/64 — the byte fraction the coarse scan
+# reads when the prefix is stored as its own column). The committed
+# operating point lives in RECALL.md with a pinned floor.
+# ---------------------------------------------------------------------------
+_V18_PREFIXES = (16, 32)
+_V18_OS = (5, 10, 20)
+_V18_K = 10
+_V18_DIM = 64
+
+
+@query("v18_mrl_operating_points")
+def v18_mrl_operating_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions.vector import cosine_similarity
+    from mtg_vector_db_spark.session import pin
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir)
+    cols = [
+        F.round(cosine_similarity(F.col("embedding"), qv), R).alias("fsim")
+    ]
+    for p in _V18_PREFIXES:
+        cols.append(
+            F.round(
+                cosine_similarity(F.slice(F.col("embedding"), 1, p), qv[:p]),
+                R,
+            ).alias(f"psim{p}")
+        )
+    base = pin(emb.select("vec_id", *cols))
+    ncnt = base.agg(F.count(F.lit(1)).alias("n_corpus"))
+    exact = (
+        base.orderBy(F.desc("fsim"), F.asc("vec_id"))
+        .limit(_V18_K)
+        .select("vec_id")
+    )
+    max_cand = _V18_K * max(_V18_OS)
+    out = None
+    for p in _V18_PREFIXES:
+        ps = f"psim{p}"
+        wide = (
+            base.orderBy(F.desc(ps), F.asc("vec_id"))
+            .limit(max_cand)
+        )
+        w = Window.orderBy(F.desc(ps), F.asc("vec_id"))
+        ranked = pin(wide.withColumn("prank", F.row_number().over(w)))
+        for os_ in _V18_OS:
+            top = (
+                ranked.filter(F.col("prank") <= _V18_K * os_)
+                .orderBy(F.desc("fsim"), F.asc("vec_id"))
+                .limit(_V18_K)
+            )
+            hits = top.join(exact, "vec_id").agg(
+                F.count(F.lit(1)).alias("nhit")
+            )
+            row = (
+                hits.crossJoin(F.broadcast(ncnt))
+                .select(
+                    F.lit(p).alias("prefix"),
+                    F.lit(os_).alias("oversample"),
+                    F.round(
+                        F.col("nhit").cast("double") / float(_V18_K), 6
+                    ).alias("recall_at_10"),
+                    F.round(
+                        F.least(
+                            F.lit(_V18_K * os_), F.col("n_corpus")
+                        ).cast("double")
+                        / F.col("n_corpus").cast("double"),
+                        6,
+                    ).alias("rescore_fraction"),
+                    F.round(
+                        F.lit(p) / F.lit(float(_V18_DIM)), 6
+                    ).alias("coarse_bytes_fraction"),
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+    return out.orderBy("prefix", "oversample")
+
+
+def _v18_oracle() -> str:
+    k = _V18_K
+    max_cand = k * max(_V18_OS)
+    sql = f"""
+    WITH base AS MATERIALIZED (
+      SELECT vec_id,
+             round(list_cosine_similarity(
+               CAST(embedding AS DOUBLE[]), {_Q_SUB}), {R}) AS fsim"""
+    for p in _V18_PREFIXES:
+        qp = (
+            f"(SELECT CAST(embedding[1:{p}] AS DOUBLE[]) FROM embeddings"
+            " WHERE vec_id = 0)"
+        )
+        sql += f""",
+             round(list_cosine_similarity(
+               CAST(embedding[1:{p}] AS DOUBLE[]), {qp}), {R}) AS psim{p}"""
+    sql += """
+      FROM embeddings),
+    exct AS MATERIALIZED (
+      SELECT vec_id FROM base ORDER BY fsim DESC, vec_id ASC LIMIT %d),
+    ncrp AS (SELECT count(*) AS n_corpus FROM base)""" % k
+    for p in _V18_PREFIXES:
+        sql += f""",
+    rk{p} AS MATERIALIZED (
+      SELECT vec_id, fsim,
+             row_number() OVER (ORDER BY psim{p} DESC, vec_id ASC) AS prank
+      FROM base
+      ORDER BY psim{p} DESC, vec_id ASC LIMIT {max_cand})"""
+    selects = []
+    for p in _V18_PREFIXES:
+        for os_ in _V18_OS:
+            selects.append(f"""
+    SELECT {p} AS prefix, {os_} AS oversample,
+           round(CAST(h.nhit AS DOUBLE) / {float(k)}, 6) AS recall_at_10,
+           round(CAST(least({k * os_}, ncrp.n_corpus) AS DOUBLE)
+                 / CAST(ncrp.n_corpus AS DOUBLE), 6) AS rescore_fraction,
+           round({p} / {float(_V18_DIM)}, 6) AS coarse_bytes_fraction
+    FROM (SELECT count(*) AS nhit FROM (
+            SELECT vec_id FROM rk{p} WHERE prank <= {k * os_}
+            ORDER BY fsim DESC, vec_id ASC LIMIT {k}) t
+          JOIN exct USING (vec_id)) h
+    CROSS JOIN ncrp""")
+    return (
+        sql + "\n" + "\n    UNION ALL\n".join(selects)
+        + "\n    ORDER BY prefix, oversample"
+    )
+
+
+oracle("v18_mrl_operating_points", _v18_oracle())

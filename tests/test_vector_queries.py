@@ -81,6 +81,27 @@ def test_mrl_prefix_search_plan_shape(spark, sf001):
     assert "Join" not in plan and "CartesianProduct" not in plan
 
 
+def test_mrl_operating_points_frontier(spark, sf001):
+    """The committed MRL operating point (round-5 VERDICT #6): the v18
+    sweep must hold recall ≥0.9 at (prefix=32, os=20) — measured 1.0 at
+    sf0.01 and 0.9 at sf0.1 (RECALL.md) — be monotone in oversample for
+    each prefix (candidate sets are nested in rank), and never rank the
+    32-dim prefix below the 16-dim one at equal oversample (a longer
+    prefix is a strictly better coarse scorer on these embeddings)."""
+    rows = {
+        (r["prefix"], r["oversample"]): r["recall_at_10"]
+        for r in registry.QUERIES["v18_mrl_operating_points"](
+            spark, sf001
+        ).collect()
+    }
+    assert rows[(32, 20)] >= 0.9
+    for p in (16, 32):
+        seq = [rows[(p, o)] for o in (5, 10, 20)]
+        assert seq == sorted(seq), seq
+    for o in (5, 10, 20):
+        assert rows[(32, o)] >= rows[(16, o)]
+
+
 def test_dispersion_closed_form_equals_brute_force(spark, sf001):
     """The O(n·d) closed form must equal the O(n²) brute-force mean
     pairwise cosine (computed in numpy on the same normalized,
