@@ -622,6 +622,15 @@ def test_t39_batched_train_oracle_on_degenerate_corpora(spark, tmp_path):
         "conflict": (["abcde abcde abcd bcde abc bcd cde ab bc cd de"] * 3, 4),
         "none": (["a b c d e"], 0),
         "empty": (["", "   ", "x"], 0),
+        # Max-conflicting shape (round-5 VERDICT #8): a single-symbol
+        # corpus makes EVERY candidate in every round share a symbol
+        # (round 1: only (a,a); round 2: (aa,aa)/(aa,a) both consume
+        # 'aa'), so the batch degenerates to M=1 — exactly one pick per
+        # round, 2 merges over the 2 configured rounds. This drives the
+        # oracle's recursive selection through its worst case: the full
+        # 4M-candidate LIMIT scanned with every non-first candidate
+        # rejected by the used-symbol guard.
+        "maxconflict": (["aaaaaa aaaaa aaaa aaa aa"] * 3, 2),
     }
     for name, (texts, want_merges) in cases.items():
         d = tmp_path / name
