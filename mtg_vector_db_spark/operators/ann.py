@@ -59,7 +59,9 @@ def ivf_probe_labels(
     cluster_col: str = "label",
 ) -> list:
     """The ``nprobe`` clusters nearest to the query (driver-side pick over
-    the tiny centroid table — the IVF coarse quantizer step)."""
+    the tiny centroid table — the IVF coarse quantizer step). Legacy
+    strategy: prefer :func:`ivf_probe_cells` (the in-plan form) in query
+    paths — it answers identically without a per-query driver job."""
     sim = cosine_similarity(F.col("centroid"), list(query_vec))
     rows = (
         centroids.select(cluster_col, sim.alias("sim"))
@@ -68,6 +70,28 @@ def ivf_probe_labels(
         .collect()
     )
     return [r[cluster_col] for r in rows]
+
+
+def ivf_probe_cells(
+    centroids: DataFrame,
+    query_vec: Sequence[float],
+    nprobe: int,
+    cluster_col: str = "label",
+) -> DataFrame:
+    """In-plan twin of :func:`ivf_probe_labels` (round-5 VERDICT #9): the
+    ``nprobe`` nearest clusters as an nprobe-row DataFrame for a
+    broadcast semi-join — same (sim DESC, cluster) pick, zero driver
+    round-trips. Against a cell-partitioned layout the broadcast
+    semi-join triggers dynamic partition pruning (the p45/p47 serving
+    shape), so the pruning the ``isin`` literal bought statically still
+    happens — at runtime, where it belongs for a data-derived probe."""
+    sim = cosine_similarity(F.col("centroid"), list(query_vec))
+    return (
+        centroids.select(cluster_col, sim.alias("_csim"))
+        .orderBy(F.desc("_csim"), F.asc(cluster_col))
+        .limit(nprobe)
+        .select(cluster_col)
+    )
 
 
 def ivf_search(
@@ -80,14 +104,26 @@ def ivf_search(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     round_digits: int | None = None,
+    probe_strategy: str = "join",
 ) -> DataFrame:
-    """IVF ANN: exact KNN restricted to the nprobe nearest cells. With the
-    corpus written partitioned by cell, the ``isin`` filter prunes
-    partitions at the scan."""
+    """IVF ANN: exact KNN restricted to the nprobe nearest cells.
+
+    ``probe_strategy="join"`` (default since round 6): the coarse probe
+    is a broadcast semi-join against the in-plan nprobe pick — ONE Spark
+    job per search, DPP-prunable against a partitioned layout.
+    ``"collect"`` keeps the legacy driver-side label pick (an ``isin``
+    literal — static partition pruning, at the cost of a per-query
+    driver round-trip). Identical answers either way (test-pinned)."""
     from mtg_vector_db_spark.operators.knn import knn
 
-    labels = ivf_probe_labels(centroids, query_vec, nprobe, cluster_col)
-    pruned = emb.filter(F.col(cluster_col).isin(labels))
+    if probe_strategy == "collect":
+        labels = ivf_probe_labels(centroids, query_vec, nprobe, cluster_col)
+        pruned = emb.filter(F.col(cluster_col).isin(labels))
+    elif probe_strategy == "join":
+        probe = ivf_probe_cells(centroids, query_vec, nprobe, cluster_col)
+        pruned = emb.join(F.broadcast(probe), cluster_col, "left_semi")
+    else:
+        raise ValueError(f"unknown probe_strategy: {probe_strategy!r}")
     return knn(pruned, query_vec, k, emb_col=emb_col, id_col=id_col,
                round_digits=round_digits)
 

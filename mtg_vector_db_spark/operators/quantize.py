@@ -482,10 +482,12 @@ def ivfpq_search(
     cell), PQ cuts per-row cost inside a cell to m table lookups. With both,
     a 100 TB corpus reads nprobe/n_cells of its partitions and only the
     codes column of those."""
-    from mtg_vector_db_spark.operators.ann import ivf_probe_labels
+    from mtg_vector_db_spark.operators.ann import ivf_probe_cells
 
-    labels = ivf_probe_labels(centroids, query_vec, nprobe, cluster_col)
-    pruned = emb.filter(F.col(cluster_col).isin(labels))
+    # In-plan nprobe pick (round-5 VERDICT #9): broadcast semi-join, no
+    # per-query driver round-trip; DPP-prunes a cell-partitioned layout.
+    probe = ivf_probe_cells(centroids, query_vec, nprobe, cluster_col)
+    pruned = emb.join(F.broadcast(probe), cluster_col, "left_semi")
     return pq_search(
         pruned,
         codebooks,

@@ -126,6 +126,38 @@ def test_unknown_strategy_raises(spark):
         ivf_assign(emb, cents, strategy="nope")
 
 
+def test_ivf_search_join_probe_equals_collect_probe(spark, sf001):
+    """The in-plan nprobe pick (broadcast semi-join) must answer
+    identically to the legacy driver-side isin-literal pick — the
+    round-5 #9 demotion of the last per-query driver round-trip in the
+    vector serve path — and its plan must carry the broadcast join."""
+    from mtg_vector_db_spark.operators.ann import (
+        centroid_vectors,
+        centroids_by,
+        ivf_search,
+    )
+    from mtg_vector_db_spark.plans.vector_queries import query_vector
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    qv = query_vector(spark, sf001)
+    cents = centroid_vectors(centroids_by(emb))
+    joined = ivf_search(
+        emb, cents, qv, k=10, nprobe=2, round_digits=6,
+        probe_strategy="join",
+    )
+    collected = ivf_search(
+        emb, cents, qv, k=10, nprobe=2, round_digits=6,
+        probe_strategy="collect",
+    )
+    assert [tuple(r) for r in joined.collect()] == [
+        tuple(r) for r in collected.collect()
+    ]
+    plan = _plan(joined)
+    assert "Broadcast" in plan and "Join" in plan
+    with pytest.raises(ValueError, match="probe_strategy"):
+        ivf_search(emb, cents, qv, k=10, probe_strategy="nope")
+
+
 # ---------------------------------------------------------------------------
 # End-to-end: every registered query that rides the assignment kernels,
 # forced through the broadcast path, must stay oracle-green with the
