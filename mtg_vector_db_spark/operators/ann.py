@@ -761,6 +761,138 @@ def _with_scored_cells(
     )
 
 
+def two_level_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    n_super: int | None = None,
+    emb_col: str = "embedding",
+    cluster_col: str = "cell",
+    centroid_col: str = "centroid",
+    super_col: str = "super_cell",
+    n_probe_super: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-level coarse quantization (the IMI / coarse-then-fine recipe)
+    — the extreme-cardinality path past even the broadcast fold: at ~4M
+    × 64-d centroids the single fold row is ~2 GB (SCALE.md residual
+    bound). Here the level-1 codebook is the ``n_super`` LOWEST-ID
+    centroids (the dynamic_seed_cells lowest-id discipline —
+    deterministic, SQL-replayable; default ⌈√k⌉ via one bounded count),
+    every centroid is assigned to its nearest super-cell once, and a
+    vector then scores O(√k) supers map-side plus the chosen super's
+    member list — delivered per row through a BROADCAST HASH JOIN on
+    ``super_col``, so the full centroid table reaches tasks SHARDED one
+    row per super-cell instead of as one giant array. Work per vector
+    drops from O(k) to O(√k + |members|), and no single broadcast row
+    exceeds its super-cell's membership.
+
+    Semantics: nearest cell WITHIN the ``n_probe_super`` nearest
+    super-cells — the standard two-level approximation, NOT always the
+    global argmin (agreement with flat assignment is the p49 oracle's
+    own output; raising ``n_probe_super`` buys agreement back at
+    O(probe·√k) cost, the IVF-nprobe recipe one level up — measured
+    0.38 → 0.56 → 0.74 → 0.89 at probes 1/2/4/8 on the 10⁴-cell
+    weak-cluster synthetic, SCALE.md). A vector whose probed super-cells
+    attracted
+    no members keeps its row with a NULL ``cluster_col`` (left join —
+    assignment never drops rows). Same scoring kernel, same
+    (dist, cell) tie-break at both levels as :func:`ivf_assign`."""
+    import math
+
+    k = centroids.count()  # bounded: the centroid table, never the corpus
+    if n_super is None:
+        n_super = max(1, math.ceil(math.sqrt(k)))
+    supers = (
+        centroids.orderBy(cluster_col)
+        .limit(n_super)
+        .select(
+            F.col(cluster_col).alias(super_col),
+            F.col(centroid_col).alias("centroid"),
+        )
+    )
+    cent_emb = centroids.select(
+        F.col(cluster_col).alias("vec_id"),
+        F.col(centroid_col).alias("embedding"),
+    )
+    cent_sup = ivf_assign(
+        cent_emb, supers, cluster_col=super_col, centroid_col="centroid"
+    )
+    members = cent_sup.groupBy(super_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("vec_id").alias("cell"),
+                F.transform(
+                    "embedding", lambda x: x.cast("double")
+                ).alias("c"),
+                F.aggregate(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                ).alias("n2"),
+            )
+        ).alias("_cents")
+    )
+    s1 = _with_scored_cells(
+        emb, supers, emb_col, super_col, "centroid", "auto"
+    )
+    if n_probe_super <= 1:
+        s1 = s1.withColumn(
+            super_col, F.array_min(F.col("_scored"))["cell"]
+        ).drop("_scored")
+        return (
+            s1.join(F.broadcast(members), super_col, "left")
+            .withColumn(
+                cluster_col,
+                F.array_min(_score_cells_expr(F.col("_cents")))["cell"],
+            )
+            .drop("_nx", "_cents")
+        )
+    # Multi-probe: explode the top-probe supers (n·probe rows), join each
+    # to its member shard, take the per-row best (dist, cell), then ONE
+    # map-side-combinable min_by per vector (keyed on ``id_col``) —
+    # probe is small, so the shuffle carries n rows after partial
+    # aggregation. Null-safe ordering: a memberless probed super scores
+    # +inf, so it can only win when EVERY probed super is memberless
+    # (then the cell stays NULL, matching the single-probe semantics).
+    orig_cols = [c for c in emb.columns]
+    inf_ord = F.struct(
+        F.lit(float("inf")).alias("dist"),
+        F.lit(2147483647).alias("cell"),
+    )
+    probed = (
+        s1.withColumn(
+            super_col,
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(F.col("_scored")), 1, n_probe_super),
+                    lambda s: s["cell"],
+                )
+            ),
+        )
+        .drop("_scored")
+        .join(F.broadcast(members), super_col, "left")
+        .withColumn(
+            "_best", F.array_min(_score_cells_expr(F.col("_cents")))
+        )
+        .withColumn("_ord", F.coalesce(F.col("_best"), inf_ord))
+        .drop("_cents")
+    )
+    key = F.struct(F.col("_ord"), F.col(super_col))
+    best = probed.groupBy(id_col).agg(
+        F.min_by(F.col("_best"), key).alias("_b"),
+        F.min_by(
+            F.struct(*[c for c in orig_cols if c != id_col]), key
+        ).alias("_row"),
+        F.min_by(F.col(super_col), key).alias("_sup"),
+    )
+    return best.select(
+        id_col,
+        "_row.*",
+        F.col("_sup").alias(super_col),
+        F.col("_b")["cell"].alias(cluster_col),
+    )
+
+
 def ivf_multi_assign(
     emb: DataFrame,
     centroids: DataFrame,

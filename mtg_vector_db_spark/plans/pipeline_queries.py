@@ -5072,3 +5072,144 @@ def _p48_oracle() -> str:
 
 
 oracle("p48_graph_refresh_appended", _p48_oracle())
+
+
+# ---------------------------------------------------------------------------
+# P49: TWO-LEVEL COARSE ASSIGNMENT — the extreme-cardinality quantizer
+# (round-6 extension past the broadcast fold): level-1 codebook = the
+# ⌈√k⌉ lowest-id cells (deterministic, SQL-replayable), every centroid
+# assigned to its nearest super-cell once, vectors score O(√k) supers
+# map-side then only the chosen super's member list (delivered by a
+# BroadcastHashJoin on super_cell — the centroid table reaches tasks
+# sharded one row per super-cell, so no single broadcast row grows with
+# total cell count; the bound SCALE.md's centroid-cardinality table
+# leaves open at ~4M cells is closed by construction). Output: one row
+# per super-cell with member count, assigned-vector count, and the
+# AGREEMENT count vs flat argmin assignment — the two-level recipe is
+# an approximation and its quality is the query's own measured output,
+# replayed end-to-end by the oracle (both levels + the flat argmin).
+# ---------------------------------------------------------------------------
+@query("p49_two_level_assign")
+def p49_two_level_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.operators.ann import (
+        dynamic_seed_cells,
+        ivf_assign,
+        two_level_assign,
+    )
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    cents = dynamic_seed_cells(emb)
+    two = two_level_assign(emb, cents).select(
+        "vec_id", "super_cell", "cell"
+    )
+    flat = ivf_assign(emb, cents).select(
+        "vec_id", F.col("cell").alias("flat_cell")
+    )
+    both = two.join(flat, "vec_id")
+    # Distinct member cells actually CHOSEN per super (null cells — a
+    # vector whose nearest super attracted no members — excluded, the
+    # COUNT(DISTINCT) null semantics the oracle uses).
+    mem = (
+        two.filter(F.col("cell").isNotNull())
+        .select("super_cell", "cell")
+        .distinct()
+        .groupBy("super_cell")
+        .agg(F.count(F.lit(1)).alias("n_member_cells_used"))
+    )
+    return (
+        both.groupBy("super_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(
+                F.when(F.col("cell") == F.col("flat_cell"), 1).otherwise(0)
+            ).alias("n_agree"),
+        )
+        .join(mem, "super_cell", "left")
+        .select(
+            "super_cell",
+            "n_vectors",
+            "n_agree",
+            F.coalesce("n_member_cells_used", F.lit(0)).alias(
+                "n_member_cells_used"
+            ),
+        )
+        .orderBy("super_cell")
+    )
+
+
+def _p49_oracle() -> str:
+    return """
+    WITH c AS MATERIALIZED (
+      SELECT CAST(vec_id AS INT) AS cell,
+             CAST(embedding AS DOUBLE[]) AS cvec,
+             list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS n2
+      FROM embeddings
+      WHERE vec_id < (SELECT greatest(8, CAST(ceil(count(*) / 250.0) AS INT))
+                      FROM embeddings)
+    ),
+    sups AS MATERIALIZED (
+      SELECT cell AS super_cell, cvec AS svec, n2 AS sn2 FROM (
+        SELECT c.*, row_number() OVER (ORDER BY cell) AS rn FROM c)
+      WHERE rn <= (SELECT CAST(ceil(sqrt(count(*))) AS INT) FROM c)
+    ),
+    casg AS MATERIALIZED (
+      SELECT cell, cvec, n2, super_cell FROM (
+        SELECT c.cell, c.cvec, c.n2, s.super_cell,
+               row_number() OVER (PARTITION BY c.cell
+                 ORDER BY s.sn2 - 2 * list_inner_product(s.svec,
+                   list_transform(c.cvec,
+                     x -> x / sqrt(list_inner_product(c.cvec, c.cvec)))),
+                 s.super_cell) AS rn
+        FROM c CROSS JOIN sups s) WHERE rn = 1
+    ),
+    n AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_inner_product(
+                 CAST(embedding AS DOUBLE[]),
+                 CAST(embedding AS DOUBLE[])))) AS nx
+      FROM embeddings
+    ),
+    vsup AS MATERIALIZED (
+      SELECT vec_id, nx, super_cell FROM (
+        SELECT n.vec_id, n.nx, s.super_cell,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY s.sn2 - 2 * list_inner_product(s.svec, n.nx),
+                 s.super_cell) AS rn
+        FROM n CROSS JOIN sups s) WHERE rn = 1
+    ),
+    two AS MATERIALIZED (
+      SELECT vec_id, super_cell, cell FROM (
+        SELECT v.vec_id, v.super_cell, m.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY m.n2 - 2 * list_inner_product(m.cvec, v.nx),
+                 m.cell) AS rn
+        FROM vsup v LEFT JOIN casg m USING (super_cell)) WHERE rn = 1
+    ),
+    flat AS MATERIALIZED (
+      SELECT vec_id, cell AS flat_cell FROM (
+        SELECT n.vec_id, c.cell,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY c.n2 - 2 * list_inner_product(c.cvec, n.nx),
+                 c.cell) AS rn
+        FROM n CROSS JOIN c) WHERE rn = 1
+    ),
+    mem AS (
+      SELECT super_cell, count(DISTINCT cell) AS n_member_cells_used
+      FROM two GROUP BY super_cell
+    )
+    SELECT t.super_cell,
+           count(*) AS n_vectors,
+           CAST(sum(CASE WHEN t.cell = f.flat_cell THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           coalesce(any_value(m.n_member_cells_used), 0)
+             AS n_member_cells_used
+    FROM two t
+    JOIN flat f USING (vec_id)
+    LEFT JOIN mem m ON m.super_cell = t.super_cell
+    GROUP BY t.super_cell
+    ORDER BY t.super_cell"""
+
+
+oracle("p49_two_level_assign", _p49_oracle())

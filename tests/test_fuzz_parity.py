@@ -250,6 +250,53 @@ def test_decimal_multiply_keeps_scale(spark):
 # round-5 fix, whose long→double cast was lossy past 2^53), so ties
 # are half-away-from-zero exact at any corpus size in both engines.
 # ---------------------------------------------------------------------------
+def test_float_parity_lint_rounded_double_ratio_allowlist():
+    """Mechanical float-parity lint (round-6 — the round-close
+    discipline's review rule, now a gate): ``round(CAST(sum(...decimal)
+    AS DOUBLE) / count, d)`` is the double-round representation-tie
+    class that produced the r72 money bug and the seed-70707
+    avg_quality bug — when the TRUE quotient of an exact fixed-scale
+    sum lands on an exact tie at the kept digit, Spark rounds the
+    shortest decimal repr while DuckDB rounds the binary value. Every
+    oracle carrying the pattern is inventoried here; the allowlisted
+    sites are same-formula-on-both-sides with tie exposure accepted
+    and continuously fuzz-swept (two strikes of this class were found
+    by fuzz and converted to the exact integer-ratio form —
+    pipeline_queries._avg_quality_exact). A NEW query matching the
+    pattern fails this lint until it is either converted to the
+    integer-ratio form (preferred) or consciously allowlisted with
+    the same justification."""
+    import re
+
+    pat = re.compile(
+        r"round\s*\([^()]*CAST\s*\(\s*sum\s*\([^;]{0,200}?AS\s+DOUBLE"
+        r"\s*\)\s*/\s*(?:count\(\*\)|[a-z_.]*n_\w+|[a-z_.]+\.n\w*)",
+        re.I | re.S,
+    )
+    allowed = {
+        "c28_leakage_free_split",
+        "c29_cc_convergence_audit",
+        "d19_minhash_k_sweep",
+        "r01_pricing_summary",
+        "r60_json_struct_parse",
+        "r72_unpivot_metrics",
+        "t07_token_stats",
+        "t28_ccnet_buckets",
+        "t35_readability",
+    }
+    hits = {n for n, sql in registry.ORACLES.items() if pat.search(sql)}
+    new = hits - allowed
+    assert not new, (
+        f"new rounded-double-ratio sites {sorted(new)}: use the exact "
+        "integer div/mod mean (pipeline_queries._avg_quality_exact) or "
+        "allowlist with a tie-exposure justification"
+    )
+    gone = allowed - hits
+    assert not gone, (
+        f"allowlist is stale, remove: {sorted(gone)}"
+    )
+
+
 @pytest.fixture(scope="module")
 def seed70707_dir(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("fuzz70707")

@@ -126,6 +126,103 @@ def test_unknown_strategy_raises(spark):
         ivf_assign(emb, cents, strategy="nope")
 
 
+def test_two_level_assign_reduces_to_flat_at_one_super(spark):
+    """n_super=1 puts every centroid in one member list, so the level-2
+    argmin IS the flat argmin — the exactness anchor for the two-level
+    approximation."""
+    from mtg_vector_db_spark.operators.ann import two_level_assign
+
+    emb = _vecs(spark, 200, 8, seed=31)
+    cents = _cents(spark, 24, 8, seed=37)
+    two = two_level_assign(emb, cents, n_super=1).select("vec_id", "cell")
+    flat = ivf_assign(emb, cents).select("vec_id", "cell")
+    assert two.exceptAll(flat).count() == 0
+    assert flat.exceptAll(two).count() == 0
+
+
+def test_two_level_assign_keeps_rows_on_memberless_super(spark):
+    """A vector whose nearest super-cell attracted no member centroids
+    keeps its row with a NULL cell (left join — assignment never drops
+    rows), matching the oracle's LEFT JOIN replay. Geometry: supers are
+    cells {0, 1}; every centroid (including cell 0 itself) assigns to
+    super 1, so super 0 is memberless; the [-1, 0] vector still picks
+    super 0 at level 1 (smaller ‖s‖² − 2·x̂·s on the negative axis)."""
+    from mtg_vector_db_spark.operators.ann import two_level_assign
+
+    cents = spark.createDataFrame(
+        [(0, [0.1, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.1])],
+        "cell int, centroid array<double>",
+    )
+    emb = spark.createDataFrame(
+        [(0, [-1.0, 0.0]), (1, [1.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: (r["super_cell"], r["cell"])
+        for r in two_level_assign(emb, cents, n_super=2).collect()
+    }
+    assert len(out) == 2  # no dropped rows
+    assert out[0][0] == 0 and out[0][1] is None  # memberless super
+    assert out[1][0] == 1 and out[1][1] is not None
+
+
+def test_two_level_full_probe_equals_flat(spark):
+    """n_probe_super = n_super probes every member shard, so the
+    two-level answer is the global argmin — the multi-probe path's
+    exactness anchor (also exercises the min_by fold, which the
+    single-probe path never runs)."""
+    from mtg_vector_db_spark.operators.ann import two_level_assign
+
+    emb = _vecs(spark, 150, 8, seed=41)
+    cents = _cents(spark, 25, 8, seed=43)
+    two = two_level_assign(
+        emb, cents, n_super=5, n_probe_super=5
+    ).select("vec_id", "cell")
+    flat = ivf_assign(emb, cents).select("vec_id", "cell")
+    assert two.exceptAll(flat).count() == 0
+    assert flat.exceptAll(two).count() == 0
+
+
+def test_two_level_probe_agreement_monotone(spark):
+    """More probed supers can only widen the candidate union, so
+    flat-argmin agreement is non-decreasing in n_probe_super."""
+    from mtg_vector_db_spark.operators.ann import two_level_assign
+
+    emb = _vecs(spark, 300, 8, seed=51)
+    cents = _cents(spark, 64, 8, seed=53)
+    flat = ivf_assign(emb, cents).select(
+        "vec_id", F.col("cell").alias("f")
+    )
+    rates = []
+    for p in (1, 2, 4):
+        two = two_level_assign(emb, cents, n_probe_super=p).select(
+            "vec_id", "cell"
+        )
+        j = two.join(flat, "vec_id")
+        rates.append(
+            j.filter(F.col("cell") == F.col("f")).count() / j.count()
+        )
+    assert rates == sorted(rates), rates
+
+
+def test_two_level_plan_shards_broadcast_by_super(spark):
+    """At 2100 cells the two-level path must plan a BroadcastHashJoin on
+    super_cell (the centroid table reaches tasks sharded one row per
+    super-cell — no O(k) literal, no single O(k) fold row) and still
+    assign every vector."""
+    from mtg_vector_db_spark.operators.ann import two_level_assign
+
+    emb = _vecs(spark, 50, 4, seed=3)
+    cents = _cents(spark, 2100, 4, seed=9)
+    df = two_level_assign(emb, cents)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert len(plan) < 150_000, len(plan)
+    out = df.select("vec_id", "cell")
+    assert out.count() == 50
+    assert out.filter(F.col("cell").isNull()).count() == 0
+
+
 def test_ivf_search_join_probe_equals_collect_probe(spark, sf001):
     """The in-plan nprobe pick (broadcast semi-join) must answer
     identically to the legacy driver-side isin-literal pick — the
