@@ -135,6 +135,7 @@ HEADLINE = [
     "t41_bm25_serve_stored",    # BM25 from the stored posting index (round 6)
     "p48_graph_refresh_appended",  # appended-region re-descent refit (round 6)
     "v18_mrl_operating_points",    # MRL prefix×oversample recall frontier
+    "p49_two_level_assign",        # IMI two-level coarse assignment + agreement
 ]
 
 
