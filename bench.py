@@ -136,6 +136,8 @@ HEADLINE = [
     "p48_graph_refresh_appended",  # appended-region re-descent refit (round 6)
     "v18_mrl_operating_points",    # MRL prefix×oversample recall frontier
     "p49_two_level_assign",        # IMI two-level coarse assignment + agreement
+    "p50_lsh_serve_stored",        # E2LSH bucket-table lookup serving
+    "v19_mrl_serve_stored",        # MRL prefix-column artifact serving
 ]
 
 
@@ -160,6 +162,8 @@ CLASSES = {
     "p47_ivfpq_serve_stored": "serve",
     "t40_trigram_serve_stored": "serve",
     "t41_bm25_serve_stored": "serve",
+    "p50_lsh_serve_stored": "serve",
+    "v19_mrl_serve_stored": "serve",
 }
 
 # Machine-state controls (round-5 VERDICT #4): three pinned queries whose

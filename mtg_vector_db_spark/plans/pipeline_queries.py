@@ -5213,3 +5213,119 @@ def _p49_oracle() -> str:
 
 
 oracle("p49_two_level_assign", _p49_oracle())
+
+
+# ---------------------------------------------------------------------------
+# P50: LSH SERVING FROM A STORED BUCKET TABLE — the last approximate arm
+# without a stored-index face (graph=p44, IVF=p45, PQ=p46, IVF-PQ=p47,
+# trigram=t40, BM25=t41; this completes the matrix). p06 recomputes
+# every vector's 8 table buckets per execution; here the bucket table
+# (w, b, vec_id) is a content-addressed artifact range-partitioned and
+# sorted by (w, b), and serving filters it with the query's 8 (table,
+# bucket) pairs — an OR-of-equalities PUSHED to the parquet scan, so
+# row groups holding none of the query's buckets are skipped (the
+# E2LSH hash-table lookup access pattern). Distinct candidates are then
+# exact-rescored against the corpus, so p50's top-10 equals p06's
+# full-scan answer bit-for-bit (pinned), and the oracle is LITERALLY
+# p06's (the bucket table is a materialization of its `eb` CTE).
+# ---------------------------------------------------------------------------
+def _stored_lsh_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing path of the frozen RP-LSH bucket table: one row
+    per (table w, bucket b, vec_id), same floor(round(·/L, 9)) bucket
+    arithmetic as rp_lsh_topk (engine-replayable literals)."""
+    import os
+
+    from mtg_vector_db_spark.operators.ann import (
+        RP_BUCKET_LENGTH,
+        RP_SEED,
+        RP_TABLES,
+        rp_planes,
+    )
+    from mtg_vector_db_spark.operators.artifacts import (
+        artifact_key,
+        artifact_root,
+        dataset_fingerprint,
+        ensure_artifact,
+    )
+
+    fp = dataset_fingerprint(f"{sf_dir}/embeddings.parquet")
+    key = artifact_key(
+        "rp_lsh_buckets", "v1", RP_TABLES, RP_BUCKET_LENGTH, RP_SEED, fp
+    )
+    path = os.path.join(artifact_root(), "lsh_buckets", key)
+
+    def build(tmp: str) -> None:
+        from mtg_vector_db_spark.functions.vector import dot, l2_normalize
+
+        (emb,) = tables(spark, sf_dir, "embeddings")
+        planes = rp_planes(64, RP_TABLES, RP_SEED)
+        planes_lit = F.array(
+            *[F.array(*[F.lit(v) for v in p]) for p in planes]
+        )
+        nx = l2_normalize(F.col("embedding"))
+        buckets = F.transform(
+            F.sequence(F.lit(1), F.lit(RP_TABLES)),
+            lambda w: F.struct(
+                w.cast("int").alias("w"),
+                F.floor(
+                    F.round(
+                        dot(F.element_at(planes_lit, w.cast("int")), nx)
+                        / F.lit(RP_BUCKET_LENGTH),
+                        9,
+                    )
+                ).cast("long").alias("b"),
+            ),
+        )
+        (
+            emb.select("vec_id", F.explode(buckets).alias("wb"))
+            .select(F.col("wb.w").alias("w"), F.col("wb.b").alias("b"),
+                    "vec_id")
+            .repartitionByRange(8, "w", "b")
+            .sortWithinPartitions("w", "b")
+            .write.parquet(tmp)
+        )
+
+    ensure_artifact(path, build)
+    return path
+
+
+@query("p50_lsh_serve_stored")
+def p50_lsh_serve_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+
+    from mtg_vector_db_spark.functions.vector import cosine_similarity
+    from mtg_vector_db_spark.operators.ann import (
+        RP_BUCKET_LENGTH,
+        RP_SEED,
+        RP_TABLES,
+        _seq_dot,
+        rp_planes,
+    )
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir)
+    planes = rp_planes(len(qv), RP_TABLES, RP_SEED)
+    qn_norm = _math.sqrt(_seq_dot(qv, qv))
+    qn = [x / qn_norm for x in qv]
+    q_buckets = [
+        int(_math.floor(round(_seq_dot(qn, p) / RP_BUCKET_LENGTH, 9)))
+        for p in planes
+    ]
+    table = spark.read.parquet(_stored_lsh_path(spark, sf_dir))
+    hit = None
+    for w, b in enumerate(q_buckets, start=1):
+        clause = (F.col("w") == w) & (F.col("b") == b)
+        hit = clause if hit is None else (hit | clause)
+    cand = table.filter(hit).select("vec_id").distinct()
+    sim = F.round(cosine_similarity(F.col("embedding"), qv), R)
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# The stored bucket table is a materialization of the p06 oracle's `eb`
+# CTE, and the serve-side rescore is identical — so the oracle IS p06's.
+oracle("p50_lsh_serve_stored", _p06_oracle())

@@ -1598,3 +1598,103 @@ def _v18_oracle() -> str:
 
 
 oracle("v18_mrl_operating_points", _v18_oracle())
+
+
+# ---------------------------------------------------------------------------
+# V19: MRL SERVING FROM A STORED PREFIX COLUMN — v18's committed
+# operating point (prefix=32 / os=20, RECALL.md) turned into an actual
+# serving path with the byte claim made physical: the 32-dim prefix is
+# a content-addressed artifact holding ONLY (vec_id, prefix), so the
+# coarse top-(k·os) scan reads half the vector bytes BY SCHEMA (the
+# artifact scan's ReadSchema is the whole assertion — there is nothing
+# else in the file), and the full 64-dim vectors are fetched for the
+# 200 survivors only, via a broadcast join of the candidate ids into
+# the corpus scan. Output = v11's shape (doc_id, psim, sim) at the
+# committed point; the oracle replays coarse + rescore in CTEs, and the
+# result is pinned equal to running the same two stages over the
+# in-line slice (the artifact is a pure projection of the corpus).
+# ---------------------------------------------------------------------------
+_V19_PREFIX = 32
+_V19_OS = 20
+_V19_K = 10
+
+
+def _stored_prefix_path(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from mtg_vector_db_spark.operators.artifacts import (
+        artifact_key,
+        artifact_root,
+        dataset_fingerprint,
+        ensure_artifact,
+    )
+
+    fp = dataset_fingerprint(f"{sf_dir}/embeddings.parquet")
+    key = artifact_key("mrl_prefix", "v1", _V19_PREFIX, fp)
+    path = os.path.join(artifact_root(), "mrl_prefix", key)
+
+    def build(tmp: str) -> None:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        (
+            emb.select(
+                "vec_id",
+                F.transform(
+                    F.slice(F.col("embedding"), 1, _V19_PREFIX),
+                    lambda x: x.cast("double"),
+                ).alias("prefix"),
+            )
+            .write.parquet(tmp)
+        )
+
+    ensure_artifact(path, build)
+    return path
+
+
+@query("v19_mrl_serve_stored")
+def v19_mrl_serve_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.vector import cosine_similarity
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir)
+    pre = spark.read.parquet(_stored_prefix_path(spark, sf_dir))
+    psim = F.round(
+        cosine_similarity(F.col("prefix"), qv[:_V19_PREFIX]), R
+    )
+    cand = (
+        pre.select("vec_id", psim.alias("psim"))
+        .orderBy(F.desc("psim"), F.asc("vec_id"))
+        .limit(_V19_K * _V19_OS)
+    )
+    full_sim = F.round(cosine_similarity(F.col("embedding"), qv), R)
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .select(
+            F.col("vec_id").alias("doc_id"), "psim", full_sim.alias("sim")
+        )
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(_V19_K)
+    )
+
+
+_Q32_SUB = (
+    f"(SELECT CAST(embedding[1:{_V19_PREFIX}] AS DOUBLE[]) FROM embeddings"
+    " WHERE vec_id = 0)"
+)
+oracle(
+    "v19_mrl_serve_stored",
+    f"""
+    WITH cand AS (
+      SELECT vec_id,
+             round(list_cosine_similarity(
+               CAST(embedding[1:{_V19_PREFIX}] AS DOUBLE[]),
+               {_Q32_SUB}), {R}) AS psim
+      FROM embeddings
+      ORDER BY psim DESC, vec_id ASC LIMIT {_V19_K * _V19_OS}
+    )
+    SELECT e.vec_id AS doc_id, cand.psim,
+           round(list_cosine_similarity(
+             CAST(e.embedding AS DOUBLE[]), {_Q_SUB}), {R}) AS sim
+    FROM cand JOIN embeddings e USING (vec_id)
+    ORDER BY sim DESC, doc_id ASC LIMIT {_V19_K}
+    """,
+)

@@ -479,6 +479,82 @@ def test_t41_scan_pushes_query_terms(spark, sf0001):
 
 
 # ---------------------------------------------------------------------------
+# p50: stored LSH bucket-table serving (completes the serving matrix)
+# ---------------------------------------------------------------------------
+def test_p50_serves_exactly_p06s_scan_answer(spark, sf0001):
+    """The stored bucket table is a materialization of p06's bucketing,
+    so the candidate set — and after exact rescore the top-10 — must be
+    bit-identical to the in-line full scan."""
+    got = sorted(
+        (r["doc_id"], r["sim"])
+        for r in registry.QUERIES["p50_lsh_serve_stored"](
+            spark, sf0001
+        ).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["sim"])
+        for r in registry.QUERIES["p06_lsh_ann_topk"](spark, sf0001).collect()
+    )
+    assert got == want
+
+
+def test_p50_scan_pushes_query_buckets(spark, sf0001):
+    """E2LSH hash-table-lookup shape: the query's 8 (table, bucket)
+    equality pairs are pushed to the bucket-table parquet scan
+    (sorted/range-partitioned by (w, b) → min/max stats skip row groups
+    without the probed buckets), and the store is never rebuilt."""
+    from mtg_vector_db_spark.plans.pipeline_queries import _stored_lsh_path
+
+    path = _stored_lsh_path(spark, sf0001)
+    mtime = os.path.getmtime(path)
+    df = registry.QUERIES["p50_lsh_serve_stored"](spark, sf0001)
+    assert df.count() > 0
+    assert os.path.getmtime(path) == mtime
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "lsh_buckets" in ln
+    ]
+    assert scans, "no FileScan over the stored bucket table"
+    assert any(
+        "PushedFilters" in ln and ("Or(" in ln or "EqualTo(w" in ln)
+        for ln in scans
+    ), "query-bucket filters not pushed to the bucket scan"
+
+
+# ---------------------------------------------------------------------------
+# v19: stored MRL prefix-column serving
+# ---------------------------------------------------------------------------
+def test_v19_prefix_artifact_scan_reads_prefix_bytes_only(spark, sf0001):
+    """The byte claim made physical: the coarse stage scans the prefix
+    ARTIFACT (whose schema holds only vec_id + the 32-dim prefix — half
+    the vector bytes), the full 64-dim corpus is reached only through
+    the broadcast join of the 200 survivors, and the artifact is never
+    rebuilt across executions."""
+    from mtg_vector_db_spark.plans.vector_queries import (
+        _stored_prefix_path,
+    )
+
+    path = _stored_prefix_path(spark, sf0001)
+    mtime = os.path.getmtime(path)
+    df = registry.QUERIES["v19_mrl_serve_stored"](spark, sf0001)
+    assert df.count() > 0
+    assert os.path.getmtime(path) == mtime
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "mrl_prefix" in ln
+    ]
+    assert scans, "no FileScan over the stored prefix column"
+    assert all("embedding" not in ln for ln in scans), (
+        "coarse scan must not read the full embedding column"
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
 # p47: combined IVF-PQ stored serving
 # ---------------------------------------------------------------------------
 def test_p47_layout_equals_fresh_build(spark, sf0001):
