@@ -1163,6 +1163,89 @@ def streaming_graph_append(
     )
 
 
+def streaming_lsh_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    buckets_path: str,
+    checkpoint: str,
+    schema: str = "vec_id long, embedding array<float>",
+    n_tables: int | None = None,
+    bucket_length: float | None = None,
+    seed: int | None = None,
+    dim: int = 64,
+) -> "DataStreamWriter":
+    """Incremental RP-LSH bucket-table maintenance — the p50 store's
+    streaming face, completing the incremental set for the last index
+    family (graph / IVF / IVF-PQ / trigram / BM25 / CC / sketches all
+    have one; the MRL prefix store needs none beyond a plain projection
+    append, being a pure per-row column slice). Planes are FROZEN
+    seeded literals (the same rp_planes every batch — an LSH table is
+    only consistent under one plane set), so each arriving vector's 8
+    bucket rows depend on nothing but itself: per-batch work is
+    O(batch), history is never rescanned, any micro-batch slicing
+    yields exactly the one-shot table (stream ≡ batch pinned).
+    Re-delivered vectors are skipped by anti-join (bucket rows are
+    per-vector-complete; double rows would double candidates), replayed
+    batches by the high-watermark. Serving probes the store exactly
+    like p50 probes the artifact: the query's (table, bucket) pairs
+    pushed to the scan, distinct candidates, exact rescore."""
+    from mtg_vector_db_spark.operators.ann import (
+        RP_BUCKET_LENGTH,
+        RP_SEED,
+        RP_TABLES,
+        rp_planes,
+    )
+    from mtg_vector_db_spark.functions.vector import dot, l2_normalize
+
+    nt = n_tables if n_tables is not None else RP_TABLES
+    bl = bucket_length if bucket_length is not None else RP_BUCKET_LENGTH
+    sd = seed if seed is not None else RP_SEED
+    planes = rp_planes(dim, nt, sd)
+    planes_lit = F.array(*[F.array(*[F.lit(v) for v in p]) for p in planes])
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        existing = _state_df(s, buckets_path)
+        if existing is not None:
+            last = _max_batch_id(existing)
+            if last is not None and batch_id <= last:
+                return  # replayed batch: already folded, skip
+        new = batch_df.filter(F.col("vec_id").isNotNull())
+        if existing is not None:
+            new = new.join(
+                existing.select("vec_id").distinct(), "vec_id", "left_anti"
+            )
+        nx = l2_normalize(F.col("embedding"))
+        buckets = F.transform(
+            F.sequence(F.lit(1), F.lit(nt)),
+            lambda w: F.struct(
+                w.cast("int").alias("w"),
+                F.floor(
+                    F.round(
+                        dot(F.element_at(planes_lit, w.cast("int")), nx)
+                        / F.lit(bl),
+                        9,
+                    )
+                ).cast("long").alias("b"),
+            ),
+        )
+        (
+            new.select("vec_id", F.explode(buckets).alias("wb"))
+            .select(
+                F.col("wb.w").alias("w"), F.col("wb.b").alias("b"), "vec_id"
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(buckets_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
 def refresh_appended_graph_store(
     spark: SparkSession,
     graph_path: str,

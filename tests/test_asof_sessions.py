@@ -1139,6 +1139,76 @@ def test_streaming_graph_append_matches_batch(spark, tmp_path, sf001):
     assert streamed == batch and len(batch) > 0
 
 
+def test_streaming_lsh_maintenance_matches_batch_table(spark, tmp_path, sf001):
+    """The maintained LSH bucket store after two waves holds EXACTLY the
+    one-shot bucket table over all vectors seen (frozen planes — every
+    row depends only on itself, so slicing cannot change it),
+    re-delivered vectors are not double-bucketed, and a fresh-checkpoint
+    replay leaves the store unchanged."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.functions.vector import dot, l2_normalize
+    from mtg_vector_db_spark.operators.ann import (
+        RP_BUCKET_LENGTH,
+        RP_TABLES,
+        rp_planes,
+    )
+    from mtg_vector_db_spark.streaming.pipelines import (
+        streaming_lsh_maintenance,
+    )
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    vecs = emb.filter(F.col("vec_id") < 40)
+    src = tmp_path / "vecs"
+    src.mkdir()
+    store = str(tmp_path / "buckets")
+
+    def run(ckpt):
+        q = streaming_lsh_maintenance(
+            spark, str(src), store, str(tmp_path / ckpt)
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    w1 = vecs.filter(F.col("vec_id") < 25)
+    w2 = vecs.filter(F.col("vec_id") >= 20)  # 20-24 re-delivered
+    w1.coalesce(1).write.mode("append").parquet(str(src))
+    run("ckpt")
+    w2.coalesce(1).write.mode("append").parquet(str(src))
+    run("ckpt")
+
+    got = {
+        (r["w"], r["b"], r["vec_id"])
+        for r in spark.read.parquet(store).collect()
+    }
+    planes = rp_planes(64, RP_TABLES)
+    planes_lit = F.array(*[F.array(*[F.lit(v) for v in p]) for p in planes])
+    nx = l2_normalize(F.col("embedding"))
+    buckets = F.transform(
+        F.sequence(F.lit(1), F.lit(RP_TABLES)),
+        lambda w: F.struct(
+            w.cast("int").alias("w"),
+            F.floor(
+                F.round(
+                    dot(F.element_at(planes_lit, w.cast("int")), nx)
+                    / F.lit(RP_BUCKET_LENGTH),
+                    9,
+                )
+            ).cast("long").alias("b"),
+        ),
+    )
+    want = {
+        (r["wb"]["w"], r["wb"]["b"], r["vec_id"])
+        for r in vecs.select(
+            "vec_id", F.explode(buckets).alias("wb")
+        ).collect()
+    }
+    assert got == want and len(want) == 40 * RP_TABLES
+
+    before = len(got)
+    run("ckpt_replay")  # fresh checkpoint: batch 0 re-delivers everything
+    assert spark.read.parquet(store).count() == before
+
+
 def test_refresh_appended_graph_store_stream_equals_batch(
     spark, tmp_path, sf001
 ):
