@@ -109,9 +109,15 @@ HEADLINE = [
     # previously lived only in SCALE.md prose, invisible to the
     # round-over-round delta. They dominate the headline total by
     # design; a regression here is exactly what the delta should catch.
+    #
+    # Round-7 (round-6 VERDICT #3): the graph family benches ONE
+    # substrate build. p41/p42/p48 each rebuilt a base NN-Descent graph
+    # in-body (~87 s of the r06 build subtotal was repeated substrate
+    # construction); they stay registered and correctness-gated, but the
+    # bench rows are now p40 (the build-cost row), p44 (beam serving
+    # from the stored graph), and p51 (append+refresh maintenance from
+    # the stored base graph — p48's serve face, oracle literally p48's).
     "p40_nn_descent_graph",     # O(n·k²) NN-Descent build + recall audit
-    "p41_graph_index_append",   # frozen-graph append + 50-probe audit
-    "p42_graph_beam_search",    # query-time beam serving over the graph
     "v17_top2_spectrum",        # deflated 2-eigenvector power iteration
     "c01_dup_clusters",         # fixed-round CC over exact pairs
     "c07_dedup_apply",          # CC + keep-set report branches
@@ -133,11 +139,11 @@ HEADLINE = [
     "t40_trigram_serve_stored", # GIN-analog posting-list probe (stored index)
     "p47_ivfpq_serve_stored",   # combined IVF-PQ: DPP cells + code-only ADC
     "t41_bm25_serve_stored",    # BM25 from the stored posting index (round 6)
-    "p48_graph_refresh_appended",  # appended-region re-descent refit (round 6)
     "v18_mrl_operating_points",    # MRL prefix×oversample recall frontier
     "p49_two_level_assign",        # IMI two-level coarse assignment + agreement
     "p50_lsh_serve_stored",        # E2LSH bucket-table lookup serving
     "v19_mrl_serve_stored",        # MRL prefix-column artifact serving
+    "p51_graph_refresh_serve_stored",  # append+refresh from stored graph
 ]
 
 
@@ -164,6 +170,10 @@ CLASSES = {
     "t41_bm25_serve_stored": "serve",
     "p50_lsh_serve_stored": "serve",
     "v19_mrl_serve_stored": "serve",
+    # Incremental maintenance from a stored artifact: O(new) work per
+    # cycle, no substrate rebuild — serve-class by the same logic as the
+    # stored-index probes above.
+    "p51_graph_refresh_serve_stored": "serve",
 }
 
 # Machine-state controls (round-5 VERDICT #4): three pinned queries whose
@@ -242,29 +252,6 @@ def main() -> None:
     )
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # Machine-state index FIRST (before the timed headline loop, so the
-    # controls measure the same JVM/host state the loop runs under).
-    machine_state = None
-    if sf == 0.1:
-        ratios = {}
-        for name, ref in MACHINE_CONTROLS.items():
-            runs = []
-            for _ in range(max(n_runs, 2)):
-                t0 = time.perf_counter()
-                registry.QUERIES[name](spark, sf_dir).write.format(
-                    "noop"
-                ).mode("overwrite").save()
-                runs.append(time.perf_counter() - t0)
-            ratios[name] = round(_median(runs) / ref, 3)
-        machine_state = {
-            "controls": ratios,
-            # Median ratio: robust to one control drifting for a real
-            # (code) reason — two of three families must move together
-            # before the index moves.
-            "index": _median(sorted(ratios.values())),
-            "reference": "BENCH_r01.json medians, sf0.1",
-        }
-
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     total = 0.0
@@ -279,6 +266,29 @@ def main() -> None:
         timings[name] = med
         raw_runs[name] = runs
         total += med
+
+    # Machine-state index from the HEADLINE-LOOP medians themselves
+    # (round-6 ADVICE: a dedicated pre-loop gave exactly the three
+    # control queries extra JIT/code-cache warmup that the round-1
+    # reference medians — which came from round 1's headline loop —
+    # never had, biasing the ratios fast). Reusing the loop medians puts
+    # controls and reference in identical JVM conditions, and the
+    # per-query deltas the index normalizes come from this same loop.
+    machine_state = None
+    if sf == 0.1 and all(n in timings for n in MACHINE_CONTROLS):
+        ratios = {
+            name: round(timings[name] / ref, 3)
+            for name, ref in MACHINE_CONTROLS.items()
+        }
+        machine_state = {
+            "controls": ratios,
+            # Median ratio: robust to one control drifting for a real
+            # (code) reason — two of three families must move together
+            # before the index moves.
+            "index": _median(sorted(ratios.values())),
+            "reference": "BENCH_r01.json medians, sf0.1",
+            "source": "headline-loop medians (no separate control runs)",
+        }
 
     classes = {n: CLASSES.get(n, "query") for n in timings}
     subtotals = {

@@ -82,12 +82,23 @@ def search_by_description(
     initial_k: int = 30,
     final_k: int = 10,
     embed: Callable[..., list[float]] | None = None,
+    ranker: Callable[[list[str]], list[int]] | None = None,
 ) -> DataFrame:
     """search_strategies.py:118-215: embed the query, retrieve
-    ``initial_k`` by cosine, rerank (deterministic stub), keep ``final_k``."""
+    ``initial_k`` by cosine, rerank, keep ``final_k``. Default rerank is
+    the deterministic stub; pass ``ranker`` (e.g.
+    ``functions.backends.http_rerank_backend``) to run the reference's
+    listwise external rerank instead — executor-side via
+    :func:`operators.rerank.rerank_with`, so the output then carries
+    (doc_id, rank, rerank_score) without the stub's ``sim`` column."""
     qv = (embed or _embed_query)(spark, query)
     candidates = knn_with_documents(docs, emb, qv, k=initial_k)
-    return stub_rerank(candidates, final_k=final_k)
+    if ranker is None:
+        return stub_rerank(candidates, final_k=final_k)
+    from mtg_vector_db_spark.operators.rerank import rerank_with
+
+    cand = candidates.withColumn("query_id", F.lit(0).cast("long"))
+    return rerank_with(cand, ranker, final_k=final_k).drop("query_id")
 
 
 def search_with_reranking(

@@ -43,10 +43,48 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _env_embed():
+    """``$SPARK_GRAFT_EMBED_URL`` set ⇒ embed queries through the HTTP
+    backend (the reference's Ollama call with its retry/backoff contract,
+    /root/reference/db/db_utils.py:100-136); unset ⇒ None, and the api
+    falls back to the deterministic hash stub. ``$SPARK_GRAFT_EMBED_DIM``
+    (default 64) and ``$SPARK_GRAFT_EMBED_MODEL`` ride along."""
+    url = os.environ.get("SPARK_GRAFT_EMBED_URL")
+    if not url:
+        return None
+    from mtg_vector_db_spark.functions.backends import http_embed_backend
+
+    be = http_embed_backend(
+        url,
+        dim=int(os.environ.get("SPARK_GRAFT_EMBED_DIM", "64")),
+        model=os.environ.get("SPARK_GRAFT_EMBED_MODEL"),
+    )
+
+    def embed(spark, query: str) -> list:
+        return [float(x) for x in be([query])[0]]
+
+    return embed
+
+
+def _env_reranker():
+    """``$SPARK_GRAFT_RERANK_URL`` set ⇒ the desc arm reranks through the
+    HTTP listwise backend (reference reply format + identity fallback,
+    db/db_utils.py:283-344); unset ⇒ None (deterministic stub)."""
+    url = os.environ.get("SPARK_GRAFT_RERANK_URL")
+    if not url:
+        return None
+    from mtg_vector_db_spark.functions.backends import http_rerank_backend
+
+    return http_rerank_backend(
+        url, model=os.environ.get("SPARK_GRAFT_RERANK_MODEL")
+    )
+
+
 def run_search(spark, args) -> "list":
     """Dispatch on search type (the :540-597 switch) and collect rows."""
     from mtg_vector_db_spark import api
 
+    embed = _env_embed()
     docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
     if args.search_type == "name":
@@ -60,9 +98,10 @@ def run_search(spark, args) -> "list":
         df = api.search_by_description(
             spark, docs, emb, args.query,
             initial_k=args.initial_k, final_k=args.final_k,
+            embed=embed, ranker=_env_reranker(),
         )
     elif args.search_type == "similar":
-        qv = api._embed_query(spark, args.query)
+        qv = (embed or api._embed_query)(spark, args.query)
         df = api.search_similar_documents(
             docs, emb, qv, match_threshold=args.threshold, match_count=args.k
         )
@@ -71,10 +110,13 @@ def run_search(spark, args) -> "list":
             r["source"] for r in docs.select("source").distinct().collect()
         )[:3]
         df = api.search_all_sources(
-            spark, docs, emb, args.query, source_values=sources
+            spark, docs, emb, args.query, source_values=sources,
+            embed=embed,
         )
     else:
-        df = api.search_ambiguous(spark, docs, emb, args.query, top_k=args.k)
+        df = api.search_ambiguous(
+            spark, docs, emb, args.query, top_k=args.k, embed=embed
+        )
     return df.collect()
 
 

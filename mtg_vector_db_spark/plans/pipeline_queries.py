@@ -5089,6 +5089,15 @@ oracle("p48_graph_refresh_appended", _p48_oracle())
 # an approximation and its quality is the query's own measured output,
 # replayed end-to-end by the oracle (both levels + the flat argmin).
 # ---------------------------------------------------------------------------
+# Committed two-level operating point (round-6 VERDICT #2): measured by
+# p52's one-scan sweep — at sf0.1, serving recall behind two-level
+# assignment is 0.86/0.90/0.92/0.95 at probes 1/2/4/8 (8 = flat). Probe
+# 4 is the committed point: ≥0.9 serving recall, within 0.03 of flat,
+# at O(4·√k) map-side scoring instead of O(k). RECALL.md "Two-level
+# arm"; floor pinned in test_p52_two_level_operating_points.
+_P49_PROBE = 4
+
+
 @query("p49_two_level_assign")
 def p49_two_level_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mtg_vector_db_spark.operators.ann import (
@@ -5099,9 +5108,9 @@ def p49_two_level_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (emb,) = tables(spark, sf_dir, "embeddings")
     cents = dynamic_seed_cells(emb)
-    two = two_level_assign(emb, cents).select(
-        "vec_id", "super_cell", "cell"
-    )
+    two = two_level_assign(
+        emb, cents, n_probe_super=_P49_PROBE
+    ).select("vec_id", "super_cell", "cell")
     flat = ivf_assign(emb, cents).select(
         "vec_id", F.col("cell").alias("flat_cell")
     )
@@ -5138,7 +5147,8 @@ def p49_two_level_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _p49_oracle() -> str:
-    return """
+    probe = _P49_PROBE
+    return f"""
     WITH c AS MATERIALIZED (
       SELECT CAST(vec_id AS INT) AS cell,
              CAST(embedding AS DOUBLE[]) AS cvec,
@@ -5177,14 +5187,22 @@ def _p49_oracle() -> str:
                row_number() OVER (PARTITION BY n.vec_id
                  ORDER BY s.sn2 - 2 * list_inner_product(s.svec, n.nx),
                  s.super_cell) AS rn
-        FROM n CROSS JOIN sups s) WHERE rn = 1
+        FROM n CROSS JOIN sups s) WHERE rn <= {probe}
     ),
     two AS MATERIALIZED (
+      -- Multi-probe: min (dist, cell, super) over the probed supers'
+      -- member shards; a memberless probed super contributes a NULL
+      -- row ordered as the +inf / max-cell sentinel (the Spark side's
+      -- coalesce(_best, inf_ord)), so the cell stays NULL only when
+      -- EVERY probed super is memberless.
       SELECT vec_id, super_cell, cell FROM (
         SELECT v.vec_id, v.super_cell, m.cell,
                row_number() OVER (PARTITION BY v.vec_id
-                 ORDER BY m.n2 - 2 * list_inner_product(m.cvec, v.nx),
-                 m.cell) AS rn
+                 ORDER BY coalesce(m.n2
+                     - 2 * list_inner_product(m.cvec, v.nx),
+                     CAST('infinity' AS DOUBLE)),
+                   coalesce(m.cell, 2147483647),
+                   v.super_cell) AS rn
         FROM vsup v LEFT JOIN casg m USING (super_cell)) WHERE rn = 1
     ),
     flat AS MATERIALIZED (
@@ -5299,6 +5317,7 @@ def p50_lsh_serve_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         RP_SEED,
         RP_TABLES,
         _seq_dot,
+        round_half_up,
         rp_planes,
     )
 
@@ -5307,8 +5326,15 @@ def p50_lsh_serve_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = rp_planes(len(qv), RP_TABLES, RP_SEED)
     qn_norm = _math.sqrt(_seq_dot(qv, qv))
     qn = [x / qn_norm for x in qv]
+    # round_half_up, NOT round(): the stored table rounds with Spark's
+    # HALF_UP F.round; Python's HALF_EVEN would bucket .5-tie queries
+    # into a row the frozen artifact doesn't hold (round-6 ADVICE).
     q_buckets = [
-        int(_math.floor(round(_seq_dot(qn, p) / RP_BUCKET_LENGTH, 9)))
+        int(
+            _math.floor(
+                round_half_up(_seq_dot(qn, p) / RP_BUCKET_LENGTH, 9)
+            )
+        )
         for p in planes
     ]
     table = spark.read.parquet(_stored_lsh_path(spark, sf_dir))
@@ -5329,3 +5355,457 @@ def p50_lsh_serve_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The stored bucket table is a materialization of the p06 oracle's `eb`
 # CTE, and the serve-side rescore is identical — so the oracle IS p06's.
 oracle("p50_lsh_serve_stored", _p06_oracle())
+
+
+# ---------------------------------------------------------------------------
+# P51: APPEND+REFRESH SERVING FROM THE STORED BASE GRAPH — p48's serve
+# face (round-6 VERDICT #3). p48 stays registered as the oracle-self-
+# contained BUILD form (base substrate + append + refresh + audit all
+# in-query), but its production shape never rebuilds the substrate: the
+# k=24/3-round base graph over the pre-append corpus is a content-
+# addressed artifact (built at most once per corpus fingerprint — the
+# p44 discipline; the streaming twin refresh_appended_graph_store,
+# streaming/pipelines.py, maintains the same stored lists per batch),
+# and per maintenance cycle only the O(new) append + bounded refresh +
+# fixed-50-probe audit run. Output and oracle are LITERALLY p48's — the
+# stored lists are bit-identical to a fresh build (deterministic md5
+# buckets, round(·,6) sims, id tie-breaks, exact double parquet
+# round-trip), which test_artifacts pins directly.
+# ---------------------------------------------------------------------------
+def _stored_p48_base_path(
+    spark: SparkSession, sf_dir: str, nb: int
+) -> str:
+    """Build-if-missing path of the frozen p48 BASE graph (k=24 lists,
+    3 NN-Descent rounds over the non-appended 90% of the corpus). Keyed
+    on corpus fingerprint + build params + the append fraction that
+    defines the held-out region."""
+    import os
+
+    from mtg_vector_db_spark.operators.artifacts import (
+        artifact_key,
+        artifact_root,
+        dataset_fingerprint,
+        ensure_artifact,
+    )
+
+    fp = dataset_fingerprint(f"{sf_dir}/embeddings.parquet")
+    key = artifact_key(
+        "p48_base_graph", "v1", _P40_K, _P40_ROUNDS, nb, _P48_FRAC, fp
+    )
+    path = os.path.join(artifact_root(), "graph_knn", key)
+
+    def build(tmp: str) -> None:
+        from mtg_vector_db_spark.functions.text import hash_fraction
+        from mtg_vector_db_spark.operators.ann import (
+            nn_descent_init,
+            nn_descent_round,
+        )
+        from mtg_vector_db_spark.session import pin
+
+        (emb,) = tables(spark, sf_dir, "embeddings")
+        corpus = emb.filter(
+            ~(
+                hash_fraction(
+                    F.concat(F.col("vec_id").cast("string"), F.lit(":new"))
+                )
+                < _P48_FRAC
+            )
+        )
+        g = pin(nn_descent_init(corpus, nb, _P40_K))
+        for _ in range(_P40_ROUNDS):
+            g = pin(nn_descent_round(g, corpus, _P40_K))
+        g.write.parquet(tmp)
+
+    ensure_artifact(path, build)
+    return path
+
+
+@query("p51_graph_refresh_serve_stored")
+def p51_graph_refresh_serve_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mtg_vector_db_spark.functions.text import hash_fraction
+    from mtg_vector_db_spark.operators import ann as A
+    from mtg_vector_db_spark.operators.ann import (
+        _graph_topk,
+        nn_descent_append,
+        nn_descent_refresh_appended,
+    )
+    from mtg_vector_db_spark.operators.knn import knn_join
+    from mtg_vector_db_spark.session import pin
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    newf = (
+        hash_fraction(
+            F.concat(F.col("vec_id").cast("string"), F.lit(":new"))
+        )
+        < _P48_FRAC
+    )
+    corpus = emb.filter(~newf)
+    new = emb.filter(newf)
+    nb = A.dynamic_bucket_count(corpus, min_buckets=_P40_BUCKETS)
+
+    # The ONLY difference from p48: the base substrate comes from the
+    # frozen artifact instead of an in-query 3-round build.
+    g = spark.read.parquet(_stored_p48_base_path(spark, sf_dir, nb))
+
+    app = pin(nn_descent_append(g, corpus, new, nb, _P40_K))
+    refreshed = nn_descent_refresh_appended(
+        g.unionByName(app), corpus, new, k=_P40_K, rounds=1
+    )
+    rapp = pin(
+        refreshed.join(
+            new.select(F.col("vec_id").alias("a")), "a", "left_semi"
+        )
+    )
+
+    probes = new.orderBy("vec_id").limit(_P40_PROBES)
+    qdf = probes.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = pin(
+        knn_join(corpus, qdf, k=_P40_EVAL_K, round_digits=6)
+        .select(F.col("query_id").alias("a"), F.col("vec_id").alias("b"))
+    )
+    npb = probes.agg(F.count(F.lit(1)).alias("n_probes"))
+
+    def stage_row(lists: DataFrame, stage: str) -> DataFrame:
+        stats = lists.agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum(F.col("sim").cast("decimal(18,6)")).alias("ssim"),
+        )
+        hits = (
+            _graph_topk(lists, _P40_EVAL_K)
+            .join(exact, ["a", "b"])
+            .agg(F.count(F.lit(1)).alias("nhit"))
+        )
+        return (
+            stats.crossJoin(F.broadcast(hits))
+            .crossJoin(F.broadcast(npb))
+            .select(
+                F.lit(stage).alias("stage"),
+                "n_edges",
+                F.round(
+                    F.col("ssim").cast("double") / F.col("n_edges"), 6
+                ).alias("mean_sim"),
+                F.round(
+                    F.col("nhit").cast("double")
+                    / (
+                        F.col("n_probes") * F.lit(_P40_EVAL_K)
+                    ).cast("double"),
+                    6,
+                ).alias("recall_at_10"),
+            )
+        )
+
+    return (
+        stage_row(app, "appended")
+        .unionByName(stage_row(rapp, "refreshed"))
+        .orderBy("stage")
+    )
+
+
+# The stored base graph is bit-identical to p48's in-query build (pinned
+# in tests), and everything downstream is the same DAG — so the oracle
+# is LITERALLY p48's.
+oracle("p51_graph_refresh_serve_stored", _p48_oracle())
+
+
+# ---------------------------------------------------------------------------
+# P52: TWO-LEVEL OPERATING-POINT SWEEP (round-6 VERDICT #2) — the
+# measured answer to "what end-to-end serving recall does an IVF probe
+# see BEHIND two_level_assign, at which n_probe_super?". The two-level
+# arm was the only approximation whose quality knob had no committed
+# operating point (SCALE.md's 0.38→0.89 numbers are flat-ASSIGNMENT
+# agreement on a synthetic, not serving recall). One-scan discipline
+# (p36/p43/v18): the corpus is scored against the 64-cell codebook and
+# the 8-super codebook ONCE each (ivf_ranked_assign keeps the rank
+# order, so "assignment at probe p" is a rank filter + argmin — never a
+# re-assignment), and all four probe levels plus serving recall come
+# from those two scored passes. probe=8 probes every super, so its row
+# IS flat assignment — the exactness anchor (agree_frac = 1.0 by
+# construction). Geometry: 64 cells / 8 supers puts the sweep in the
+# real two-level regime (n_super = √k), unlike dynamic_seed_cells'
+# 8-cell/3-super fixture scale. Serving: the standard IVF probe (top-8
+# of 64 cells by query-centroid distance), candidates = corpus rows
+# whose p-level assigned cell is probed, exact cosine rescore, top-10
+# vs exact KNN. Committed operating point: RECALL.md "Two-level arm".
+# ---------------------------------------------------------------------------
+_P52_CELLS = 64
+_P52_NSUPER = 8
+_P52_K = 10
+_P52_NPROBE = 8
+_P52_LEVELS = (1, 2, 4, 8)
+
+
+@query("p52_two_level_operating_points")
+def p52_two_level_operating_points(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions.vector import cosine_similarity
+    from mtg_vector_db_spark.operators.ann import (
+        ivf_assign,
+        ivf_ranked_assign,
+    )
+    from mtg_vector_db_spark.operators.knn import knn_join
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < _P52_CELLS).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "centroid"
+        ),
+    )
+    supers = emb.filter(F.col("vec_id") < _P52_NSUPER).select(
+        F.col("vec_id").cast("int").alias("super"),
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "centroid"
+        ),
+    )
+    # Level-1 membership: each cell's nearest super (two_level_assign's
+    # casg) — 64 bounded rows, broadcast.
+    casg = ivf_assign(
+        seeds.select(
+            F.col("cell").alias("vec_id"),
+            F.col("centroid").alias("embedding"),
+        ),
+        supers,
+        cluster_col="super",
+        centroid_col="centroid",
+    ).select(F.col("vec_id").alias("cell"), "super")
+
+    # ONE scored pass per codebook, rank order kept: "assigned cell at
+    # probe p" = the min-rank cell whose super ranks within p.
+    cellr = ivf_ranked_assign(
+        emb, seeds, nprobe=_P52_CELLS, rank_col="crank"
+    ).select("vec_id", "cell", "crank")
+    supr = ivf_ranked_assign(
+        emb, supers, nprobe=_P52_NSUPER,
+        cluster_col="super", rank_col="srank",
+    ).select("vec_id", "super", "srank")
+    cand = cellr.join(F.broadcast(casg), "cell").join(
+        supr, ["vec_id", "super"]
+    )
+    w_asg = Window.partitionBy("p", "vec_id").orderBy("crank")
+    levels = F.explode(
+        F.array(*[F.lit(p) for p in _P52_LEVELS])
+    ).alias("p")
+    asg = (
+        cand.select("vec_id", "cell", "crank", "srank", levels)
+        .filter(F.col("srank") <= F.col("p"))
+        .withColumn("_rn", F.row_number().over(w_asg))
+        .filter(F.col("_rn") == 1)
+        .select("p", "vec_id", "cell")
+    )
+    # probe=8 probes every super => flat assignment (exactness anchor).
+    flat = asg.filter(F.col("p") == _P52_LEVELS[-1]).select(
+        "vec_id", F.col("cell").alias("flat_cell")
+    )
+    agree = (
+        asg.join(flat, "vec_id")
+        .groupBy("p")
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("cell") == F.col("flat_cell"), 1.0
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("agree_frac")
+        )
+    )
+
+    # Serving: standard IVF probe over the 64-cell codebook, candidates
+    # gated by the p-level corpus assignment, exact rescore, top-10.
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = knn_join(emb, queries_df, k=_P52_K, round_digits=R).select(
+        "query_id", "vec_id", F.lit(1).alias("is_true")
+    )
+    probe = ivf_ranked_assign(
+        queries_df.select(
+            F.col("query_id").alias("vec_id"),
+            F.col("query_vec").alias("embedding"),
+        ),
+        seeds,
+        nprobe=_P52_NPROBE,
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    sim = F.round(
+        cosine_similarity(F.col("embedding"), F.col("query_vec")), R
+    )
+    scand = (
+        asg.join(probe, "cell")
+        .join(emb, "vec_id")
+        .join(F.broadcast(queries_df), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("p", "query_id", "vec_id", sim.alias("sim"))
+    )
+    w_k = Window.partitionBy("p", "query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    hits = (
+        scand.withColumn("rk", F.row_number().over(w_k))
+        .filter(F.col("rk") <= _P52_K)
+        .join(exact, ["query_id", "vec_id"], "left")
+        .groupBy("p")
+        .agg(
+            F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias("n_hits")
+        )
+    )
+    ncand = scand.groupBy("p").agg(F.count(F.lit(1)).alias("n_cand"))
+    n_q = 10
+    return (
+        agree.join(hits, "p")
+        .join(ncand, "p")
+        .select(
+            F.col("p").alias("n_probe_super"),
+            "agree_frac",
+            F.round(
+                F.col("n_hits") / F.lit(float(n_q * _P52_K)), 6
+            ).alias("avg_recall_at_10"),
+            F.round(F.col("n_cand") / F.lit(float(n_q)), 6).alias(
+                "avg_candidates"
+            ),
+        )
+        .orderBy("n_probe_super")
+    )
+
+
+def _p52_oracle() -> str:
+    cells, nsuper, k, nprobe = _P52_CELLS, _P52_NSUPER, _P52_K, _P52_NPROBE
+    asg_branches = "\n      UNION ALL\n".join(
+        f"""      SELECT {p} AS p, vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY crank) AS rn
+        FROM cand WHERE srank <= {p}) WHERE rn = 1"""
+        for p in _P52_LEVELS
+    )
+    return f"""
+    WITH c AS MATERIALIZED (
+      SELECT CAST(vec_id AS INT) AS cell,
+             CAST(embedding AS DOUBLE[]) AS cvec,
+             list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS n2
+      FROM embeddings WHERE vec_id < {cells}
+    ),
+    s AS MATERIALIZED (
+      SELECT CAST(vec_id AS INT) AS super,
+             CAST(embedding AS DOUBLE[]) AS svec,
+             list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS sn2
+      FROM embeddings WHERE vec_id < {nsuper}
+    ),
+    n AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_inner_product(
+                 CAST(embedding AS DOUBLE[]),
+                 CAST(embedding AS DOUBLE[])))) AS nx
+      FROM embeddings
+    ),
+    casg AS MATERIALIZED (
+      SELECT cell, super FROM (
+        SELECT c.cell, s.super,
+               row_number() OVER (PARTITION BY c.cell
+                 ORDER BY s.sn2 - 2 * list_inner_product(s.svec,
+                   list_transform(c.cvec,
+                     x -> x / sqrt(list_inner_product(c.cvec, c.cvec)))),
+                 s.super) AS rn
+        FROM c CROSS JOIN s) WHERE rn = 1
+    ),
+    cd AS MATERIALIZED (
+      SELECT n.vec_id, c.cell,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY c.n2 - 2 * list_inner_product(c.cvec, n.nx),
+               c.cell) AS crank
+      FROM n CROSS JOIN c
+    ),
+    sd AS MATERIALIZED (
+      SELECT n.vec_id, s.super,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY s.sn2 - 2 * list_inner_product(s.svec, n.nx),
+               s.super) AS srank
+      FROM n CROSS JOIN s
+    ),
+    cand AS MATERIALIZED (
+      SELECT cd.vec_id, cd.cell, cd.crank, sd.srank
+      FROM cd JOIN casg USING (cell)
+      JOIN sd ON sd.vec_id = cd.vec_id AND sd.super = casg.super
+    ),
+    asg AS MATERIALIZED (
+{asg_branches}
+    ),
+    agree AS MATERIALIZED (
+      SELECT a.p,
+             round(avg(CASE WHEN a.cell = f.flat_cell
+                            THEN 1.0 ELSE 0.0 END), 6) AS agree_frac
+      FROM asg a JOIN (SELECT vec_id, cell AS flat_cell FROM asg
+                       WHERE p = {_P52_LEVELS[-1]}) f USING (vec_id)
+      GROUP BY a.p
+    ),
+    q AS MATERIALIZED (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    exact AS MATERIALIZED (
+      SELECT query_id, doc_id FROM (
+        SELECT q.query_id, e.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), q.qv), {R}) DESC,
+                 e.vec_id ASC) AS rank
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+      ) WHERE rank <= {k}
+    ),
+    probe AS MATERIALIZED (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY c.n2 - 2 * list_inner_product(c.cvec,
+                   list_transform(q.qv,
+                     x -> x / sqrt(list_inner_product(q.qv, q.qv)))),
+                 c.cell) AS rn
+        FROM q CROSS JOIN c) WHERE rn <= {nprobe}
+    ),
+    scand AS MATERIALIZED (
+      SELECT a.p, pr.query_id, a.vec_id,
+             round(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), q2.qv), {R}) AS sim
+      FROM asg a
+      JOIN probe pr ON a.cell = pr.cell
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      JOIN q q2 ON q2.query_id = pr.query_id
+      WHERE a.vec_id <> pr.query_id
+    ),
+    topk AS MATERIALIZED (
+      SELECT p, query_id, vec_id FROM (
+        SELECT p, query_id, vec_id,
+               row_number() OVER (PARTITION BY p, query_id
+                 ORDER BY sim DESC, vec_id) AS rk
+        FROM scand) WHERE rk <= {k}
+    ),
+    hits AS (
+      SELECT t.p, count(*) AS n_hits FROM topk t
+      JOIN exact x ON t.query_id = x.query_id AND t.vec_id = x.doc_id
+      GROUP BY t.p
+    ),
+    nc AS (SELECT p, count(*) AS n_cand FROM scand GROUP BY p)
+    SELECT ag.p AS n_probe_super,
+           ag.agree_frac,
+           round(coalesce(h.n_hits, 0) / {float(10 * k)}, 6)
+             AS avg_recall_at_10,
+           round(nc.n_cand / 10.0, 6) AS avg_candidates
+    FROM agree ag
+    JOIN nc USING (p)
+    LEFT JOIN hits h ON h.p = ag.p
+    ORDER BY n_probe_super"""
+
+
+oracle("p52_two_level_operating_points", _p52_oracle())

@@ -1729,12 +1729,23 @@ def streaming_bm25_maintenance(
     * stats: append ONE ``(n_docs, total_len, batch_id)`` delta row per
       batch; serve-time avgdl = sum(total_len)/sum(n_docs) — additive
       sufficient statistics, the nbayes.py discipline, so the store
-      needs no read-modify-write and a crashed batch can't corrupt it.
+      needs no read-modify-write.
 
-    Replayed batches (fresh checkpoint / retry) are skipped via the
-    posting store's batch-id high-watermark. Serving reads both stores
-    (:func:`bm25_probe`) with math identical to the t41 artifact probe,
-    so stream-appended ≡ batch-built is pinned exactly."""
+    Crash consistency across the TWO stores (round-6 ADVICE): the stats
+    delta is written FIRST, guarded by the stats store's OWN batch-id
+    watermark; the postings append runs second and is idempotent by
+    construction (doc_id left-anti vs the existing store). A crash
+    between the two writes therefore leaves stats committed / postings
+    missing, and the replayed batch heals it: the stats guard skips the
+    already-folded delta (no double count) while the anti-join re-derives
+    and appends exactly the missing postings. The reverse torn state
+    (postings without stats — which would silently undercount
+    n_docs/avgdl forever, since the anti-join empties the replay's token
+    set) cannot occur because postings are written last, and the
+    whole-batch fast-skip keys off the postings store for the same
+    reason. Serving reads both stores (:func:`bm25_probe`) with math
+    identical to the t41 artifact probe, so stream-appended ≡
+    batch-built is pinned exactly."""
     from mtg_vector_db_spark.functions.text import tokens
     from mtg_vector_db_spark.session import pin
 
@@ -1746,7 +1757,9 @@ def streaming_bm25_maintenance(
         if existing is not None:
             last = _max_batch_id(existing)
             if last is not None and batch_id <= last:
-                return  # replayed batch: already folded, skip
+                # Postings are written LAST, so their watermark implies
+                # the stats delta landed too — safe whole-batch skip.
+                return
         new_docs = batch_df.filter(F.col("doc_id").isNotNull())
         if existing is not None:
             new_docs = new_docs.join(
@@ -1757,6 +1770,25 @@ def streaming_bm25_maintenance(
                 "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
             )
         )
+        # Stats delta FIRST, guarded by the stats store's own watermark:
+        # a crash after this write replays into the guard (no double
+        # count) while the postings anti-join below heals the other side.
+        stats_existing = _state_df(s, stats_path)
+        stats_last = (
+            _max_batch_id(stats_existing)
+            if stats_existing is not None
+            else None
+        )
+        if stats_last is None or batch_id > stats_last:
+            (
+                tok.agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.size("toks")).alias("total_len"),
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+                .coalesce(1)
+                .write.mode("append").parquet(stats_path)
+            )
         (
             tok.select(
                 "doc_id",
@@ -1767,15 +1799,6 @@ def streaming_bm25_maintenance(
             .agg(F.count(F.lit(1)).alias("tf"))
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("append").parquet(postings_path)
-        )
-        (
-            tok.agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum(F.size("toks")).alias("total_len"),
-            )
-            .withColumn("batch_id", F.lit(batch_id))
-            .coalesce(1)
-            .write.mode("append").parquet(stats_path)
         )
 
     return (

@@ -678,3 +678,85 @@ def test_p47_recall_within_probed_cells_is_exact(spark, sf0001):
         (r["query_id"], r["neighbor_id"], r["sim"]) for r in exact.collect()
     )
     assert a == b
+
+
+def test_round_half_up_matches_spark_round_exactly(spark):
+    """Round-6 ADVICE: driver-side bucket ids must round like the
+    Spark-built artifact. Python's round() is HALF_EVEN; Spark's F.round
+    is HALF_UP over BigDecimal.valueOf's shortest round-trip decimal.
+    Pin round_half_up ≡ F.round on .5-tie values at the 9th digit (where
+    the two conventions split), signs, and a random spread."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mtg_vector_db_spark.operators.ann import round_half_up
+
+    rng = random.Random(99)
+    values = [
+        5e-10, -5e-10, 1.5e-9, 2.5e-9, -2.5e-9, 3.5e-9,
+        0.1234567895, -0.1234567895, 1.0000000005, 0.0,
+    ] + [rng.uniform(-2, 2) for _ in range(200)]
+    df = spark.createDataFrame(
+        [(v,) for v in values], "x double"
+    ).select(F.round(F.col("x"), 9).alias("r"))
+    spark_r = [r["r"] for r in df.collect()]
+    ours = [round_half_up(v, 9) for v in values]
+    assert ours == spark_r
+    # And the convention actually differs from builtin round() on the
+    # ties above — otherwise this test pins nothing.
+    assert round_half_up(1.5e-9, 9) != round(1.5e-9, 9)
+    assert round_half_up(0.1234567895, 9) != round(0.1234567895, 9)
+
+
+# ---------------------------------------------------------------------------
+# p51: append+refresh served from the STORED base graph (p48's serve face)
+# ---------------------------------------------------------------------------
+def test_p51_serves_exactly_p48s_answer(spark, sf0001):
+    """The stored base substrate is bit-identical to p48's in-query
+    build (deterministic md5 buckets, round(·,6) sims, exact double
+    parquet round-trip), so append + refresh + audit downstream of it
+    must reproduce p48's two stage rows bit-for-bit — the p50≡p06 /
+    t41≡t14 serving-twin discipline."""
+    got = sorted(
+        tuple(r)
+        for r in registry.QUERIES["p51_graph_refresh_serve_stored"](
+            spark, sf0001
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in registry.QUERIES["p48_graph_refresh_appended"](
+            spark, sf0001
+        ).collect()
+    )
+    assert got == want
+
+
+def test_p51_reuses_stored_base_graph(spark, sf0001):
+    """Serving never rebuilds the substrate: a second execution leaves
+    the artifact untouched (mtime pin, the p50/t40 discipline)."""
+    from mtg_vector_db_spark.operators import ann as A
+    from mtg_vector_db_spark.plans.pipeline_queries import (
+        _P40_BUCKETS,
+        _stored_p48_base_path,
+    )
+    from mtg_vector_db_spark.functions.text import hash_fraction
+    from mtg_vector_db_spark.plans.pipeline_queries import _P48_FRAC
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
+    corpus = emb.filter(
+        ~(
+            hash_fraction(
+                F.concat(F.col("vec_id").cast("string"), F.lit(":new"))
+            )
+            < _P48_FRAC
+        )
+    )
+    nb = A.dynamic_bucket_count(corpus, min_buckets=_P40_BUCKETS)
+    path = _stored_p48_base_path(spark, sf0001, nb)
+    mtime = os.path.getmtime(path)
+    df = registry.QUERIES["p51_graph_refresh_serve_stored"](spark, sf0001)
+    assert df.count() == 2
+    assert os.path.getmtime(path) == mtime

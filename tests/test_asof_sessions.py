@@ -1928,6 +1928,91 @@ def test_streaming_bm25_maintenance_matches_batch_topk(spark, tmp_path):
     ) == before
 
 
+def test_streaming_bm25_heals_torn_stats_first_crash(spark, tmp_path):
+    """Round-6 ADVICE (medium): crash consistency across the TWO bm25
+    stores. The fold writes the stats delta FIRST (guarded by the stats
+    store's own batch watermark) and postings second (idempotent doc_id
+    anti-join), so the only reachable torn state is `stats committed /
+    postings missing`. Simulate exactly that crash — batch 1's stats
+    delta on disk, its postings absent — then let the stream re-deliver
+    the batch: the stats guard must skip (no double count), the
+    anti-join must append exactly the missing postings, and the healed
+    stores must answer identically to the batch twin. Under the OLD
+    postings-first watermark this replay was skipped outright and the
+    stats delta was lost forever (avgdl/n_docs undercounting)."""
+    import pyspark.sql.functions as F
+
+    from mtg_vector_db_spark.functions.text import tokens
+    from mtg_vector_db_spark.operators.text_search import bm25_topk
+    from mtg_vector_db_spark.streaming.pipelines import (
+        bm25_probe,
+        streaming_bm25_maintenance,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    postings = str(tmp_path / "postings")
+    stats = str(tmp_path / "stats")
+
+    def run(ckpt):
+        q = streaming_bm25_maintenance(
+            spark, str(src), postings, stats, str(tmp_path / ckpt)
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    schema = "doc_id long, text string"
+    w1 = [(1, "spark joins vectors with spark"), (2, "a join of tables")]
+    w2 = [(3, "vector vector vector"), (4, "spark spark join vector")]
+    spark.createDataFrame(w1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run("ckpt")
+
+    # The torn state a crash between the two writes leaves behind:
+    # batch 1's stats delta committed (the same rows the fold computes),
+    # its postings never written.
+    (
+        spark.createDataFrame(w2, schema)
+        .select(tokens(F.lower(F.col("text"))).alias("toks"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("toks")).alias("total_len"),
+        )
+        .withColumn("batch_id", F.lit(1))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(stats)
+    )
+    spark.createDataFrame(w2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run("ckpt")  # same checkpoint: the stream delivers w2 as batch 1
+
+    st = spark.read.parquet(stats)
+    assert st.count() == 2  # one delta row per batch — not re-appended
+    assert st.agg(F.sum("n_docs")).collect()[0][0] == 4
+    post = spark.read.parquet(postings)
+    assert (  # healed: w2's postings landed exactly once
+        post.groupBy("doc_id", "term").count()
+        .filter(F.col("count") > 1).count() == 0
+    )
+    assert post.select("doc_id").distinct().count() == 4
+
+    terms = ("vector", "join", "spark")
+    got = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_probe(spark, postings, stats, terms, k=10).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_topk(
+            spark.createDataFrame(w1 + w2, schema), terms, k=10,
+            id_col="doc_id", text_col="text",
+        ).collect()
+    )
+    assert got == want
+
+
 def test_streaming_ivfpq_append_matches_batch_layout(spark, tmp_path, sf0001):
     """The maintained IVF-PQ layout after two appended waves equals a
     one-shot batch assign+encode over all vectors (frozen centroids and

@@ -38,7 +38,9 @@ class _Fake(BaseHTTPRequestHandler):
         )
         if "texts" in body:
             out = {
-                "embeddings": hash_embed_np(body["texts"], dim=8).tolist()
+                "embeddings": hash_embed_np(
+                    body["texts"], dim=getattr(srv, "embed_dim", 8)
+                ).tolist()
             }
         else:
             n = len(body["documents"])
@@ -163,3 +165,61 @@ def test_rerank_with_http_ranker_through_spark(spark, fake_server):
         by_q.setdefault(r["query_id"], []).append(r["doc_id"])
     # service reverses the sim-desc order within each query group
     assert by_q == {0: [12, 11, 10], 1: [21, 20]}
+
+
+def test_cli_desc_through_fake_http_backends(
+    spark, fake_server, sf001, monkeypatch, capsys
+):
+    """Round-6 VERDICT #7: the HTTP backends were integration-tested
+    in-process, but nothing drove them through the CLI — the process
+    boundary where the reference wires its Ollama calls
+    (db/search_strategies.py main). Drive ``cli.main(["desc", ...])``
+    with $SPARK_GRAFT_EMBED_URL / $SPARK_GRAFT_RERANK_URL pointing at
+    the programmable fake, two injected 500s to exercise the retry/
+    backoff surface end-to-end, and assert BOTH the reranked output
+    (the fake reranks by reversal, so the printed order must be the
+    sim-ascending tail of the candidate set) and the retry counter
+    (2 failed embeds + 1 embed + 1 executor-side rerank = 4 requests)."""
+    import re
+
+    from mtg_vector_db_spark import cli
+    from mtg_vector_db_spark.operators.knn import knn_with_documents
+
+    fake_server.embed_dim = 64  # corpus dimensionality
+    fake_server.fail_first = 2
+    monkeypatch.setenv("SPARK_GRAFT_EMBED_URL", _url(fake_server))
+    monkeypatch.setenv("SPARK_GRAFT_RERANK_URL", _url(fake_server))
+
+    rc = cli.main(
+        [
+            "desc", "flying creature",
+            "--sf-dir", sf001,
+            "--initial-k", "8",
+            "--final-k", "5",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [
+        ln for ln in out.strip().splitlines() if re.match(r"\s*\d+\.", ln)
+    ]
+    assert len(lines) == 5
+    got_ids = [
+        int(re.search(r"doc_id=(\d+)", ln).group(1)) for ln in lines
+    ]
+
+    # Expected: the fake service's embedding IS hash_embed_np dim=64, so
+    # the candidate set is computable independently; the fake reranker
+    # reverses the sim-descending order.
+    qv = [
+        float(x) for x in hash_embed_np(["flying creature"], dim=64)[0]
+    ]
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    cand = knn_with_documents(docs, emb, qv, k=8).collect()
+    by_sim_desc = sorted(cand, key=lambda r: -r["sim"])
+    expected = [r["doc_id"] for r in by_sim_desc[::-1][:5]]
+    assert got_ids == expected
+
+    assert fake_server.n_requests == 4

@@ -149,3 +149,91 @@ def test_compact_reduces_file_count(spark, sf001, tmp_path):
     n_after = P.compact(spark, path, target_files=2)
     assert n_before == 40 and n_after == 2
     assert spark.read.parquet(path).count() == total
+
+
+def test_aqe_splits_planted_hot_key(spark):
+    """Round-6 VERDICT #6: the skew TOOLING (salted_join, two_phase_agg,
+    hot_keys) has always been here, but nothing demonstrated Spark's own
+    OptimizeSkewedJoin actually splitting a planted hot key end-to-end.
+    Plant a 20%-hot key on the left of a forced sort-merge join (AQE on,
+    broadcast off, thresholds scaled so the hot partition is 'skewed' by
+    the same factor-over-median rule production uses at 256 MB), execute,
+    and assert the FINAL adaptive plan carries the skew=true join with
+    more shuffle-read splits than shuffle partitions — the runtime
+    re-plan the engine's 100 TB posture leans on when salting isn't
+    wired in. Answers must equal the skew-handling-off join exactly
+    (AQE is a physical re-plan, never a semantics knob)."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # 8 reduce partitions: at the suite's default of 4, the hot
+        # partition (~20% of bytes) no longer clears the factor-2-over-
+        # median bar — the skew must be skew relative to the layout.
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        n = 200_000
+        left = spark.range(n).select(
+            F.when(F.col("id") % 5 == 0, 0)
+            .otherwise(F.col("id") % 997)
+            .alias("k"),
+            (F.col("id") * 2).alias("va"),
+        )
+        right = spark.range(997).select(
+            F.col("id").alias("k"), F.col("id").alias("vb")
+        )
+        # The inspected DataFrame must be the one executed (collect on
+        # j finalizes j's own AdaptiveSparkPlan), and the join must be
+        # the plan's LAST key-distributed op: a groupBy(k) downstream
+        # makes OptimizeSkewedJoin veto the split (splitting duplicates
+        # build rows, breaking the hash distribution the aggregate
+        # requires — an extra-shuffle trade AQE correctly refuses).
+        j = left.join(right, "k")
+        got = sorted((r["k"], r["va"], r["vb"]) for r in j.collect())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan[:4000]
+        assert "AQEShuffleRead skewed" in plan, plan[:4000]
+
+        # Same join with skew handling OFF: identical answers.
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        plain = left.join(right, "k")
+        want = sorted(
+            (r["k"], r["va"], r["vb"]) for r in plain.collect()
+        )
+        pplan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in pplan
+        assert got == want
+
+        # And the veto case, pinned as DOCUMENTED behavior: with a
+        # key-requiring aggregate downstream, AQE leaves the skewed
+        # partition alone rather than pay a re-shuffle — the case where
+        # explicit salting (P.salted_join / two_phase_agg) is the right
+        # tool even with AQE on.
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        g = left.join(right, "k").groupBy("k").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        g.collect()
+        gplan = g._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in gplan
+        assert "skew=true" not in gplan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

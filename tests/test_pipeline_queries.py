@@ -487,3 +487,89 @@ def test_p43_quantized_operating_points(spark, sf001):
         d = dict(pts)
         assert d[16] >= 0.85, (method, d)
         assert d[64] >= 0.95, (method, d)
+
+
+def test_p52_two_level_operating_points(spark, sf001):
+    """The two-level serving frontier (round-6 VERDICT #2): flat-
+    assignment agreement must be monotone in n_probe_super and exactly
+    1.0 at probe=8 (all 8 supers probed = flat — the exactness anchor),
+    and the COMMITTED operating point (probe=4, RECALL.md "Two-level
+    arm") must hold: serving recall ≥ 0.7 at sf0.01 and within 0.05 of
+    the flat-assignment row (measured 0.72 vs 0.73 at sf0.01, 0.92 vs
+    0.95 at sf0.1)."""
+    rows = {
+        r["n_probe_super"]: r
+        for r in registry.QUERIES["p52_two_level_operating_points"](
+            spark, sf001
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 4, 8}
+    agrees = [rows[p]["agree_frac"] for p in (1, 2, 4, 8)]
+    assert agrees == sorted(agrees), agrees
+    assert rows[8]["agree_frac"] == 1.0
+    assert rows[4]["avg_recall_at_10"] >= 0.7
+    assert (
+        rows[4]["avg_recall_at_10"]
+        >= rows[8]["avg_recall_at_10"] - 0.05
+    )
+
+
+def test_p52_rank_filter_equals_operator_assignment(spark, sf001):
+    """The sweep's one-scan reformulation — "assignment at probe p =
+    the min-rank cell whose super ranks within p" — must produce the
+    SAME cells as the real two_level_assign operator (explode + member
+    shard join + min_by), at both a throttled and a mid probe. This is
+    the bridge that lets p52's frontier speak for the operator."""
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.operators.ann import (
+        ivf_assign,
+        ivf_ranked_assign,
+        two_level_assign,
+    )
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    seeds = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "centroid"
+        ),
+    )
+    supers = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("super"),
+        F.col("centroid") if "centroid" in emb.columns
+        else F.transform("embedding", lambda x: x.cast("double")).alias(
+            "centroid"
+        ),
+    )
+    casg = ivf_assign(
+        seeds.select(
+            F.col("cell").alias("vec_id"),
+            F.col("centroid").alias("embedding"),
+        ),
+        supers,
+        cluster_col="super",
+        centroid_col="centroid",
+    ).select(F.col("vec_id").alias("cell"), "super")
+    cellr = ivf_ranked_assign(
+        emb, seeds, nprobe=64, rank_col="crank"
+    ).select("vec_id", "cell", "crank")
+    supr = ivf_ranked_assign(
+        emb, supers, nprobe=8, cluster_col="super", rank_col="srank"
+    ).select("vec_id", "super", "srank")
+    cand = cellr.join(F.broadcast(casg), "cell").join(
+        supr, ["vec_id", "super"]
+    )
+    for p in (1, 4):
+        w = Window.partitionBy("vec_id").orderBy("crank")
+        ranked = (
+            cand.filter(F.col("srank") <= p)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "cell")
+        )
+        op = two_level_assign(
+            emb, seeds, n_super=8, n_probe_super=p
+        ).select("vec_id", "cell")
+        assert ranked.exceptAll(op).count() == 0, p
+        assert op.exceptAll(ranked).count() == 0, p

@@ -102,6 +102,29 @@ def test_mrl_operating_points_frontier(spark, sf001):
         assert rows[(32, o)] >= rows[(16, o)]
 
 
+def test_mrl_decayed_fixture_frontloads_the_prefix(spark, sf001):
+    """Round-6 VERDICT #5: the MRL arm's design claim — front-loaded
+    embeddings reach 0.9+ recall at prefix-16 — measured instead of
+    argued. On the decayed-spectrum fixture (v20: seeded Gaussian mix,
+    per-dim γ=0.85 decay, so prefix-16 holds ≈99.5% of expected energy)
+    prefix-16 must clear 0.9 at EVERY oversample, including the cheapest
+    (os=5, rescoring 2.5-10% of the corpus) — the exact regime where the
+    uniform-spectrum v18 fixture plateaus at 0.8 no matter the budget.
+    (Measured: the whole v20 grid saturates at 1.0, and stays saturated
+    even at γ=0.98 where the prefix holds only ~48% of the energy — the
+    uniform fixture's plateau was the spectrum, not the rescore depth.)"""
+    rows = {
+        (r["prefix"], r["oversample"]): r["recall_at_10"]
+        for r in registry.QUERIES["v20_mrl_decayed_frontier"](
+            spark, sf001
+        ).collect()
+    }
+    assert set(rows) == {(p, o) for p in (16, 32) for o in (5, 10, 20)}
+    for o in (5, 10, 20):
+        assert rows[(16, o)] >= 0.9, (o, rows)
+        assert rows[(32, o)] >= 0.9, (o, rows)
+
+
 def test_dispersion_closed_form_equals_brute_force(spark, sf001):
     """The O(n·d) closed form must equal the O(n²) brute-force mean
     pairwise cosine (computed in numpy on the same normalized,
