@@ -341,6 +341,16 @@ def streaming_neardup_ingest(
     batch cost is O(new docs + colliding candidates) — the incremental
     form of the batch minhash_lsh_pairs, for 100 TB corpora that arrive
     continuously.
+
+    Crash consistency (round-7, the streaming_bm25_maintenance
+    discipline): re-delivered doc_ids are anti-joined out against the
+    index, the batch's pairs (cross-batch ∪ in-batch) land in ONE append
+    guarded by the pairs store's own batch-id watermark, and the index
+    is written LAST — so its watermark implies the whole batch landed
+    (the whole-batch fast-skip), and the only reachable torn state
+    (pairs committed / index missing) heals on replay: the pairs guard
+    skips the duplicate append while the index append re-derives exactly
+    the missing band keys.
     """
     from pyspark.sql import functions as F
 
@@ -355,7 +365,18 @@ def streaming_neardup_ingest(
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        sh = batch_df.select(
+        index = _state_df(s, index_path)
+        if index is not None:
+            last = _max_batch_id(index)
+            if last is not None and batch_id <= last:
+                # Index written LAST => the whole batch already landed.
+                return
+        new_docs = batch_df
+        if index is not None:
+            new_docs = new_docs.join(
+                index.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+        sh = new_docs.select(
             "doc_id", word_shingles(F.col("text")).alias("shingles")
         )
         sig = sh.select(
@@ -386,8 +407,7 @@ def streaming_neardup_ingest(
             F.col("doc_id"), F.col("shingles"), F.inline(band_structs)
         ).localCheckpoint(eager=True)
 
-        index = _state_df(s, index_path)
-
+        cross_pairs = None
         if index is not None:
             cand = (
                 new_banded.alias("n")
@@ -406,13 +426,12 @@ def streaming_neardup_ingest(
                 .distinct()
             )
             j = jaccard(F.col("sh_new"), F.col("sh_old"))
-            pairs = (
+            cross_pairs = (
                 cand.select(
                     "id_new", "id_old", F.round(j, 6).alias("jaccard")
                 )
                 .filter(F.col("jaccard") >= verify_threshold)
             )
-            pairs.write.mode("append").parquet(pairs_path)
 
         # In-batch pairs: same bucket expansion as the batch operator.
         from mtg_vector_db_spark.operators.dedup import bucket_pairs
@@ -423,20 +442,38 @@ def streaming_neardup_ingest(
             payload_col="shingles",
         )
         jb = jaccard(F.col("p_a"), F.col("p_b"))
-        (
+        in_pairs = (
             inb.select(
                 F.col("id_b").alias("id_new"),
                 F.col("id_a").alias("id_old"),
                 F.round(jb, 6).alias("jaccard"),
             )
             .filter(F.col("jaccard") >= verify_threshold)
-            .write.mode("append")
-            .parquet(pairs_path)
         )
+        all_pairs = (
+            in_pairs
+            if cross_pairs is None
+            else cross_pairs.unionByName(in_pairs)
+        )
+        # ONE guarded append for the batch's pairs (cross ∪ in-batch):
+        # a crash after it replays into the guard, never a double-emit.
+        pairs_existing = _state_df(s, pairs_path)
+        pairs_last = (
+            _max_batch_id(pairs_existing)
+            if pairs_existing is not None
+            else None
+        )
+        if pairs_last is None or batch_id > pairs_last:
+            (
+                all_pairs.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append").parquet(pairs_path)
+            )
 
-        new_banded.select("doc_id", "shingles", "band", "band_key").write.mode(
-            "append"
-        ).parquet(index_path)
+        (
+            new_banded.select("doc_id", "shingles", "band", "band_key")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(index_path)
+        )
 
     return (
         stream.writeStream.foreachBatch(upsert)
@@ -825,6 +862,14 @@ def streaming_paragraph_dedup(
     per batch via parquet append — it is corpus-fingerprint-sized, so it
     is never collected to the driver (contrast the bounded Bloom/manifest
     collects above).
+
+    Crash consistency (round-7, the streaming_bm25_maintenance
+    discipline): the kept-docs append is guarded by the OUT store's own
+    batch-id watermark and the fingerprint store is written LAST — its
+    watermark implies the whole batch landed (whole-batch fast-skip),
+    and the only reachable torn state (out committed / fingerprints
+    missing) heals on replay: the out guard skips the duplicate doc rows
+    while the fingerprint append re-derives exactly the missing fps.
     """
     from mtg_vector_db_spark.functions.textstats import fingerprint
     from mtg_vector_db_spark.operators.dedup import doc_paragraphs
@@ -833,11 +878,16 @@ def streaming_paragraph_dedup(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        store = _state_df(s, store_path)
+        if store is not None:
+            last = _max_batch_id(store)
+            if last is not None and batch_id <= last:
+                # Fingerprints written LAST => whole batch already landed.
+                return
         paras = doc_paragraphs(batch_df, para_tokens=para_tokens).withColumn(
             "fp", fingerprint(F.col("ptext"))
         )
-        seen = _state_df(s, store_path)
-        seen = seen.select("fp") if seen is not None else None
+        seen = store.select("fp") if store is not None else None
         w = Window.partitionBy("fp").orderBy("doc_id", "para_id")
         first_in_batch = (
             paras.withColumn("rn", F.row_number().over(w))
@@ -876,9 +926,23 @@ def streaming_paragraph_dedup(
                 ).alias("text_kept"),
             )
         )
-        out.write.mode("append").parquet(out_path)
+        out_existing = _state_df(s, out_path)
+        out_last = (
+            _max_batch_id(out_existing)
+            if out_existing is not None
+            else None
+        )
+        if out_last is None or batch_id > out_last:
+            (
+                out.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append").parquet(out_path)
+            )
         # Append only the batch's new fingerprints: O(new), no rebuild.
-        fresh.select("fp").write.mode("append").parquet(store_path)
+        (
+            fresh.select("fp")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(store_path)
+        )
 
     return (
         stream.writeStream.foreachBatch(fold)

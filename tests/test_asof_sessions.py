@@ -2163,3 +2163,135 @@ def test_streaming_cc_maintenance_bucketed_rewrites_only_touched(
     # single root, nothing is written in ANY bucket.
     run("ckpt_replay")
     assert bucket_mtimes() == after
+
+
+def test_streaming_neardup_replay_and_redelivery_safe(spark, tmp_path):
+    """Round-7 hardening (the streaming_bm25 discipline applied to the
+    near-dup maintainer): a fresh-checkpoint full replay leaves both
+    stores unchanged (index written LAST carries the high-watermark),
+    and a doc_id re-delivered in a later batch is anti-joined out — no
+    double-indexing, no duplicate pairs."""
+    import json
+
+    from mtg_vector_db_spark.streaming.pipelines import (
+        streaming_neardup_ingest,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        json.dumps({"doc_id": 1, "text": base})
+    )
+
+    def run(ckpt):
+        q = streaming_neardup_ingest(
+            spark, str(src), str(tmp_path / "index"),
+            str(tmp_path / "pairs"), str(tmp_path / ckpt),
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run("ckpt")
+    # Batch 2 re-delivers doc 1 alongside a genuine near-dup.
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": t})
+            for i, t in [(1, base), (3, near)]
+        )
+    )
+    run("ckpt")
+
+    import pyspark.sql.functions as F
+
+    idx = spark.read.parquet(str(tmp_path / "index"))
+    # doc 1 indexed ONCE (4 bands), not re-indexed on re-delivery
+    assert idx.filter(F.col("doc_id") == 1).count() == 4
+    pairs = [
+        (r["id_new"], r["id_old"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    ]
+    assert pairs.count((3, 1)) == 1  # found once, no duplicates
+    assert (1, 1) not in pairs
+
+    before = (
+        idx.count(),
+        spark.read.parquet(str(tmp_path / "pairs")).count(),
+    )
+    run("ckpt_replay")  # fresh checkpoint: everything re-delivers
+    assert (
+        spark.read.parquet(str(tmp_path / "index")).count(),
+        spark.read.parquet(str(tmp_path / "pairs")).count(),
+    ) == before
+
+
+def test_streaming_paragraph_dedup_heals_torn_out_first_crash(
+    spark, tmp_path
+):
+    """Round-7 hardening: the paragraph maintainer writes kept-docs
+    first (guarded by the out store's own watermark) and fingerprints
+    LAST. Simulate the only reachable torn state — batch 1's out rows
+    committed, its fingerprint append lost — by running a TWIN pipeline
+    to completion and copying only its out rows; the replay must skip
+    the duplicate out append and re-derive exactly the missing
+    fingerprints, converging to the twin's final state."""
+    from mtg_vector_db_spark.streaming.pipelines import (
+        streaming_paragraph_dedup,
+    )
+
+    boiler = "subscribe to our newsletter for updates every day"
+    rows = [(1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "iota kappa lambda mu nu xi omicron pi " + boiler)]
+    schema = "doc_id long, text string"
+
+    def drain(tag):
+        src = tmp_path / f"src_{tag}"
+        if not src.exists():
+            src.mkdir()
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+        q = (
+            streaming_paragraph_dedup(
+                spark, str(src), str(tmp_path / f"out_{tag}"),
+                str(tmp_path / f"fps_{tag}"),
+                str(tmp_path / f"ckpt_{tag}"), schema=schema,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain("twin")  # complete run: the ground truth
+
+    # Torn state for the main pipeline: out committed, fps missing.
+    spark.read.parquet(str(tmp_path / "out_twin")).write.mode(
+        "append"
+    ).parquet(str(tmp_path / "out_main"))
+    drain("main_src")  # build main's source
+    # replay main against the torn stores
+    src = tmp_path / "src_main"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    q = (
+        streaming_paragraph_dedup(
+            spark, str(src), str(tmp_path / "out_main"),
+            str(tmp_path / "fps_main"), str(tmp_path / "ckpt_main"),
+            schema=schema,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out_main = spark.read.parquet(str(tmp_path / "out_main"))
+    assert out_main.count() == 2  # healed, not duplicated
+    fps_main = spark.read.parquet(str(tmp_path / "fps_main"))
+    fps_twin = spark.read.parquet(str(tmp_path / "fps_twin"))
+    assert (
+        sorted(r["fp"] for r in fps_main.collect())
+        == sorted(r["fp"] for r in fps_twin.collect())
+    )
