@@ -144,6 +144,9 @@ HEADLINE = [
     "p50_lsh_serve_stored",        # E2LSH bucket-table lookup serving
     "v19_mrl_serve_stored",        # MRL prefix-column artifact serving
     "p51_graph_refresh_serve_stored",  # append+refresh from stored graph
+    "p52_two_level_operating_points",  # two-level serving-recall sweep
+    "p53_imi_search",              # full IMI: 2-level assign + 2-level probe
+    "v20_mrl_decayed_frontier",    # MRL sweep on the decayed-spectrum fixture
 ]
 
 
@@ -174,6 +177,7 @@ CLASSES = {
     # cycle, no substrate rebuild — serve-class by the same logic as the
     # stored-index probes above.
     "p51_graph_refresh_serve_stored": "serve",
+    "p53_imi_search": "serve",
 }
 
 # Machine-state controls (round-5 VERDICT #4): three pinned queries whose

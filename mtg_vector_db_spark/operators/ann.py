@@ -94,6 +94,44 @@ def ivf_probe_cells(
     )
 
 
+def two_level_probe_cells(
+    cents_sup: DataFrame,
+    supers: DataFrame,
+    query_vec: Sequence[float],
+    nprobe: int,
+    n_probe_super: int = 2,
+    cluster_col: str = "cell",
+    super_col: str = "super_cell",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """Query-side two-level coarse probe — the IMI SERVING half
+    (:func:`two_level_assign` is the build half): score the ⌈√k⌉ supers,
+    semi-join the centroid table down to the top ``n_probe_super``
+    supers' member shards (dynamic-partition-prunable when the codebook
+    is stored ``partitionBy(super_col)``), then TakeOrdered the
+    ``nprobe`` nearest cells among ONLY those members. Per-query scored
+    centroid rows drop from O(k) (:func:`ivf_probe_cells` scans the
+    whole codebook per query) to O(√k + probed members) — at the 4M-cell
+    framing, ~4k rows instead of 4M. Same (sim DESC, id ASC) cosine pick
+    as :func:`ivf_probe_cells` at both levels, so a SQL oracle replays
+    with two ranked CTEs."""
+    ssim = cosine_similarity(F.col(centroid_col), list(query_vec))
+    s_pick = (
+        supers.select(super_col, ssim.alias("_ss"))
+        .orderBy(F.desc("_ss"), F.asc(super_col))
+        .limit(n_probe_super)
+        .select(super_col)
+    )
+    csim = cosine_similarity(F.col(centroid_col), list(query_vec))
+    return (
+        cents_sup.join(F.broadcast(s_pick), super_col, "left_semi")
+        .select(cluster_col, csim.alias("_cs"))
+        .orderBy(F.desc("_cs"), F.asc(cluster_col))
+        .limit(nprobe)
+        .select(cluster_col)
+    )
+
+
 def ivf_search(
     emb: DataFrame,
     centroids: DataFrame,

@@ -5809,3 +5809,161 @@ def _p52_oracle() -> str:
 
 
 oracle("p52_two_level_operating_points", _p52_oracle())
+
+
+# ---------------------------------------------------------------------------
+# P53: FULL IMI SEARCH — both halves of the two-level recipe in one
+# serving DAG, completing the arm (p49 = assignment, p52 = committed
+# operating point, p53 = serving). The BUILD side assigns the corpus
+# through two_level_assign at the committed n_probe_super=4 (RECALL.md
+# "Two-level arm"); the QUERY side picks its probe cells through
+# two_level_probe_cells — score 8 supers, then only the top-2 supers'
+# member cells — so per-query coarse work is O(√k + probed members)
+# instead of ivf_probe_cells' O(k) codebook scan (at 4M cells: ~4k rows
+# scored per query instead of 4M). Candidates = corpus rows whose
+# assigned cell is probed, exact cosine rescore, top-10 — the standard
+# IVF serve tail. Geometry is p52's 64-cell / 8-super codebook (the
+# real two-level regime). Oracle replays assignment (dist argmin,
+# multi-probe NULLS-LAST sentinel ordering) and probe (cosine ranked
+# picks at both levels) end-to-end.
+# ---------------------------------------------------------------------------
+_P53_NPROBE = 8
+_P53_PROBE_SUPER = 2
+
+
+@query("p53_imi_search")
+def p53_imi_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.vector import cosine_similarity
+    from mtg_vector_db_spark.operators.ann import (
+        ivf_assign,
+        two_level_assign,
+        two_level_probe_cells,
+    )
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir)
+    seeds = emb.filter(F.col("vec_id") < _P52_CELLS).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "centroid"
+        ),
+    )
+    supers = emb.filter(F.col("vec_id") < _P52_NSUPER).select(
+        F.col("vec_id").cast("int").alias("super_cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "centroid"
+        ),
+    )
+    casg = ivf_assign(
+        seeds.select(
+            F.col("cell").alias("vec_id"),
+            F.col("centroid").alias("embedding"),
+        ),
+        supers,
+        cluster_col="super_cell",
+        centroid_col="centroid",
+    ).select(F.col("vec_id").alias("cell"), "super_cell")
+    cents_sup = seeds.join(F.broadcast(casg), "cell")
+
+    probed = two_level_probe_cells(
+        cents_sup, supers, qv,
+        nprobe=_P53_NPROBE, n_probe_super=_P53_PROBE_SUPER,
+    )
+    assigned = two_level_assign(
+        emb, seeds, n_super=_P52_NSUPER, n_probe_super=_P49_PROBE
+    )
+    sim = F.round(cosine_similarity(F.col("embedding"), qv), R)
+    return (
+        assigned.join(F.broadcast(probed), "cell", "left_semi")
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(_P52_K)
+    )
+
+
+def _p53_oracle() -> str:
+    cells, nsuper = _P52_CELLS, _P52_NSUPER
+    k, nprobe, psuper = _P52_K, _P53_NPROBE, _P53_PROBE_SUPER
+    aprobe = _P49_PROBE
+    return f"""
+    WITH c AS MATERIALIZED (
+      SELECT CAST(vec_id AS INT) AS cell,
+             CAST(embedding AS DOUBLE[]) AS cvec,
+             list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS n2
+      FROM embeddings WHERE vec_id < {cells}
+    ),
+    s AS MATERIALIZED (
+      SELECT CAST(vec_id AS INT) AS super_cell,
+             CAST(embedding AS DOUBLE[]) AS svec,
+             list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS sn2
+      FROM embeddings WHERE vec_id < {nsuper}
+    ),
+    casg AS MATERIALIZED (
+      SELECT cell, cvec, n2, super_cell FROM (
+        SELECT c.cell, c.cvec, c.n2, s.super_cell,
+               row_number() OVER (PARTITION BY c.cell
+                 ORDER BY s.sn2 - 2 * list_inner_product(s.svec,
+                   list_transform(c.cvec,
+                     x -> x / sqrt(list_inner_product(c.cvec, c.cvec)))),
+                 s.super_cell) AS rn
+        FROM c CROSS JOIN s) WHERE rn = 1
+    ),
+    n AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_inner_product(
+                 CAST(embedding AS DOUBLE[]),
+                 CAST(embedding AS DOUBLE[])))) AS nx
+      FROM embeddings
+    ),
+    vsup AS MATERIALIZED (
+      SELECT vec_id, nx, super_cell FROM (
+        SELECT n.vec_id, n.nx, s.super_cell,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY s.sn2 - 2 * list_inner_product(s.svec, n.nx),
+                 s.super_cell) AS rn
+        FROM n CROSS JOIN s) WHERE rn <= {aprobe}
+    ),
+    asg AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, m.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY coalesce(m.n2
+                     - 2 * list_inner_product(m.cvec, v.nx),
+                     CAST('infinity' AS DOUBLE)),
+                   coalesce(m.cell, 2147483647),
+                   v.super_cell) AS rn
+        FROM vsup v LEFT JOIN casg m USING (super_cell)) WHERE rn = 1
+    ),
+    q AS MATERIALIZED (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = 0
+    ),
+    spick AS MATERIALIZED (
+      SELECT super_cell FROM (
+        SELECT s.super_cell,
+               row_number() OVER (ORDER BY
+                 list_cosine_similarity(s.svec, (SELECT qv FROM q)) DESC,
+                 s.super_cell ASC) AS rn
+        FROM s) WHERE rn <= {psuper}
+    ),
+    probed AS MATERIALIZED (
+      SELECT cell FROM (
+        SELECT m.cell,
+               row_number() OVER (ORDER BY
+                 list_cosine_similarity(m.cvec, (SELECT qv FROM q)) DESC,
+                 m.cell ASC) AS rn
+        FROM casg m JOIN spick USING (super_cell)) WHERE rn <= {nprobe}
+    )
+    SELECT e.vec_id AS doc_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                 (SELECT qv FROM q)), {R}) AS sim
+    FROM asg a
+    JOIN probed p ON a.cell = p.cell
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    ORDER BY sim DESC, doc_id ASC LIMIT {k}"""
+
+
+oracle("p53_imi_search", _p53_oracle())

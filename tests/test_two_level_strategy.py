@@ -193,3 +193,81 @@ def test_p49_oracle_green_through_shuffle_path(spark, sf001, monkeypatch):
     assert_matches_oracle(
         df, registry.ORACLES["p49_two_level_assign"], sf001
     )
+
+
+def test_two_level_probe_cells_semantics_and_plan(spark, sf001):
+    """The IMI serving half: two_level_probe_cells must return exactly
+    the cosine top-nprobe cells AMONG the top-n_probe_super supers'
+    members (python reference from the same collected codebook), and its
+    plan must gate the codebook scan behind the super semi-join — the
+    shape that makes per-query coarse work O(√k + members), not O(k)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mtg_vector_db_spark.operators.ann import (
+        ivf_assign,
+        two_level_probe_cells,
+    )
+    from mtg_vector_db_spark.plans.vector_queries import query_vector
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    qv = query_vector(spark, sf001)
+    seeds = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "centroid"
+        ),
+    )
+    supers = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("super_cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "centroid"
+        ),
+    )
+    casg = ivf_assign(
+        seeds.select(
+            F.col("cell").alias("vec_id"),
+            F.col("centroid").alias("embedding"),
+        ),
+        supers,
+        cluster_col="super_cell",
+        centroid_col="centroid",
+    ).select(F.col("vec_id").alias("cell"), "super_cell")
+    cents_sup = seeds.join(F.broadcast(casg), "cell")
+
+    df = two_level_probe_cells(
+        cents_sup, supers, qv, nprobe=8, n_probe_super=2
+    )
+    got = [r["cell"] for r in df.collect()]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(
+            sum(x * x for x in a) * sum(y * y for y in b)
+        )
+
+    sup_rows = {r["super_cell"]: r["centroid"] for r in supers.collect()}
+    top_supers = sorted(
+        sup_rows, key=lambda sc: (-cos(sup_rows[sc], qv), sc)
+    )[:2]
+    members = {
+        r["cell"]: r["centroid"]
+        for r in cents_sup.collect()
+        if r["super_cell"] in top_supers
+    }
+    want = sorted(members, key=lambda c: (-cos(members[c], qv), c))[:8]
+    assert sorted(got) == sorted(want)
+
+    plan = _plan(df)
+    # the codebook scan is gated by the super semi-join before TakeOrdered
+    assert "LeftSemi" in plan and "TakeOrderedAndProject" in plan
+
+
+def test_p53_oracle_green(spark, sf001):
+    """The composed IMI serving query (build side at the committed
+    assignment probe, query side through the two-level probe) stays
+    oracle-green — the p49/p52/p53 arm's end-to-end anchor."""
+    registry.load_all()
+    df = registry.QUERIES["p53_imi_search"](spark, sf001)
+    assert_matches_oracle(df, registry.ORACLES["p53_imi_search"], sf001)
