@@ -256,11 +256,27 @@ def main() -> None:
     )
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # Protocol v2 (round 7): every headline query gets
+    # SPARK_GRAFT_BENCH_WARMUP (default 1) UNTIMED warmup run before its
+    # timed runs — the round-6 ADVICE's "equivalent untimed warmup per
+    # headline query". Why: with 2-run medians and no per-query warmup,
+    # a query's number depended on HOW MUCH of the bench ran before it
+    # (JIT/code-cache state), so changing the HEADLINE set changed other
+    # queries' numbers — removing the ~87 s of redundant graph builds
+    # made the c-family read +1-2 s slower on IDENTICAL code (controlled
+    # experiment in SCALE.md round-7: c25 cold 14.9 s vs warmed 4.4 s).
+    # Steady-state medians are set-composition-independent; the controls
+    # get the same treatment, so the machine-state index stays
+    # self-consistent (it reads ~15-25% lower than protocol-v1 rounds
+    # for equal host state — a one-time calibration shift, documented).
+    n_warm = max(int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")), 0)
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
         fn = registry.QUERIES[name]
+        for _ in range(n_warm):
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -291,7 +307,11 @@ def main() -> None:
             # before the index moves.
             "index": _median(sorted(ratios.values())),
             "reference": "BENCH_r01.json medians, sf0.1",
-            "source": "headline-loop medians (no separate control runs)",
+            "source": (
+                "headline-loop medians, protocol v2 (per-query untimed "
+                "warmup) — reads ~15-25% lower than v1 rounds for equal "
+                "host state"
+            ),
         }
 
     classes = {n: CLASSES.get(n, "query") for n in timings}
@@ -309,6 +329,7 @@ def main() -> None:
         "queries": timings,
         "runs": raw_runs,
         "runs_per_query": n_runs,
+        "warmup_runs_per_query": n_warm,
         "class": classes,
         "class_subtotals": subtotals,
         "sf": sf,
