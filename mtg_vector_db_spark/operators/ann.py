@@ -835,8 +835,25 @@ def _with_scored_cells(
 # bound; $SPARK_GRAFT_TWO_LEVEL_MEMBERS_STRATEGY overrides "auto" only
 # (the $SPARK_GRAFT_IVF_STRATEGY test-hook discipline). Both paths are
 # pinned bit-equal in tests/test_two_level_strategy.py.
+#
+# The shuffle path is SALTED (round-7): probe keys are skewed by nature
+# — vectors probe their NEAREST supers, so a corpus's hot semantic
+# region concentrates probe rows on few super keys (measured: a
+# periodic fixture sent 70% of all probes to 3 of 317 supers and
+# serialized the join onto one core; even a hash-random fixture puts
+# 7.6% on the hottest key vs 0.3% uniform). AQE's skew split keys on
+# partition BYTES and the probe rows are small — the cost is per-row
+# member scoring — so it recovers little (measured 296 → 278 s). The
+# remedy is the salted-join recipe (operators/partitioning.py): member
+# shards replicate ×TWO_LEVEL_SHUFFLE_SALT (bounded, shuffled once,
+# distributed — never per-executor), probe rows pick a deterministic
+# xxhash64 salt, and the join runs on (super, salt) so a hot super's
+# scoring spreads over SALT reducers. Matched pairs are identical by
+# construction (every probe row meets exactly its super's one shard
+# copy per salt value) — pinned bit-equal in the tests.
 TWO_LEVEL_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 TWO_LEVEL_MEMBER_ROW_OVERHEAD = 32
+TWO_LEVEL_SHUFFLE_SALT = 8
 
 
 def _int_max_literal(dt) -> Column:
@@ -967,14 +984,41 @@ def two_level_assign(
     )
     # The shards reach the probed rows either replicated (broadcast hash
     # join — zero shuffle, right while the whole codebook is small) or
-    # co-partitioned on super_col (shuffle hash join — the probe side
-    # shuffles n·probe rows once, the codebook shuffles k rows once, and
-    # no executor ever holds more than its partitions' shards).
-    members_side = (
-        F.broadcast(members)
-        if members_strategy == "broadcast"
-        else members.hint("shuffle_hash")
-    )
+    # co-partitioned on (super_col, salt) (salted shuffle hash join —
+    # the probe side shuffles n·probe rows once, the codebook shuffles
+    # salt·k rows once, no executor ever holds more than its partitions'
+    # shards, and a hot super's per-row member scoring spreads over salt
+    # reducers — see the TWO_LEVEL_SHUFFLE_SALT note above).
+    if members_strategy == "broadcast":
+        members_side = F.broadcast(members)
+        join_keys = [super_col]
+
+        def salt_probe(df: DataFrame) -> DataFrame:
+            return df
+    else:
+        salt_n = int(
+            os.environ.get(
+                "SPARK_GRAFT_TWO_LEVEL_SHUFFLE_SALT",
+                TWO_LEVEL_SHUFFLE_SALT,
+            )
+        )
+        members_side = members.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+        ).hint("shuffle_hash")
+        join_keys = [super_col, "_salt"]
+
+        def salt_probe(df: DataFrame) -> DataFrame:
+            # Deterministic per-row salt (xxhash64 — replay-stable):
+            # every probe row meets exactly its super's one shard copy
+            # per salt value, so matched pairs are identical to the
+            # unsalted join.
+            return df.withColumn(
+                "_salt",
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_n)).cast(
+                    "int"
+                ),
+            )
+
     s1 = _with_scored_cells(
         emb, supers, emb_col, super_col, "centroid", "auto"
     )
@@ -983,12 +1027,12 @@ def two_level_assign(
             super_col, F.array_min(F.col("_scored"))["cell"]
         ).drop("_scored")
         return (
-            s1.join(members_side, super_col, "left")
+            salt_probe(s1).join(members_side, join_keys, "left")
             .withColumn(
                 cluster_col,
                 F.array_min(_score_cells_expr(F.col("_cents")))["cell"],
             )
-            .drop("_nx", "_cents")
+            .drop("_nx", "_cents", "_salt")
         )
     # Multi-probe: explode the top-probe supers (n·probe rows), join each
     # to its member shard, take the per-row best (dist, cell), then ONE
@@ -1008,17 +1052,23 @@ def two_level_assign(
         ),
     )
     probed = (
-        s1.withColumn(
-            super_col,
-            F.explode(
-                F.transform(
-                    F.slice(F.array_sort(F.col("_scored")), 1, n_probe_super),
-                    lambda s: s["cell"],
-                )
-            ),
+        salt_probe(
+            s1.withColumn(
+                super_col,
+                F.explode(
+                    F.transform(
+                        F.slice(
+                            F.array_sort(F.col("_scored")),
+                            1,
+                            n_probe_super,
+                        ),
+                        lambda s: s["cell"],
+                    )
+                ),
+            )
         )
         .drop("_scored")
-        .join(members_side, super_col, "left")
+        .join(members_side, join_keys, "left")
         .withColumn(
             "_best", F.array_min(_score_cells_expr(F.col("_cents")))
         )
