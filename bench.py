@@ -147,6 +147,11 @@ HEADLINE = [
     "p52_two_level_operating_points",  # two-level serving-recall sweep
     "p53_imi_search",              # full IMI: 2-level assign + 2-level probe
     "v20_mrl_decayed_frontier",    # MRL sweep on the decayed-spectrum fixture
+    # Round 8 (VERDICT #1): mining workloads served from the stored IVF
+    # layout — query-TABLE probes, DPP-pruned artifact scans, zero
+    # in-plan index rebuild.
+    "p54_hard_negatives_served_stored",  # 50-anchor hard-negative mining
+    "c31_semdedup_keep_stored",          # SemDeDup on the stored cell layout
 ]
 
 
@@ -178,6 +183,8 @@ CLASSES = {
     # stored-index probes above.
     "p51_graph_refresh_serve_stored": "serve",
     "p53_imi_search": "serve",
+    "p54_hard_negatives_served_stored": "serve",
+    "c31_semdedup_keep_stored": "serve",
 }
 
 # Machine-state controls (round-5 VERDICT #4): three pinned queries whose

@@ -132,6 +132,39 @@ def two_level_probe_cells(
     )
 
 
+def min_pool_nprobe(
+    n_corpus: int,
+    n_cells: int,
+    k: int,
+    nprobe: int,
+    c: int = 32,
+) -> int:
+    """Candidate-pool floor for a coarse probe (round-8 VERDICT #6):
+    the number of cells to probe so the EXPECTED candidate pool
+    (nprobe · n_corpus / n_cells) is at least ``c·k`` — never less than
+    the caller's ``nprobe``, never more than every cell.
+
+    Why: serving recall tracks the candidate POOL, not the probe
+    fraction. Measured on the p52 two-level rig (64 cells, assignment
+    probe 4, k=10): at 500 vectors the default 8-cell probe pools ~65
+    candidates and serves 0.72; widening to pool ≈ 250 (25·k) serves
+    0.90 and ≈ 375 serves 0.99 — while at 2000 vectors the same 8-cell
+    probe already pools ~250 and serves 0.92 (RECALL.md "Two-level
+    arm: the small-corpus dial"). c=32 puts the floor above the
+    measured 0.9 knee with margin. Small corpora (or over-celled
+    layouts) probe more cells; at production scale the formula returns
+    ``nprobe`` unchanged.
+
+    A pure closed form of bounded inputs (one corpus count), so query
+    plans stay SQL-replayable: the oracle computes the same ceil."""
+    import math
+
+    if n_corpus <= 0:
+        return n_cells
+    need = math.ceil(c * k * n_cells / n_corpus)
+    return max(min(max(nprobe, need), n_cells), 1)
+
+
 def ivf_search(
     emb: DataFrame,
     centroids: DataFrame,
@@ -262,8 +295,16 @@ def round_half_up(x: float, digits: int) -> float:
     """Driver-side twin of Spark's ``F.round``: HALF_UP (away from zero
     on ties) applied to the shortest round-trip decimal representation —
     ``java.math.BigDecimal.valueOf(double).setScale(d, HALF_UP)``
-    semantics (Python ``repr(float)`` and Java ``Double.toString`` both
-    emit the shortest round-trip decimal, so the two agree). Python's
+    semantics. Python ``repr(float)`` emits the shortest round-trip
+    decimal; Java ``Double.toString`` is only guaranteed to do the same
+    on JDK >= 19 (JDK-4511638 — older JVMs can emit non-minimal digits,
+    so the exact digit-9 tie cases this helper exists to fix could
+    still diverge there; round-7 ADVICE). This repo pins Java 17+ in
+    practice but the equivalence is TEST-pinned, not assumed:
+    tests/test_ivf_strategy.py:test_round_half_up_matches_spark_round_exactly
+    drives the tie cases through a real Spark expression, so a JVM whose
+    Double.toString disagrees fails loudly there instead of silently
+    mis-bucketing. Python's
     built-in ``round()`` is HALF_EVEN (banker's): a dot/L value landing
     exactly on a .5 tie at the target digit would bucket a query into a
     different LSH row than the Spark-built artifact holds, silently
@@ -883,6 +924,7 @@ def two_level_assign(
     n_probe_super: int = 1,
     id_col: str = "vec_id",
     members_strategy: str = "auto",
+    super_strategy: str = "lowest_id",
 ) -> DataFrame:
     """Two-level coarse quantization (the IMI / coarse-then-fine recipe)
     — the extreme-cardinality path past even the broadcast fold: at ~4M
@@ -918,7 +960,30 @@ def two_level_assign(
     Auto broadcasts below ``TWO_LEVEL_BROADCAST_MAX_BYTES`` of estimated
     codebook payload and shuffle-hash-joins on ``super_col`` above it,
     so the TOTAL broadcast never grows O(cells) (round-6 VERDICT #1);
-    answers are identical either way (test-pinned)."""
+    answers are identical either way (test-pinned).
+
+    ``super_strategy``: ``"lowest_id"`` (default — the deterministic,
+    SQL-replayable form every oracle uses) | ``"trained"`` (round-8
+    VERDICT #3 — the level-1 codebook is kmeans-trained over the
+    CENTROID table, :func:`kmeans_ivf_build` with k = n_super). Trained
+    supers attack member-shard imbalance at its cause: lowest-id supers
+    are arbitrary points, so one super can attract a large share of
+    centroids AND of probe traffic (the hot-shard floor of the salted
+    join, SCALE.md round-7); balanced supers shrink the hot shard's
+    width structurally where salting only spreads it. Not
+    SQL-replayable (MLlib kmeans), hence never the oracle default.
+
+    Shuffle-path salting (round-8 VERDICT #4): by default the salt is
+    AUTO-SIZED from a probe-share diagnosis — one extra map-side
+    aggregate over the probe assignment (≤ n_super result rows) bounds
+    each super's share of probe rows, and each super gets its own salt
+    ``clamp(ceil(share · parallelism), 1, parallelism)`` (the
+    partitioning.py split-hot-keys recipe: hot supers split across
+    their fair share of reducer slots, cold supers pay no replication).
+    ``$SPARK_GRAFT_TWO_LEVEL_SHUFFLE_SALT=<int>`` forces the round-7
+    uniform static salt and skips the diagnosis pass. Matched pairs are
+    identical under any salting (the salt only augments the join key),
+    so answers are pinned bit-equal across static/auto/broadcast."""
     import math
     import os
 
@@ -952,18 +1017,29 @@ def two_level_assign(
         members_strategy = (
             "broadcast" if payload <= max_bytes else "shuffle"
         )
-    supers = (
-        centroids.orderBy(cluster_col)
-        .limit(n_super)
-        .select(
-            F.col(cluster_col).alias(super_col),
-            F.col(centroid_col).alias("centroid"),
-        )
-    )
     cent_emb = centroids.select(
         F.col(cluster_col).alias("vec_id"),
         F.col(centroid_col).alias("embedding"),
     )
+    if super_strategy == "lowest_id":
+        supers = (
+            centroids.orderBy(cluster_col)
+            .limit(n_super)
+            .select(
+                F.col(cluster_col).alias(super_col),
+                F.col(centroid_col).alias("centroid"),
+            )
+        )
+    elif super_strategy == "trained":
+        # kmeans over the CENTROID table (k rows, never the corpus):
+        # super ids are 0..n_super-1 cluster indices. Balanced supers
+        # shrink the hottest member shard structurally — see docstring.
+        sup_cents, _ = kmeans_ivf_build(cent_emb, n_cells=n_super)
+        supers = sup_cents.select(
+            F.col("cell").alias(super_col), F.col("centroid")
+        )
+    else:
+        raise ValueError(f"unknown super strategy: {super_strategy!r}")
     cent_sup = ivf_assign(
         cent_emb, supers, cluster_col=super_col, centroid_col="centroid"
     )
@@ -996,28 +1072,108 @@ def two_level_assign(
         def salt_probe(df: DataFrame) -> DataFrame:
             return df
     else:
-        salt_n = int(
-            os.environ.get(
-                "SPARK_GRAFT_TWO_LEVEL_SHUFFLE_SALT",
-                TWO_LEVEL_SHUFFLE_SALT,
-            )
+        salt_env = os.environ.get(
+            "SPARK_GRAFT_TWO_LEVEL_SHUFFLE_SALT", "auto"
         )
-        members_side = members.withColumn(
-            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
-        ).hint("shuffle_hash")
         join_keys = [super_col, "_salt"]
-
-        def salt_probe(df: DataFrame) -> DataFrame:
-            # Deterministic per-row salt (xxhash64 — replay-stable):
-            # every probe row meets exactly its super's one shard copy
-            # per salt value, so matched pairs are identical to the
-            # unsalted join.
-            return df.withColumn(
+        if salt_env != "auto":
+            # Round-7 uniform static salt: every shard replicated
+            # ×salt_n, no diagnosis pass.
+            salt_n = int(salt_env)
+            members_side = members.withColumn(
                 "_salt",
-                F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_n)).cast(
-                    "int"
-                ),
+                F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))),
+            ).hint("shuffle_hash")
+
+            def salt_probe(df: DataFrame) -> DataFrame:
+                # Deterministic per-row salt (xxhash64 — replay-
+                # stable): every probe row meets exactly its super's
+                # one shard copy per salt value, so matched pairs are
+                # identical to the unsalted join.
+                return df.withColumn(
+                    "_salt",
+                    F.pmod(
+                        F.xxhash64(F.col(id_col)), F.lit(salt_n)
+                    ).cast("int"),
+                )
+        else:
+            # Auto salt (round-8 VERDICT #4): size each super's salt
+            # from its measured share of probe rows. One extra map-side
+            # aggregate over the probe assignment — ≤ n_super result
+            # rows, broadcast back to both join sides.
+            s1d = _with_scored_cells(
+                emb, supers, emb_col, super_col, "centroid", "auto"
             )
+            if n_probe_super <= 1:
+                targets = s1d.select(
+                    F.array_min(F.col("_scored"))["cell"].alias(super_col)
+                )
+            else:
+                targets = s1d.select(
+                    F.explode(
+                        F.transform(
+                            F.slice(
+                                F.array_sort(F.col("_scored")),
+                                1,
+                                n_probe_super,
+                            ),
+                            lambda s: s["cell"],
+                        )
+                    ).alias(super_col)
+                )
+            par = emb.sparkSession.sparkContext.defaultParallelism
+            counts = targets.groupBy(super_col).agg(
+                F.count(F.lit(1)).alias("_cnt")
+            )
+            tot = counts.agg(F.sum("_cnt").alias("_tot"))
+            salts = (
+                counts.crossJoin(F.broadcast(tot))
+                .select(
+                    super_col,
+                    F.least(
+                        F.greatest(
+                            F.ceil(
+                                F.col("_cnt")
+                                * F.lit(par)
+                                / F.col("_tot")
+                            ),
+                            F.lit(1),
+                        ),
+                        F.lit(par),
+                    ).cast("int").alias("_salt_n"),
+                )
+            )
+            members_side = (
+                members.join(F.broadcast(salts), super_col, "left")
+                .withColumn(
+                    "_salt",
+                    F.explode(
+                        F.sequence(
+                            F.lit(0),
+                            F.coalesce(F.col("_salt_n"), F.lit(1)) - 1,
+                        )
+                    ),
+                )
+                .drop("_salt_n")
+                .hint("shuffle_hash")
+            )
+
+            def salt_probe(df: DataFrame) -> DataFrame:
+                # Per-super modulus: a probe row picks a salt in
+                # [0, salt_n(super)) — it meets exactly one of its
+                # super's salt_n shard copies, so matched pairs equal
+                # the unsalted join's for ANY salt table.
+                return (
+                    df.join(F.broadcast(salts), super_col, "left")
+                    .withColumn(
+                        "_salt",
+                        F.pmod(
+                            F.xxhash64(F.col(id_col)),
+                            F.coalesce(F.col("_salt_n"), F.lit(1)),
+                        ).cast("int"),
+                    )
+                    .drop("_salt_n")
+                )
 
     s1 = _with_scored_cells(
         emb, supers, emb_col, super_col, "centroid", "auto"

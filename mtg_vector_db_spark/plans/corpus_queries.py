@@ -2143,3 +2143,62 @@ def _c30_oracle() -> str:
 
 
 oracle("c30_converged_canonical", _c30_oracle())
+
+
+# ---------------------------------------------------------------------------
+# C31 (round-8 VERDICT #1): SemDeDup SERVED FROM THE STORED IVF LAYOUT —
+# c21 re-derives its coarse clusters in-plan (a full ivf_assign over the
+# corpus per run) although the p45 artifact already holds the corpus
+# cell-partitioned on IDENTICAL geometry (dynamic seed cells,
+# greatest(8, n/250)). This twin reads the stored layout instead: the
+# Σ|cell|² pair join keys directly on the layout's hive partition
+# column, so the cluster pass costs zero recomputation and the shuffle
+# keys on an already-materialized column. The answer is pinned equal by
+# construction — the oracle is LITERALLY c21's (the p51 discipline:
+# stored-serving twins share the fresh build's oracle).
+# ---------------------------------------------------------------------------
+
+
+@query("c31_semdedup_keep_stored")
+def c31_semdedup_keep_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.functions.vector import dot, l2_normalize
+    from mtg_vector_db_spark.plans.pipeline_queries import _stored_ivf_path
+
+    layout = spark.read.parquet(_stored_ivf_path(spark, sf_dir)).select(
+        "vec_id", "embedding", "cell"
+    )
+    a = layout.select(
+        "vec_id", "cell", l2_normalize(F.col("embedding")).alias("nx")
+    )
+    lo = a.select(
+        F.col("vec_id").alias("id_lo"), "cell", F.col("nx").alias("nx_lo")
+    )
+    hi = a.select(
+        F.col("vec_id").alias("id_hi"), "cell", F.col("nx").alias("nx_hi")
+    )
+    sim = F.round(dot(F.col("nx_lo"), F.col("nx_hi")), 6)
+    dropped = (
+        lo.join(hi, "cell")
+        .filter(F.col("id_lo") < F.col("id_hi"))
+        .filter(sim >= _C21_TAU)
+        .select(F.col("id_hi").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        a.select("vec_id", "cell")
+        .join(dropped.withColumn("is_drop", F.lit(1)), "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.coalesce("is_drop", F.lit(0))).alias("n_dropped"),
+            F.min(
+                F.when(F.col("is_drop").isNull(), F.col("vec_id"))
+            ).alias("first_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
+# Stored-serving twin: answers must equal the fresh-geometry build, so
+# the oracle is c21's verbatim.
+oracle("c31_semdedup_keep_stored", _c21_oracle())

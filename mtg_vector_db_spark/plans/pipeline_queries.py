@@ -5967,3 +5967,137 @@ def _p53_oracle() -> str:
 
 
 oracle("p53_imi_search", _p53_oracle())
+
+
+# ---------------------------------------------------------------------------
+# P54 (round-8 VERDICT #1): HARD-NEGATIVE MINING SERVED FROM THE STORED
+# IVF LAYOUT — the mining workloads are the 100 TB consumers of ANN, and
+# until now they re-derived their candidate blocks in-plan (p26 runs
+# ivf_multi_assign over the whole corpus per run) while the p45 artifact
+# already holds the corpus cell-partitioned on identical geometry. This
+# query is p26's semantics on the p45 serving discipline: a query TABLE
+# of anchors (50 vectors) is assigned its nprobe cells map-side
+# (ivf_ranked_assign against the frozen dynamic seed cells — the same
+# quantizer the artifact froze), the probe side is broadcast, and the
+# stored layout scan is confined to the union of probed cells by DYNAMIC
+# PARTITION PRUNING (plan-asserted in tests/test_artifacts.py) — bytes
+# read ∝ probed cells, never the corpus. Candidates are band-filtered
+# (below the positive threshold, above the trivial floor) and ranked
+# per anchor. Candidate generation differs from p26 deliberately:
+# candidates come from the layout's SINGLE stored assignment (each
+# vector in exactly one cell — the artifact's grain), so each
+# (anchor, candidate) pair arises at most once and needs no distinct.
+# Reference analogy: the embed-once/fan-out pattern of
+# /root/reference/db/search_with_reranker.py:249-290 generalized to a
+# query table. Oracle: p45's assignment/probe CTE chain + the band
+# filter + the per-anchor rank window.
+# ---------------------------------------------------------------------------
+_P54_HI = 0.5   # sim >= HI is a positive, not a negative
+_P54_LO = 0.15  # sim < LO is a trivial negative (uninformative)
+_P54_K = 5
+_P54_ANCHORS = 50
+_P54_NPROBE = 3
+
+
+@query("p54_hard_negatives_served_stored")
+def p54_hard_negatives_served_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions.vector import cosine_similarity
+    from mtg_vector_db_spark.operators.ann import (
+        dynamic_seed_cells,
+        ivf_ranked_assign,
+    )
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    layout = spark.read.parquet(_stored_ivf_path(spark, sf_dir))
+    cents = dynamic_seed_cells(emb)
+    anchors = emb.filter(F.col("vec_id") < _P54_ANCHORS)
+    pcells = ivf_ranked_assign(anchors, cents, nprobe=_P54_NPROBE).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("query_vec"),
+        "cell",
+    )
+    # Probe side broadcast → DPP prunes the layout scan to probed cells.
+    sim = F.round(
+        cosine_similarity(F.col("embedding"), F.col("query_vec")), R
+    )
+    banded = (
+        layout.join(F.broadcast(pcells), "cell")
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            sim.alias("sim"),
+        )
+        .filter((F.col("sim") >= _P54_LO) & (F.col("sim") < _P54_HI))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("sim"), F.asc("neg_id")
+    )
+    return (
+        banded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _P54_K)
+        .orderBy("anchor_id", "rank")
+    )
+
+
+def _p54_oracle() -> str:
+    return f"""
+    WITH kc AS (
+      SELECT greatest(8, CAST(ceil(count(*) / 250.0) AS INT)) AS k
+      FROM embeddings
+    ),
+    c AS (
+      SELECT CAST(vec_id AS INT) AS cell,
+             CAST(embedding AS DOUBLE[]) AS cvec,
+             list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS n2
+      FROM embeddings WHERE vec_id < (SELECT k FROM kc)
+    ),
+    n AS (SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> x / sqrt(list_inner_product(
+                     CAST(embedding AS DOUBLE[]),
+                     CAST(embedding AS DOUBLE[])))) AS nx
+          FROM embeddings),
+    d AS (SELECT n.vec_id, c.cell,
+                 c.n2 - 2 * list_inner_product(c.cvec, n.nx) AS dist
+          FROM n CROSS JOIN c),
+    assigned AS (SELECT vec_id, cell FROM (
+                   SELECT vec_id, cell,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY dist, cell) AS rn
+                   FROM d) WHERE rn = 1),
+    probe AS (SELECT vec_id AS anchor_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cell) AS rn
+                FROM d WHERE vec_id < {_P54_ANCHORS})
+              WHERE rn <= {_P54_NPROBE}),
+    q AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < {_P54_ANCHORS}),
+    banded AS (
+      SELECT p.anchor_id, a.vec_id AS neg_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.qv), {R}) AS sim
+      FROM assigned a
+      JOIN probe p USING (cell)
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      JOIN q ON q.anchor_id = p.anchor_id
+      WHERE a.vec_id <> p.anchor_id
+    )
+    SELECT anchor_id, neg_id, sim, rank FROM (
+      SELECT anchor_id, neg_id, sim,
+             row_number() OVER (PARTITION BY anchor_id
+               ORDER BY sim DESC, neg_id) AS rank
+      FROM banded
+      WHERE sim >= {_P54_LO} AND sim < {_P54_HI})
+    WHERE rank <= {_P54_K}
+    ORDER BY anchor_id, rank
+    """
+
+
+oracle("p54_hard_negatives_served_stored", _p54_oracle())

@@ -4086,3 +4086,104 @@ oracle(
     FROM stats JOIN crossing USING (flag) ORDER BY stats.flag
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# R80 (round-8 VERDICT #8): SKEWED-JOIN DIAGNOSTIC — the round-7 AQE
+# skew-split experiment (SCALE.md "AQE skew-split, demonstrated
+# end-to-end") surfaced as a registered query so its evidence stays
+# machine-checked round over round instead of living in prose. The
+# planted workload: every 5th lineitem collapses onto hot key 0 (a 20%
+# hot key), the rest spread uniformly over 997 keys; the fact joins a
+# 997-row keyed dim derived from supplier (forced shuffle join in the
+# plan test). The ANSWER is the per-reduce-bucket distribution the
+# skew remedy has to survive: rows, distinct keys, and the largest
+# single key's share per pmod(k, 8) bucket (pmod, not Murmur3 — the
+# bucket proxy must be SQL-replayable). Bucket 0's hot_share ≈ 0.62
+# IS the skew; AQE's runtime split of exactly that reducer is
+# plan-asserted (SortMergeJoin(skew=true), AQEShuffleRead skewed) in
+# tests/test_partitioning.py::test_r80_skew_diagnostic_plan_splits,
+# with the veto/remedy taxonomy documented at
+# test_aqe_splits_planted_hot_key.
+# ---------------------------------------------------------------------------
+def _r80_fact_dim(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The planted 20%-hot-key fact and its keyed dim — shared between
+    the registered diagnostic (answer) and the plan test (the join-ONLY
+    shape, where OptimizeSkewedJoin is free to split; the registered
+    query's own downstream groupBy(k) is the documented veto case,
+    which is exactly why its remedy is data-level diagnosis, not AQE)."""
+    (li, sup) = tables(spark, sf_dir, "lineitem", "supplier")
+    # The payload carries real per-row entropy (price, orderkey): skew
+    # DETECTION is byte-based, and a hot partition whose rows are
+    # mostly the constant key would LZ4 below the factor-over-median
+    # bar even at 3x the rows (measured while building the r80 plan
+    # test — compression can hide row skew from AQE).
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 5 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 997)
+        .cast("long")
+        .alias("k"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_orderkey").alias("okey"),
+    )
+    # s_suppkey starts at 0 in this testdata, so the plain modulus
+    # covers the planted hot key 0 (and pmod ≡ % on the non-negative
+    # domain — no engine divergence on negatives to dodge).
+    dim = (
+        sup.select(F.pmod(F.col("s_suppkey"), F.lit(997)).alias("k"))
+        .distinct()
+    )
+    return fact, dim
+
+
+@query("r80_skew_join_diagnostic")
+def r80_skew_join_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact, dim = _r80_fact_dim(spark, sf_dir)
+    joined = fact.join(dim, "k")
+    per_key = joined.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("qty").cast("long")).alias("sum_qty"),
+    )
+    return (
+        per_key.groupBy(F.pmod(F.col("k"), F.lit(8)).alias("bucket"))
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("sum_qty").alias("sum_qty"),
+            F.round(
+                F.max("n_rows") / F.sum("n_rows"), 6
+            ).alias("hot_share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+oracle(
+    "r80_skew_join_diagnostic",
+    """
+    WITH fact AS (
+      SELECT CAST(CASE WHEN l_orderkey % 5 = 0 THEN 0
+                       ELSE l_orderkey % 997 END AS BIGINT) AS k,
+             l_quantity AS qty
+      FROM lineitem
+    ),
+    dim AS (SELECT DISTINCT s_suppkey % 997 AS k FROM supplier),
+    per_key AS (
+      SELECT f.k, count(*) AS n_rows,
+             CAST(sum(CAST(qty AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM fact f JOIN dim USING (k)
+      GROUP BY f.k
+    )
+    SELECT CAST(k % 8 AS BIGINT) AS bucket,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           count(*) AS n_keys,
+           CAST(sum(sum_qty) AS BIGINT) AS sum_qty,
+           round(CAST(max(n_rows) AS DOUBLE) / sum(n_rows), 6)
+             AS hot_share
+    FROM per_key
+    GROUP BY 1 ORDER BY bucket
+    """,
+)

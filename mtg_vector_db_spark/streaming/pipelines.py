@@ -57,15 +57,6 @@ def _state_df(spark: SparkSession, path: str) -> DataFrame | None:
         raise
 
 
-def _state_rows(spark: SparkSession, path: str) -> list:
-    """:func:`_state_df` + collect, ``[]`` when the store is missing.
-    Every caller's store is bounded by construction — sketch cells,
-    HLL registers, one manifest row per source, the k reservoir rows,
-    one row per embedding dimension — never corpus-sized (the reason
-    these collects are allowlisted in tests/test_plans.py)."""
-    df = _state_df(spark, path)
-    # collect: bounded per the call-site contracts listed above.
-    return [] if df is None else df.collect()
 
 
 def hourly_event_counts(
@@ -228,25 +219,38 @@ def streaming_ingest(
 ) -> DataStreamWriter:
     """Incremental ingestion: watch ``source_dir`` for JSON batches, run
     the batch dedup against the sink's current state per micro-batch, and
-    append. Start with ``.trigger(availableNow=True)`` for catch-up runs."""
-    from mtg_vector_db_spark.operators.ingest import dedup_against
-
+    append (idempotently, per batch partition — round-8). Start with
+    ``.trigger(availableNow=True)`` for catch-up runs."""
+    fold = ingest_fold(docs_path, rejected_path)
     stream = spark.readStream.schema(schema).json(source_dir)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def ingest_fold(docs_path: str, rejected_path: str, key: str = "card_name"):
+    """:func:`streaming_ingest`'s fold, directly callable for the
+    crash-replay harness."""
+    from mtg_vector_db_spark.operators.ingest import dedup_against
+    from mtg_vector_db_spark.streaming.stores import (
+        append_batch,
+        before_batch,
+        read_store,
+    )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        existing = _state_df(s, docs_path)
-        new_rows, rejected = dedup_against(batch_df, existing, key="card_name")
-        new_rows.write.mode("append").parquet(docs_path)
-        if rejected.limit(1).count() > 0:
-            rejected.withColumn("reject_reason", F.lit("duplicate")).write.mode(
-                "append"
-            ).parquet(rejected_path)
+        existing = before_batch(read_store(s, docs_path), batch_id)
+        new_rows, rejected = dedup_against(batch_df, existing, key=key)
+        append_batch(new_rows, docs_path, batch_id)
+        append_batch(
+            rejected.withColumn("reject_reason", F.lit("duplicate")),
+            rejected_path,
+            batch_id,
+        )
 
-    return (
-        stream.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", checkpoint)
-    )
+    return upsert
 
 
 def exactly_once_event_ingest(
@@ -342,16 +346,32 @@ def streaming_neardup_ingest(
     form of the batch minhash_lsh_pairs, for 100 TB corpora that arrive
     continuously.
 
-    Crash consistency (round-7, the streaming_bm25_maintenance
-    discipline): re-delivered doc_ids are anti-joined out against the
-    index, the batch's pairs (cross-batch ∪ in-batch) land in ONE append
-    guarded by the pairs store's own batch-id watermark, and the index
-    is written LAST — so its watermark implies the whole batch landed
-    (the whole-batch fast-skip), and the only reachable torn state
-    (pairs committed / index missing) heals on replay: the pairs guard
-    skips the duplicate append while the index append re-derives exactly
-    the missing band keys.
+    Crash consistency (round-8, the stores.py discipline — replacing
+    the round-7 watermark guards, whose skip-on-watermark treated a
+    multi-file parquet append as atomic): BOTH stores are batch_id-
+    partitioned and written with idempotent dynamic partition overwrite
+    (stores.append_batch), and every read of either store during the
+    fold sees only rows from STRICTLY EARLIER batches
+    (stores.before_batch) — so a replay recomputes the batch
+    deterministically from the pre-batch state and REPLACES its own
+    partitions, healing any torn partial append from the crashed
+    attempt instead of skipping past it.
     """
+    fold = neardup_fold(index_path, pairs_path, verify_threshold)
+    stream = spark.readStream.schema(schema).json(source_dir)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def neardup_fold(
+    index_path: str, pairs_path: str, verify_threshold: float = 0.5
+):
+    """The :func:`streaming_neardup_ingest` micro-batch fold as a
+    directly-callable (batch_df, batch_id) hook — factored out so the
+    crash-replay harness (tests/test_crash_replay.py) can kill and
+    replay it at arbitrary points without a streaming query."""
     from pyspark.sql import functions as F
 
     from mtg_vector_db_spark.operators.dedup import (
@@ -360,17 +380,15 @@ def streaming_neardup_ingest(
         minhash_signature,
         word_shingles,
     )
-
-    stream = spark.readStream.schema(schema).json(source_dir)
+    from mtg_vector_db_spark.streaming.stores import (
+        append_batch,
+        before_batch,
+        read_store,
+    )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        index = _state_df(s, index_path)
-        if index is not None:
-            last = _max_batch_id(index)
-            if last is not None and batch_id <= last:
-                # Index written LAST => the whole batch already landed.
-                return
+        index = before_batch(read_store(s, index_path), batch_id)
         new_docs = batch_df
         if index is not None:
             new_docs = new_docs.join(
@@ -455,30 +473,15 @@ def streaming_neardup_ingest(
             if cross_pairs is None
             else cross_pairs.unionByName(in_pairs)
         )
-        # ONE guarded append for the batch's pairs (cross ∪ in-batch):
-        # a crash after it replays into the guard, never a double-emit.
-        pairs_existing = _state_df(s, pairs_path)
-        pairs_last = (
-            _max_batch_id(pairs_existing)
-            if pairs_existing is not None
-            else None
-        )
-        if pairs_last is None or batch_id > pairs_last:
-            (
-                all_pairs.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("append").parquet(pairs_path)
-            )
-
-        (
-            new_banded.select("doc_id", "shingles", "band", "band_key")
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append").parquet(index_path)
+        # Idempotent per-batch writes: replay REPLACES both partitions.
+        append_batch(all_pairs, pairs_path, batch_id)
+        append_batch(
+            new_banded.select("doc_id", "shingles", "band", "band_key"),
+            index_path,
+            batch_id,
         )
 
-    return (
-        stream.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", checkpoint)
-    )
+    return upsert
 
 
 def streaming_ivf_ingest(
@@ -500,18 +503,37 @@ def streaming_ivf_ingest(
     (/root/reference/db/init.sql:50-53 — pgvector inserts update the graph
     per row): at 100 TB/day the graph walk is replaced by cell append +
     periodic batch refit (kmeans_ivf_build) when cell-size skew drifts.
+
+    Crash consistency (round-8): rows land under (cell, batch_id)
+    partitions via idempotent dynamic overwrite — a replayed batch
+    replaces exactly its own (cell, batch_id) leaves (assignment is
+    deterministic against the frozen quantizer), so neither a torn
+    append nor a re-delivery can duplicate or drop vectors. The probe
+    path's cell pruning is unchanged (cell stays the outer partition).
     """
-    from mtg_vector_db_spark.operators.ann import ivf_index_append
-
+    fold = ivf_ingest_fold(centroids, index_path)
     stream = spark.readStream.schema(schema).json(source_dir)
-
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        ivf_index_append(batch_df, centroids, index_path)
-
     return (
-        stream.writeStream.foreachBatch(upsert)
+        stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def ivf_ingest_fold(centroids: DataFrame, index_path: str):
+    """:func:`streaming_ivf_ingest`'s fold, directly callable for the
+    crash-replay harness."""
+    from mtg_vector_db_spark.operators.ann import ivf_assign
+    from mtg_vector_db_spark.streaming.stores import append_batch
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        append_batch(
+            ivf_assign(batch_df, centroids),
+            index_path,
+            batch_id,
+            partition_cols=("cell",),
+        )
+
+    return upsert
 
 
 def attribute_purchases(
@@ -695,32 +717,48 @@ def streaming_bloom_maintenance(
 
     Per batch: build a bitset over the batch's shingles (O(batch)), merge
     with the stored filter (≤ n_bits/64 rows — the merge is driver-cheap
-    regardless of how much history the filter summarizes), and atomically
-    replace the store. The serving side (probe_bloom over the training
-    corpus) picks up new benchmark content on its next read. This is the
-    filter-structure analogue of streaming_ivf_ingest: frozen geometry,
-    monotone accumulation, periodic re-size (bigger n_bits) as a batch
-    job when bloom_fill_stats drifts above the FPR budget.
+    regardless of how much history the filter summarizes), and commit
+    the merged state as a new snapshot VERSION (stores.snapshot_write —
+    round-8: a plain ``mode("overwrite")`` deletes the accumulated
+    filter before the new job commits, so a crash in that window
+    destroyed state; versioned snapshots make the replacement atomic
+    under the ``_SUCCESS`` marker and the fold read
+    ``before=batch_id``-safe). The serving side (probe_bloom over the
+    training corpus) picks up new benchmark content on its next
+    snapshot read. This is the filter-structure analogue of
+    streaming_ivf_ingest: frozen geometry, monotone accumulation,
+    periodic re-size (bigger n_bits) as a batch job when
+    bloom_fill_stats drifts above the FPR budget.
     """
-    from mtg_vector_db_spark.operators.bloom import build_bloom, merge_blooms
-
+    fold = bloom_fold(filter_path)
     stream = spark.readStream.schema(schema).json(source_dir)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def bloom_fold(filter_path: str):
+    """:func:`streaming_bloom_maintenance`'s fold, directly callable
+    for the crash-replay harness."""
+    from mtg_vector_db_spark.operators.bloom import build_bloom, merge_blooms
+    from mtg_vector_db_spark.streaming.stores import (
+        snapshot_rows,
+        snapshot_write,
+    )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         new = build_bloom(batch_df)
-        # Detach the old store from its files (bounded by n_bits/64
-        # rows) so the overwrite below can't read-own-input.
-        old_rows = _state_rows(s, filter_path)
+        # Bounded by n_bits/64 bitset rows; before=batch_id so a replay
+        # folds onto the pre-batch state, not its own partial output.
+        old_rows = snapshot_rows(s, filter_path, before=batch_id)
         if old_rows:
             old = s.createDataFrame(old_rows, "word_idx bigint, word bigint")
             new = merge_blooms(old, new)
-        new.write.mode("overwrite").parquet(filter_path)
+        snapshot_write(new, filter_path, batch_id)
 
-    return (
-        stream.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", checkpoint)
-    )
+    return upsert
 
 
 def streaming_quality_gate(
@@ -740,13 +778,25 @@ def streaming_quality_gate(
     (not a streaming agg) because the profile internally aggregates at
     (doc, gram) grain, which append-mode streaming would reject; inside
     the batch hook it is just the batch plan, so batch and stream share
-    one implementation and one test oracle.
+    one implementation and one test oracle. The survivors land via the
+    idempotent per-batch partition append (round-8), so a replayed
+    batch replaces its own partition instead of double-appending.
     """
+    fold = quality_gate_fold(out_path)
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def quality_gate_fold(out_path: str):
+    """:func:`streaming_quality_gate`'s fold, directly callable for the
+    crash-replay harness."""
     from mtg_vector_db_spark.operators.repetition import (
         doc_repetition_profile,
     )
-
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    from mtg_vector_db_spark.streaming.stores import append_batch
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         kept = (
@@ -756,12 +806,9 @@ def streaming_quality_gate(
                 "left_semi",
             )
         )
-        kept.write.mode("append").parquet(out_path)
+        append_batch(kept, out_path, batch_id)
 
-    return (
-        stream.writeStream.foreachBatch(gate)
-        .option("checkpointLocation", checkpoint)
-    )
+    return gate
 
 
 def streaming_manifest_maintenance(
@@ -779,13 +826,29 @@ def streaming_manifest_maintenance(
     proof that c19 never needs a history rescan.
 
     The additive columns are NOT replay-idempotent (a re-delivered
-    micro-batch would double-count n_docs/n_tokens/checksum), so the
-    store carries the same ``last_batch`` high-watermark as
-    streaming_cms_maintenance; serving reads drop the column.
+    micro-batch would double-count n_docs/n_tokens/checksum); round-8
+    replaces the ``last_batch`` watermark with the versioned-snapshot
+    discipline (stores.snapshot_write): a replay folds the batch onto
+    the newest snapshot STRICTLY BELOW its batch id and rewrites the
+    same version — double-count impossible by construction, and the
+    read-modify-write can no longer destroy state mid-overwrite.
     """
-    from mtg_vector_db_spark.functions.textstats import token_count
-
+    fold = manifest_fold(manifest_path)
     stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def manifest_fold(manifest_path: str):
+    """:func:`streaming_manifest_maintenance`'s fold, directly callable
+    for the crash-replay harness."""
+    from mtg_vector_db_spark.functions.textstats import token_count
+    from mtg_vector_db_spark.streaming.stores import (
+        snapshot_rows,
+        snapshot_write,
+    )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -794,10 +857,7 @@ def streaming_manifest_maintenance(
         ).cast("long")
         # Bounded by one manifest row per distinct source — a handful
         # of rows, never corpus-sized.
-        old_rows = _state_rows(s, manifest_path)
-        last = max((r["last_batch"] for r in old_rows), default=-1)
-        if batch_id <= last:
-            return  # replayed batch: already folded, skip
+        old_rows = snapshot_rows(s, manifest_path, before=batch_id)
         new = batch_df.groupBy("source").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(token_count(F.col("text")).cast("long")).alias(
@@ -812,8 +872,8 @@ def streaming_manifest_maintenance(
                 old_rows,
                 "source string, n_docs long, n_tokens long,"
                 " min_doc_id long, max_doc_id long,"
-                " content_checksum long, last_batch long",
-            ).drop("last_batch")
+                " content_checksum long",
+            )
             new = (
                 old.unionByName(new)
                 .groupBy("source")
@@ -825,14 +885,9 @@ def streaming_manifest_maintenance(
                     F.sum("content_checksum").alias("content_checksum"),
                 )
             )
-        new.withColumn("last_batch", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).parquet(manifest_path)
+        snapshot_write(new, manifest_path, batch_id)
 
-    return (
-        stream.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", checkpoint)
-    )
+    return upsert
 
 
 def streaming_paragraph_dedup(
@@ -863,27 +918,37 @@ def streaming_paragraph_dedup(
     is never collected to the driver (contrast the bounded Bloom/manifest
     collects above).
 
-    Crash consistency (round-7, the streaming_bm25_maintenance
-    discipline): the kept-docs append is guarded by the OUT store's own
-    batch-id watermark and the fingerprint store is written LAST — its
-    watermark implies the whole batch landed (whole-batch fast-skip),
-    and the only reachable torn state (out committed / fingerprints
-    missing) heals on replay: the out guard skips the duplicate doc rows
-    while the fingerprint append re-derives exactly the missing fps.
+    Crash consistency (round-8, the stores.py discipline): both stores
+    are batch_id-partitioned with idempotent dynamic overwrite
+    (stores.append_batch) and the fold reads the fingerprint store at
+    ``before=batch_id`` only — a replay recomputes the batch from the
+    pre-batch state and replaces its own partitions, so torn partial
+    appends heal instead of being skipped past.
     """
+    fold = paragraph_dedup_fold(out_path, store_path, para_tokens)
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def paragraph_dedup_fold(
+    out_path: str, store_path: str, para_tokens: int = 8
+):
+    """:func:`streaming_paragraph_dedup`'s fold, directly callable for
+    the crash-replay harness."""
     from mtg_vector_db_spark.functions.textstats import fingerprint
     from mtg_vector_db_spark.operators.dedup import doc_paragraphs
-
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    from mtg_vector_db_spark.streaming.stores import (
+        append_batch,
+        before_batch,
+        read_store,
+    )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        store = _state_df(s, store_path)
-        if store is not None:
-            last = _max_batch_id(store)
-            if last is not None and batch_id <= last:
-                # Fingerprints written LAST => whole batch already landed.
-                return
+        store = before_batch(read_store(s, store_path), batch_id)
         paras = doc_paragraphs(batch_df, para_tokens=para_tokens).withColumn(
             "fp", fingerprint(F.col("ptext"))
         )
@@ -926,28 +991,12 @@ def streaming_paragraph_dedup(
                 ).alias("text_kept"),
             )
         )
-        out_existing = _state_df(s, out_path)
-        out_last = (
-            _max_batch_id(out_existing)
-            if out_existing is not None
-            else None
-        )
-        if out_last is None or batch_id > out_last:
-            (
-                out.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("append").parquet(out_path)
-            )
+        # Idempotent per-batch writes: replay REPLACES both partitions.
+        append_batch(out, out_path, batch_id)
         # Append only the batch's new fingerprints: O(new), no rebuild.
-        (
-            fresh.select("fp")
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append").parquet(store_path)
-        )
+        append_batch(fresh.select("fp"), store_path, batch_id)
 
-    return (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint)
-    )
+    return fold
 
 
 def streaming_hll_maintenance(
@@ -963,18 +1012,32 @@ def streaming_hll_maintenance(
     accumulated history.
 
     Per batch: sketch the batch's texts (O(batch), map-side combined),
-    merge with the stored registers, atomically replace the store. The
-    serving side (``hll_estimate`` over the store) answers "how many
-    distinct documents has this source ever sent" from ≤ sources × 4096
-    rows no matter how much history the registers summarize. MAX-merge
-    makes replays idempotent: re-folding a batch the checkpoint already
-    covered cannot change any register, so the store is exactly-once
-    WITHOUT a dedup log — the same monotone-accumulation contract as
-    streaming_bloom_maintenance's bit_or.
+    merge with the stored registers, commit the merged state as a new
+    snapshot version (stores.snapshot_write — round-8: the former
+    ``mode("overwrite")`` could destroy the accumulated registers on a
+    mid-overwrite crash). The serving side (``hll_estimate`` over the
+    newest committed snapshot) answers "how many distinct documents has
+    this source ever sent" from ≤ sources × 4096 rows no matter how
+    much history the registers summarize. MAX-merge makes replays
+    idempotent anyway; the ``before=batch_id`` fold read makes that
+    unconditional rather than algebra-dependent.
     """
-    from mtg_vector_db_spark.operators.sketches import hll_registers
-
+    fold = hll_fold(registers_path)
     stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def hll_fold(registers_path: str):
+    """:func:`streaming_hll_maintenance`'s fold, directly callable for
+    the crash-replay harness."""
+    from mtg_vector_db_spark.operators.sketches import hll_registers
+    from mtg_vector_db_spark.streaming.stores import (
+        snapshot_rows,
+        snapshot_write,
+    )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -983,10 +1046,9 @@ def streaming_hll_maintenance(
             F.col("text"),
             ["source"],
         )
-        # Detach the old store from its files before the overwrite
-        # (bounded by sources × 4096 register rows — the whole point of
-        # the sketch is that this cap never grows).
-        old_rows = _state_rows(s, registers_path)
+        # Bounded by sources × 4096 register rows — the whole point of
+        # the sketch is that this cap never grows.
+        old_rows = snapshot_rows(s, registers_path, before=batch_id)
         if old_rows:
             old = s.createDataFrame(
                 old_rows, "source string, bucket int, m_j int"
@@ -996,12 +1058,9 @@ def streaming_hll_maintenance(
                 .groupBy("source", "bucket")
                 .agg(F.max("m_j").alias("m_j"))
             )
-        new.write.mode("overwrite").parquet(registers_path)
+        snapshot_write(new, registers_path, batch_id)
 
-    return (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint)
-    )
+    return fold
 
 
 def streaming_cms_maintenance(
@@ -1016,31 +1075,38 @@ def streaming_cms_maintenance(
     SUM.
 
     Unlike the bloom/HLL faces, SUM-merge is NOT idempotent — a
-    replayed micro-batch would double-count — so this face carries the
-    third exactly-once pattern in this module: a ``last_batch``
-    high-watermark stored with the sketch. foreachBatch delivers
-    monotonically increasing ``batch_id``s per checkpoint; a replay
-    (same or lower id, e.g. after a failure between the sink write and
-    the checkpoint commit) is detected and skipped, making the
-    non-idempotent fold effectively-once. (bit_or/MAX faces get this
-    for free from merge algebra; SUM needs the watermark.)
+    replayed micro-batch would double-count. Round-8 retires the
+    ``last_batch`` watermark for the versioned-snapshot discipline: a
+    replay folds the batch onto the newest snapshot STRICTLY BELOW its
+    batch id and rewrites the same version, so the non-idempotent SUM
+    is effectively-once by construction AND a mid-overwrite crash can
+    no longer destroy the sketch.
 
-    The store stays ≤ depth × width cells (+ the watermark column)
-    forever — heavy-hitter probes against unbounded history from 32 KiB
-    of state.
+    The store stays ≤ depth × width cells forever — heavy-hitter
+    probes against unbounded history from 32 KiB of state.
     """
+    fold = cms_fold(sketch_path)
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def cms_fold(sketch_path: str):
+    """:func:`streaming_cms_maintenance`'s fold, directly callable for
+    the crash-replay harness."""
     from mtg_vector_db_spark.functions.text import tokens
     from mtg_vector_db_spark.operators.sketches import cms_build
-
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    from mtg_vector_db_spark.streaming.stores import (
+        snapshot_rows,
+        snapshot_write,
+    )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         # Bounded by depth × width sketch cells.
-        old_rows = _state_rows(s, sketch_path)
-        last = max((r["last_batch"] for r in old_rows), default=-1)
-        if batch_id <= last:
-            return  # replayed batch: already folded, skip
+        old_rows = snapshot_rows(s, sketch_path, before=batch_id)
         toks = batch_df.filter(F.col("text").isNotNull()).select(
             F.explode(tokens(F.lower(F.col("text")))).alias("token")
         )
@@ -1048,21 +1114,16 @@ def streaming_cms_maintenance(
         new = cms_build(tc)
         if old_rows:
             old = s.createDataFrame(
-                old_rows, "row int, cell long, total long, last_batch long"
-            ).drop("last_batch")
+                old_rows, "row int, cell long, total long"
+            )
             new = (
                 new.unionByName(old)
                 .groupBy("row", "cell")
                 .agg(F.sum("total").alias("total"))
             )
-        new.withColumn("last_batch", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).parquet(sketch_path)
+        snapshot_write(new, sketch_path, batch_id)
 
-    return (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint)
-    )
+    return fold
 
 
 def streaming_reservoir_maintenance(
@@ -1082,18 +1143,32 @@ def streaming_reservoir_maintenance(
     key over all history equals the top-K of (stored top-K ∪ batch) —
     so each micro-batch unions k + |batch| rows, dedups by doc_id (a
     replayed batch contributes byte-identical rows), and takes the
-    top-K again. Like the bloom/HLL faces, idempotence falls out of the
-    merge itself (distinct ∘ top-K), no watermark needed; unlike
-    reservoir algorithms with mutable random state, a crash replay
-    cannot skew inclusion probabilities because nothing is random at
-    fold time.
+    top-K again — committed as a snapshot version (round-8:
+    stores.snapshot_write, closing the mid-overwrite crash window).
+    Idempotence falls out of the merge itself (distinct ∘ top-K) and of
+    the ``before=batch_id`` fold read; unlike reservoir algorithms with
+    mutable random state, a crash replay cannot skew inclusion
+    probabilities because nothing is random at fold time.
 
     State stays exactly ≤ k rows forever; the fold is one TakeOrdered
     over k + |batch| rows per micro-batch.
     """
-    from mtg_vector_db_spark.operators.corpus import aes_key
-
+    fold = reservoir_fold(reservoir_path, k)
     stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def reservoir_fold(reservoir_path: str, k: int = 20):
+    """:func:`streaming_reservoir_maintenance`'s fold, directly
+    callable for the crash-replay harness."""
+    from mtg_vector_db_spark.operators.corpus import aes_key
+    from mtg_vector_db_spark.streaming.stores import (
+        snapshot_rows,
+        snapshot_write,
+    )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -1103,24 +1178,19 @@ def streaming_reservoir_maintenance(
             aes_key(F.col("doc_id"), F.col("n_chars")).alias("es_key"),
         )
         # Bounded by the k stored reservoir rows.
-        old_rows = _state_rows(s, reservoir_path)
+        old_rows = snapshot_rows(s, reservoir_path, before=batch_id)
         if old_rows:
             old = s.createDataFrame(
                 old_rows, "doc_id long, weight_chars long, es_key double"
             )
             new = new.unionByName(old)
-        (
-            new.distinct()
-            .orderBy(F.desc("es_key"), "doc_id")
-            .limit(k)
-            .write.mode("overwrite")
-            .parquet(reservoir_path)
+        snapshot_write(
+            new.distinct().orderBy(F.desc("es_key"), "doc_id").limit(k),
+            reservoir_path,
+            batch_id,
         )
 
-    return (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint)
-    )
+    return fold
 
 
 def streaming_winnow_decontamination(
@@ -1148,14 +1218,31 @@ def streaming_winnow_decontamination(
     winnow_fingerprints and never touched by the stream) and answers
     with zero false negatives for runs ≥ w+k−1 tokens. Per batch: the
     batch is winnowed (O(batch), scan-side array domain), one join
-    against the store keyed on 60-bit fingerprint ints, one append of
-    the per-doc report — the stream never rewrites the store, so
-    replays can only re-append the same deterministic rows, deduped by
-    (batch_id, doc_id) on read.
+    against the store keyed on 60-bit fingerprint ints, one idempotent
+    per-batch partition append of the per-doc report (round-8:
+    stores.append_batch — a replay replaces its own partition, so the
+    former read-side (batch_id, doc_id) dedup contract is gone; the
+    report is exact as stored).
     """
-    from mtg_vector_db_spark.operators.dedup import winnow_fingerprints
-
+    fold = winnow_probe_fold(eval_fp_path, report_path, k, w, max_shared)
     stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def winnow_probe_fold(
+    eval_fp_path: str,
+    report_path: str,
+    k: int = 5,
+    w: int = 4,
+    max_shared: int = 0,
+):
+    """:func:`streaming_winnow_decontamination`'s fold, directly
+    callable for the crash-replay harness."""
+    from mtg_vector_db_spark.operators.dedup import winnow_fingerprints
+    from mtg_vector_db_spark.streaming.stores import append_batch
 
     def probe(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -1173,14 +1260,10 @@ def streaming_winnow_decontamination(
                 ),
             )
             .filter(F.col("n_shared") > max_shared)
-            .withColumn("batch_id", F.lit(batch_id))
         )
-        shared.write.mode("append").parquet(report_path)
+        append_batch(shared, report_path, batch_id)
 
-    return (
-        stream.writeStream.foreachBatch(probe)
-        .option("checkpointLocation", checkpoint)
-    )
+    return probe
 
 
 def streaming_graph_append(
@@ -1207,24 +1290,43 @@ def streaming_graph_append(
     Each new vector's list depends only on the frozen state — no
     cross-batch coupling — so any micro-batch slicing produces exactly
     the lists the one-shot batch append would (pinned by the stream ≡
-    batch test).
+    batch test), and the idempotent per-batch partition append
+    (round-8: stores.append_batch) makes a replayed batch replace its
+    own lists instead of double-appending them.
     """
-    from mtg_vector_db_spark.operators.ann import nn_descent_append
-
+    fold = graph_append_fold(graph_path, corpus_path, out_path, n_buckets, k)
     stream = spark.readStream.schema(schema).json(source_dir)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def graph_append_fold(
+    graph_path: str,
+    corpus_path: str,
+    out_path: str,
+    n_buckets: int = 16,
+    k: int = 10,
+):
+    """:func:`streaming_graph_append`'s fold, directly callable for the
+    crash-replay harness."""
+    from mtg_vector_db_spark.operators.ann import nn_descent_append
+    from mtg_vector_db_spark.streaming.stores import append_batch
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         graph = s.read.parquet(graph_path)
         corpus = s.read.parquet(corpus_path)
-        nn_descent_append(
-            graph, corpus, batch_df, n_buckets=n_buckets, k=k
-        ).write.mode("append").parquet(out_path)
+        append_batch(
+            nn_descent_append(
+                graph, corpus, batch_df, n_buckets=n_buckets, k=k
+            ),
+            out_path,
+            batch_id,
+        )
 
-    return (
-        stream.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", checkpoint)
-    )
+    return upsert
 
 
 def streaming_lsh_maintenance(
@@ -1248,11 +1350,32 @@ def streaming_lsh_maintenance(
     bucket rows depend on nothing but itself: per-batch work is
     O(batch), history is never rescanned, any micro-batch slicing
     yields exactly the one-shot table (stream ≡ batch pinned).
-    Re-delivered vectors are skipped by anti-join (bucket rows are
-    per-vector-complete; double rows would double candidates), replayed
-    batches by the high-watermark. Serving probes the store exactly
-    like p50 probes the artifact: the query's (table, bucket) pairs
-    pushed to the scan, distinct candidates, exact rescore."""
+    Re-delivered vectors are skipped by anti-join against STRICTLY
+    EARLIER batches (bucket rows are per-vector-complete; double rows
+    would double candidates); a replayed batch replaces its own
+    partition via the idempotent append (round-8: stores.append_batch).
+    Serving probes the store exactly like p50 probes the artifact: the
+    query's (table, bucket) pairs pushed to the scan, distinct
+    candidates, exact rescore."""
+    fold = lsh_maintenance_fold(
+        buckets_path, n_tables, bucket_length, seed, dim
+    )
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def lsh_maintenance_fold(
+    buckets_path: str,
+    n_tables: int | None = None,
+    bucket_length: float | None = None,
+    seed: int | None = None,
+    dim: int = 64,
+):
+    """:func:`streaming_lsh_maintenance`'s fold, directly callable for
+    the crash-replay harness."""
     from mtg_vector_db_spark.operators.ann import (
         RP_BUCKET_LENGTH,
         RP_SEED,
@@ -1260,6 +1383,11 @@ def streaming_lsh_maintenance(
         rp_planes,
     )
     from mtg_vector_db_spark.functions.vector import dot, l2_normalize
+    from mtg_vector_db_spark.streaming.stores import (
+        append_batch,
+        before_batch,
+        read_store,
+    )
 
     nt = n_tables if n_tables is not None else RP_TABLES
     bl = bucket_length if bucket_length is not None else RP_BUCKET_LENGTH
@@ -1267,15 +1395,9 @@ def streaming_lsh_maintenance(
     planes = rp_planes(dim, nt, sd)
     planes_lit = F.array(*[F.array(*[F.lit(v) for v in p]) for p in planes])
 
-    stream = spark.readStream.schema(schema).parquet(source_dir)
-
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        existing = _state_df(s, buckets_path)
-        if existing is not None:
-            last = _max_batch_id(existing)
-            if last is not None and batch_id <= last:
-                return  # replayed batch: already folded, skip
+        existing = before_batch(read_store(s, buckets_path), batch_id)
         new = batch_df.filter(F.col("vec_id").isNotNull())
         if existing is not None:
             new = new.join(
@@ -1295,19 +1417,15 @@ def streaming_lsh_maintenance(
                 ).cast("long").alias("b"),
             ),
         )
-        (
-            new.select("vec_id", F.explode(buckets).alias("wb"))
-            .select(
+        append_batch(
+            new.select("vec_id", F.explode(buckets).alias("wb")).select(
                 F.col("wb.w").alias("w"), F.col("wb.b").alias("b"), "vec_id"
-            )
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append").parquet(buckets_path)
+            ),
+            buckets_path,
+            batch_id,
         )
 
-    return (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint)
-    )
+    return fold
 
 
 def refresh_appended_graph_store(
@@ -1395,20 +1513,32 @@ def streaming_moment_maintenance(
     so any micro-batch slicing produces bit-identical state (stream ≡
     batch pinned). Σv and Σv² per dim + n; mean = Σv·1e-9/n,
     var = Σv²·1e-18/n − mean². The integer sums are NOT
-    replay-idempotent, so the store carries the same ``last_batch``
-    high-watermark as streaming_cms_maintenance; serving reads drop the
-    column. State is 64 rows forever — the d-bounded analog of the
-    sketch faces.
+    replay-idempotent; round-8 retires the ``last_batch`` watermark for
+    the versioned-snapshot discipline (fold onto the newest snapshot
+    strictly below the batch id, rewrite the same version — see
+    streaming_cms_maintenance). State is 64 rows forever — the
+    d-bounded analog of the sketch faces.
     """
+    fold = moment_fold(stats_path)
     stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def moment_fold(stats_path: str):
+    """:func:`streaming_moment_maintenance`'s fold, directly callable
+    for the crash-replay harness."""
+    from mtg_vector_db_spark.streaming.stores import (
+        snapshot_rows,
+        snapshot_write,
+    )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         # Bounded by one row per embedding dimension.
-        old_rows = _state_rows(s, stats_path)
-        last = max((r["last_batch"] for r in old_rows), default=-1)
-        if batch_id <= last:
-            return  # replayed batch: already folded, skip
+        old_rows = snapshot_rows(s, stats_path, before=batch_id)
         eint = F.transform(
             F.col("embedding"),
             lambda y: F.floor(y.cast("double") * F.lit(1e9) + F.lit(0.5)),
@@ -1432,9 +1562,8 @@ def streaming_moment_maintenance(
         if old_rows:
             old = s.createDataFrame(
                 old_rows,
-                "dim int, s decimal(38,0), sq decimal(38,0), n long,"
-                " last_batch long",
-            ).drop("last_batch")
+                "dim int, s decimal(38,0), sq decimal(38,0), n long",
+            )
             new = (
                 new.unionByName(old)
                 .groupBy("dim")
@@ -1444,23 +1573,9 @@ def streaming_moment_maintenance(
                     F.sum("n").alias("n"),
                 )
             )
-        new.withColumn("last_batch", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).parquet(stats_path)
+        snapshot_write(new, stats_path, batch_id)
 
-    return (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint)
-    )
-
-
-def _max_batch_id(store: DataFrame):
-    """High-watermark read for append-only delta stores: ONE scalar from
-    a column-pruned MAX aggregate — bounded at one row by construction
-    regardless of store size (this is NOT a state collect; the vocab
-    store itself is corpus-sized and never leaves the executors)."""
-    # collect: single-row aggregate, see docstring.
-    return store.agg(F.max("batch_id")).collect()[0][0]
+    return fold
 
 
 def streaming_vocab_maintenance(
@@ -1475,41 +1590,44 @@ def streaming_vocab_maintenance(
     arrive, so tokenizer (re-)training reads a maintained table instead
     of rescanning corpus history.
 
-    Store shape: APPEND-ONLY per-batch deltas ``(tok, freq, batch_id)``
-    — the unbounded-state discipline of the paragraph-dedup face (the
-    vocabulary is corpus-sized, so unlike the sketch faces it is NEVER
-    collected to the driver; the replay guard reads one column-pruned
-    MAX(batch_id) scalar). Serving reads aggregate with
-    :func:`vocab_counts` (SUM per tok — addition is associative, so any
-    micro-batch slicing folds to the batch answer; the equivalence test
-    pins stream ≡ batch AND trained-merges ≡ batch-trained-merges).
-    Appended deltas are O(batch vocabulary) per batch; compact
-    periodically with operators/partitioning.py:compact if small files
-    accumulate.
+    Store shape: APPEND-ONLY per-batch deltas ``(tok, freq)`` under
+    ``batch_id`` partitions — the unbounded-state discipline of the
+    paragraph-dedup face (the vocabulary is corpus-sized, so unlike the
+    sketch faces it is NEVER collected to the driver). Serving reads
+    aggregate with :func:`vocab_counts` (SUM per tok — addition is
+    associative, so any micro-batch slicing folds to the batch answer;
+    the equivalence test pins stream ≡ batch AND trained-merges ≡
+    batch-trained-merges). Appended deltas are O(batch vocabulary) per
+    batch; compact periodically with operators/partitioning.py:compact
+    if small files accumulate.
 
-    SUM-merge is not idempotent, so like the CMS/moment faces a replayed
-    ``batch_id`` (failure between sink write and checkpoint commit) is
-    detected via the high-watermark and skipped — effectively-once.
+    SUM-merge is not idempotent; round-8 replaces the high-watermark
+    skip with the idempotent per-batch partition append
+    (stores.append_batch) — a replayed batch replaces its own delta
+    partition, effectively-once without trusting append atomicity.
     """
-    from mtg_vector_db_spark.operators.bpe import word_types
-
+    fold = vocab_fold(vocab_path)
     stream = spark.readStream.schema(schema).parquet(source_dir)
-
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        existing = _state_df(s, vocab_path)
-        if existing is not None:
-            last = _max_batch_id(existing)
-            if last is not None and batch_id <= last:
-                return  # replayed batch: already folded, skip
-        word_types(batch_df.filter(F.col("text").isNotNull())).withColumn(
-            "batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(vocab_path)
-
     return (
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def vocab_fold(vocab_path: str):
+    """:func:`streaming_vocab_maintenance`'s fold, directly callable
+    for the crash-replay harness."""
+    from mtg_vector_db_spark.operators.bpe import word_types
+    from mtg_vector_db_spark.streaming.stores import append_batch
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        append_batch(
+            word_types(batch_df.filter(F.col("text").isNotNull())),
+            vocab_path,
+            batch_id,
+        )
+
+    return fold
 
 
 def vocab_counts(spark: SparkSession, vocab_path: str) -> DataFrame:
@@ -1578,14 +1696,42 @@ def streaming_cc_maintenance(
     pinned (eager localCheckpoint) before the overwrite so the write
     never reads its own input files.
     """
+    fold = cc_maintenance_fold(clusters_path, bucket_by)
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def cc_maintenance_fold(clusters_path: str, bucket_by: int | None = None):
+    """:func:`streaming_cc_maintenance`'s fold, directly callable for
+    the crash-replay harness. Round-8 storage: the map lives in
+    versioned snapshots (whole-map when unbucketed, PER-BUCKET when
+    bucketed — stores.bucketed_snapshot_write), so the rewrite commits
+    atomically under ``_SUCCESS`` markers and a replay folds onto the
+    pre-batch map; the former dynamic-partition-overwrite rewrite could
+    lose a bucket outright if the driver died between the partition
+    delete and the staged-file rename, a torn state no replay could
+    heal because the batch's pairs need not mention every doc of a
+    relabeled bucket."""
     from mtg_vector_db_spark.operators.corpus import dup_clusters_converged
     from mtg_vector_db_spark.session import pin
+    from mtg_vector_db_spark.streaming.stores import (
+        bucketed_snapshot_read,
+        bucketed_snapshot_write,
+        snapshot_read,
+        snapshot_write,
+    )
 
-    stream = spark.readStream.schema(schema).parquet(source_dir)
-
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
+    def cc_fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        m = _state_df(s, clusters_path)
+        if bucket_by is None:
+            m = snapshot_read(s, clusters_path, before=batch_id)
+        else:
+            m = bucketed_snapshot_read(
+                s, clusters_path, "cluster_bucket", before=batch_id
+            )
         pairs = batch_df.filter(
             F.col("id_a").isNotNull() & F.col("id_b").isNotNull()
         )
@@ -1645,10 +1791,14 @@ def streaming_cc_maintenance(
             F.col("new_root").alias("cluster_id"),
         )
         if bucket_by is None:
-            new_map = pin(relabeled.unionByName(first_seen))
-            new_map.write.mode("overwrite").parquet(clusters_path)
+            snapshot_write(
+                pin(relabeled.unionByName(first_seen)),
+                clusters_path,
+                batch_id,
+            )
             return
-        # Bucketed path: rewrite ONLY partitions holding relabeled docs.
+        # Bucketed path: rewrite ONLY the buckets holding relabeled or
+        # first-seen docs, each as its own committed snapshot version.
         bkt = lambda c: F.pmod(F.col(c), F.lit(bucket_by))  # noqa: E731
         remap_cid = F.broadcast(
             remap.withColumnRenamed("old_id", "cluster_id")
@@ -1662,9 +1812,29 @@ def streaming_cc_maintenance(
             )
             .distinct()
         )
-        # Partition-pruned read of just the affected buckets (DPP via
-        # broadcast join on the partition column — the p45 mechanism).
-        affected = m.join(F.broadcast(changed_buckets), "cluster_bucket")
+        # collect: bounded by the layout's bucket_by (≤ one row per
+        # bucket, a config-sized constant — the bucket ids steer the
+        # driver's version-dir selection below, the path-level analogue
+        # of the former broadcast-DPP bucket probe).
+        blist = [r["cluster_bucket"] for r in changed_buckets.collect()]
+        if not blist:
+            # Nothing relabeled and nothing first-seen: the pre-batch
+            # map is already the post-batch map; no bucket versions to
+            # commit.
+            return
+        # Partition-pruned read of just the affected buckets (version
+        # dirs selected by bucket id — only those paths are scanned).
+        affected = bucketed_snapshot_read(
+            s,
+            clusters_path,
+            "cluster_bucket",
+            before=batch_id,
+            buckets=blist,
+        )
+        if affected is None:
+            affected = s.createDataFrame(
+                [], "doc_id long, cluster_id long, cluster_bucket long"
+            )
         relabeled_aff = affected.join(remap_cid, "cluster_id", "left").select(
             "doc_id",
             F.coalesce("new_root", F.col("cluster_id")).alias("cluster_id"),
@@ -1674,17 +1844,9 @@ def streaming_cc_maintenance(
                 "cluster_bucket", bkt("doc_id")
             )
         )
-        (
-            out.write.option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .partitionBy("cluster_bucket")
-            .parquet(clusters_path)
-        )
+        bucketed_snapshot_write(out, clusters_path, "cluster_bucket", batch_id)
 
-    return (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint)
-    )
+    return cc_fold
 
 
 def streaming_trgm_maintenance(
@@ -1701,26 +1863,36 @@ def streaming_trgm_maintenance(
 
     Per batch: explode each NEW distinct name into its pg_trgm posting
     rows ``(tg, p_name, n_d, batch_id)`` — O(batch names × ~name_len)
-    — and APPEND them; history is never rescanned or rewritten. Names
-    already in the store are skipped via a left-anti probe (posting
-    rows are per-name-complete, so re-adding a name would double its
-    shared counts at serve time — the same reason a re-delivered batch
-    id is skipped via the high-watermark: posting append, like SUM, is
-    not idempotent). Serving probes the store exactly like t40 probes
-    the artifact: IN-filter on the query's trigrams, shared-count
-    aggregation, exact pg_trgm similarity.
+    — and land them via the idempotent per-batch partition append
+    (round-8: stores.append_batch — a replayed batch replaces its own
+    partition); history is never rescanned or rewritten. Names already
+    in STRICTLY EARLIER batches are skipped via a left-anti probe
+    (posting rows are per-name-complete, so re-adding a name would
+    double its shared counts at serve time). Serving probes the store
+    exactly like t40 probes the artifact: IN-filter on the query's
+    trigrams, shared-count aggregation, exact pg_trgm similarity.
     """
-    from mtg_vector_db_spark.functions.trigram import trigram_set
-
+    fold = trgm_maintenance_fold(postings_path)
     stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def trgm_maintenance_fold(postings_path: str):
+    """:func:`streaming_trgm_maintenance`'s fold, directly callable for
+    the crash-replay harness."""
+    from mtg_vector_db_spark.functions.trigram import trigram_set
+    from mtg_vector_db_spark.streaming.stores import (
+        append_batch,
+        before_batch,
+        read_store,
+    )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        existing = _state_df(s, postings_path)
-        if existing is not None:
-            last = _max_batch_id(existing)
-            if last is not None and batch_id <= last:
-                return  # replayed batch: already folded, skip
+        existing = before_batch(read_store(s, postings_path), batch_id)
         new_names = batch_df.select("p_name").distinct().filter(
             F.col("p_name").isNotNull()
         )
@@ -1729,20 +1901,17 @@ def streaming_trgm_maintenance(
                 existing.select("p_name").distinct(), "p_name", "left_anti"
             )
         tris = trigram_set(F.col("p_name"))
-        (
+        append_batch(
             new_names.select(
                 "p_name",
                 F.size(tris).alias("n_d"),
                 F.explode(tris).alias("tg"),
-            )
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append").parquet(postings_path)
+            ),
+            postings_path,
+            batch_id,
         )
 
-    return (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint)
-    )
+    return fold
 
 
 def trgm_probe(spark: SparkSession, postings_path: str, q: str, k: int = 10):
@@ -1795,35 +1964,39 @@ def streaming_bm25_maintenance(
       sufficient statistics, the nbayes.py discipline, so the store
       needs no read-modify-write.
 
-    Crash consistency across the TWO stores (round-6 ADVICE): the stats
-    delta is written FIRST, guarded by the stats store's OWN batch-id
-    watermark; the postings append runs second and is idempotent by
-    construction (doc_id left-anti vs the existing store). A crash
-    between the two writes therefore leaves stats committed / postings
-    missing, and the replayed batch heals it: the stats guard skips the
-    already-folded delta (no double count) while the anti-join re-derives
-    and appends exactly the missing postings. The reverse torn state
-    (postings without stats — which would silently undercount
-    n_docs/avgdl forever, since the anti-join empties the replay's token
-    set) cannot occur because postings are written last, and the
-    whole-batch fast-skip keys off the postings store for the same
-    reason. Serving reads both stores (:func:`bm25_probe`) with math
-    identical to the t41 artifact probe, so stream-appended ≡
-    batch-built is pinned exactly."""
+    Crash consistency across the TWO stores (round-8, superseding the
+    round-6/7 ordered-guarded-append scheme): both stores are
+    batch_id-partitioned with idempotent dynamic overwrite
+    (stores.append_batch) and the doc_id anti-join reads only STRICTLY
+    EARLIER batches (stores.before_batch), so a replay recomputes the
+    batch from the pre-batch state and replaces both of its partitions
+    — a crash at ANY point (between the writes, or mid job-commit of
+    either) heals without a watermark, and neither double-counting nor
+    the silent-undercount torn state is reachable. Serving reads both
+    stores (:func:`bm25_probe`) with math identical to the t41 artifact
+    probe, so stream-appended ≡ batch-built is pinned exactly."""
+    fold = bm25_maintenance_fold(postings_path, stats_path)
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def bm25_maintenance_fold(postings_path: str, stats_path: str):
+    """:func:`streaming_bm25_maintenance`'s fold, directly callable for
+    the crash-replay harness."""
     from mtg_vector_db_spark.functions.text import tokens
     from mtg_vector_db_spark.session import pin
-
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    from mtg_vector_db_spark.streaming.stores import (
+        append_batch,
+        before_batch,
+        read_store,
+    )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        existing = _state_df(s, postings_path)
-        if existing is not None:
-            last = _max_batch_id(existing)
-            if last is not None and batch_id <= last:
-                # Postings are written LAST, so their watermark implies
-                # the stats delta landed too — safe whole-batch skip.
-                return
+        existing = before_batch(read_store(s, postings_path), batch_id)
         new_docs = batch_df.filter(F.col("doc_id").isNotNull())
         if existing is not None:
             new_docs = new_docs.join(
@@ -1834,41 +2007,27 @@ def streaming_bm25_maintenance(
                 "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
             )
         )
-        # Stats delta FIRST, guarded by the stats store's own watermark:
-        # a crash after this write replays into the guard (no double
-        # count) while the postings anti-join below heals the other side.
-        stats_existing = _state_df(s, stats_path)
-        stats_last = (
-            _max_batch_id(stats_existing)
-            if stats_existing is not None
-            else None
+        append_batch(
+            tok.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.size("toks")).alias("total_len"),
+            ).coalesce(1),
+            stats_path,
+            batch_id,
         )
-        if stats_last is None or batch_id > stats_last:
-            (
-                tok.agg(
-                    F.count(F.lit(1)).alias("n_docs"),
-                    F.sum(F.size("toks")).alias("total_len"),
-                )
-                .withColumn("batch_id", F.lit(batch_id))
-                .coalesce(1)
-                .write.mode("append").parquet(stats_path)
-            )
-        (
+        append_batch(
             tok.select(
                 "doc_id",
                 F.size("toks").alias("doclen"),
                 F.explode("toks").alias("term"),
             )
             .groupBy("doc_id", "doclen", "term")
-            .agg(F.count(F.lit(1)).alias("tf"))
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append").parquet(postings_path)
+            .agg(F.count(F.lit(1)).alias("tf")),
+            postings_path,
+            batch_id,
         )
 
-    return (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint)
-    )
+    return fold
 
 
 def bm25_probe(
@@ -1922,32 +2081,34 @@ def streaming_ivfpq_append(
 
     Unlike raw-vector cell append, code rows are NOT naturally
     idempotent under re-delivery (a doubled code row double-counts in
-    any candidate aggregation), so a re-delivered batch id is skipped
-    via the store's high-watermark — the vocab-face guard.
+    any candidate aggregation); round-8 replaces the high-watermark
+    skip with the idempotent (cell, batch_id)-partitioned append — the
+    encoding is deterministic against the frozen geometry, so a replay
+    replaces exactly its own leaves.
     """
-    from mtg_vector_db_spark.operators.ann import ivf_assign
-    from mtg_vector_db_spark.operators.quantize import pq_encode
-
+    fold = ivfpq_append_fold(centroids, codebooks, layout_path)
     stream = spark.readStream.schema(schema).parquet(source_dir)
-
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        existing = _state_df(s, layout_path)
-        if existing is not None:
-            last = _max_batch_id(existing)
-            if last is not None and batch_id <= last:
-                return  # replayed batch: already appended, skip
-        coded = pq_encode(batch_df, codebooks).select("vec_id", "codes")
-        cells = ivf_assign(batch_df, centroids).select("vec_id", "cell")
-        (
-            coded.join(cells, "vec_id")
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .partitionBy("cell")
-            .parquet(layout_path)
-        )
-
     return (
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def ivfpq_append_fold(centroids: DataFrame, codebooks: list, layout_path: str):
+    """:func:`streaming_ivfpq_append`'s fold, directly callable for the
+    crash-replay harness."""
+    from mtg_vector_db_spark.operators.ann import ivf_assign
+    from mtg_vector_db_spark.operators.quantize import pq_encode
+    from mtg_vector_db_spark.streaming.stores import append_batch
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        coded = pq_encode(batch_df, codebooks).select("vec_id", "codes")
+        cells = ivf_assign(batch_df, centroids).select("vec_id", "cell")
+        append_batch(
+            coded.join(cells, "vec_id"),
+            layout_path,
+            batch_id,
+            partition_cols=("cell",),
+        )
+
+    return fold

@@ -760,3 +760,41 @@ def test_p51_reuses_stored_base_graph(spark, sf0001):
     df = registry.QUERIES["p51_graph_refresh_serve_stored"](spark, sf0001)
     assert df.count() == 2
     assert os.path.getmtime(path) == mtime
+
+
+# ---------------------------------------------------------------------------
+# p54/c31: mining served from the stored IVF layout (round-8 VERDICT #1)
+# ---------------------------------------------------------------------------
+def test_p54_layout_scan_is_dynamically_pruned(spark, sf0001):
+    """The hard-negative miner's layout scan must carry a DPP partition
+    filter on cell — the query-TABLE probe set (50 anchors × nprobe
+    cells) prunes the artifact scan, no driver-side cell collect."""
+    df = registry.QUERIES["p54_hard_negatives_served_stored"](spark, sf0001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "ivf_cells" in ln
+    ]
+    assert scan_lines, "no FileScan over the stored IVF layout"
+    assert any(
+        "dynamicpruning" in ln for ln in scan_lines
+    ), "layout scan is not partition-pruned by the anchor probe cells"
+
+
+def test_c31_stored_semdedup_equals_fresh_c21(spark, sf0001):
+    """The stored-layout SemDeDup twin must answer EXACTLY like c21's
+    fresh-geometry build (same frozen seed cells by construction) while
+    reading its clusters from the artifact instead of re-assigning."""
+    fresh = {
+        tuple(r)
+        for r in registry.QUERIES["c21_semdedup_keep"](
+            spark, sf0001
+        ).collect()
+    }
+    stored = {
+        tuple(r)
+        for r in registry.QUERIES["c31_semdedup_keep_stored"](
+            spark, sf0001
+        ).collect()
+    }
+    assert fresh == stored and fresh

@@ -8,6 +8,13 @@ from mtg_vector_db_spark.operators.asof import asof_join
 from mtg_vector_db_spark.streaming.pipelines import sessionize
 
 
+
+def _snap(spark, path):
+    """Serving read of a versioned snapshot store (round-8 layout)."""
+    from mtg_vector_db_spark.streaming.stores import snapshot_read
+
+    return snapshot_read(spark, str(path))
+
 def ts(m, s=0):
     return dt.datetime(2024, 1, 1, 0, m, s)
 
@@ -580,7 +587,7 @@ def test_streaming_bloom_maintenance_accumulates(spark, tmp_path):
     (src / "b2.json").write_text(json.dumps({"doc_id": 2, "text": t2}))
     run()
 
-    stored = spark.read.parquet(str(tmp_path / "filter"))
+    stored = _snap(spark, tmp_path / "filter")
     both = spark.createDataFrame([(1, t1), (2, t2)], "doc_id long, text string")
     oneshot = {
         (r["word_idx"], r["word"]) for r in build_bloom(both).collect()
@@ -673,12 +680,8 @@ def test_streaming_manifest_equals_batch_manifest(spark, tmp_path):
     run("ckpt")
 
     def streamed():
-        # serving read drops the replay watermark column
         return sorted(
-            tuple(r)
-            for r in spark.read.parquet(manifest)
-            .drop("last_batch")
-            .collect()
+            tuple(r) for r in _snap(spark, manifest).collect()
         )
 
     batch = sorted(
@@ -755,7 +758,7 @@ def test_streaming_paragraph_dedup_matches_batch(spark, tmp_path):
     assert streamed[3]["n_kept"] == 0 and streamed[3]["text_kept"] == ""
     # The store holds exactly the distinct fingerprints, no rebuilds.
     n_fps = spark.read.parquet(store).count()
-    distinct_fps = spark.read.parquet(store).distinct().count()
+    distinct_fps = spark.read.parquet(store).select("fp").distinct().count()
     assert n_fps == distinct_fps
 
 
@@ -804,7 +807,7 @@ def test_streaming_hll_maintenance_equals_oneshot(spark, tmp_path):
     )
     run()
 
-    stored = spark.read.parquet(str(tmp_path / "registers"))
+    stored = _snap(spark, tmp_path / "registers")
     both = spark.createDataFrame(rows1 + rows2, schema)
     oneshot = {
         (r["source"], r["bucket"]): r["m_j"]
@@ -822,7 +825,7 @@ def test_streaming_hll_maintenance_equals_oneshot(spark, tmp_path):
     run()
     again = {
         (r["source"], r["bucket"]): r["m_j"]
-        for r in spark.read.parquet(str(tmp_path / "registers")).collect()
+        for r in _snap(spark, tmp_path / "registers").collect()
     }
     assert again == oneshot
 
@@ -832,7 +835,7 @@ def test_streaming_hll_maintenance_equals_oneshot(spark, tmp_path):
     est = {
         r["source"]: r["n_hll"]
         for r in hll_estimate(
-            spark.read.parquet(str(tmp_path / "registers")), ["source"]
+            _snap(spark, tmp_path / "registers"), ["source"]
         ).collect()
     }
     assert abs(est["web"] - 70) / 70 < 0.15
@@ -898,7 +901,7 @@ def test_streaming_cms_maintenance_sum_merge_with_replay_guard(
     def stored():
         return {
             (r["row"], r["cell"]): r["total"]
-            for r in spark.read.parquet(str(tmp_path / "sketch")).collect()
+            for r in _snap(spark, tmp_path / "sketch").collect()
         }
 
     assert stored() == oneshot
@@ -966,7 +969,7 @@ def test_streaming_reservoir_equals_oneshot_with_replay(spark, tmp_path):
     stored = sorted(
         (
             (r["doc_id"], r["weight_chars"], r["es_key"])
-            for r in spark.read.parquet(str(tmp_path / "reservoir")).collect()
+            for r in _snap(spark, tmp_path / "reservoir").collect()
         ),
         key=lambda t: (-t[2], t[0]),
     )
@@ -981,7 +984,7 @@ def test_streaming_reservoir_equals_oneshot_with_replay(spark, tmp_path):
     again = sorted(
         (
             (r["doc_id"], r["weight_chars"], r["es_key"])
-            for r in spark.read.parquet(str(tmp_path / "reservoir")).collect()
+            for r in _snap(spark, tmp_path / "reservoir").collect()
         ),
         key=lambda t: (-t[2], t[0]),
     )
@@ -1364,7 +1367,7 @@ def test_streaming_moment_maintenance_matches_batch_and_skips_replay(
     write("b2.parquet", emb[200:])
     run()
 
-    got = {r["dim"]: r for r in spark.read.parquet(stats_path).collect()}
+    got = {r["dim"]: r for r in _snap(spark, stats_path).collect()}
     assert len(got) == 64
 
     x = np.array([list(r["embedding"]) for r in emb], dtype=np.float64)
@@ -1382,10 +1385,10 @@ def test_streaming_moment_maintenance_matches_batch_and_skips_replay(
     # checkpoint prevents re-delivery here, so exercise the guard
     # directly through a fresh stream with a stale checkpoint clone.
     before = {r["dim"]: int(r["s"]) for r in
-              spark.read.parquet(stats_path).collect()}
+              _snap(spark, stats_path).collect()}
     run()  # no new files -> no batch; state unchanged
     after = {r["dim"]: int(r["s"]) for r in
-             spark.read.parquet(stats_path).collect()}
+             _snap(spark, stats_path).collect()}
     assert before == after
 
 
@@ -1744,7 +1747,7 @@ def test_streaming_cc_maintenance_matches_batch_on_cross_batch_merges(
     def store_map():
         return {
             r["doc_id"]: r["cluster_id"]
-            for r in spark.read.parquet(store).collect()
+            for r in _snap(spark, store).collect()
         }
 
     def batch_map(pairs):
@@ -1929,17 +1932,14 @@ def test_streaming_bm25_maintenance_matches_batch_topk(spark, tmp_path):
 
 
 def test_streaming_bm25_heals_torn_stats_first_crash(spark, tmp_path):
-    """Round-6 ADVICE (medium): crash consistency across the TWO bm25
-    stores. The fold writes the stats delta FIRST (guarded by the stats
-    store's own batch watermark) and postings second (idempotent doc_id
-    anti-join), so the only reachable torn state is `stats committed /
-    postings missing`. Simulate exactly that crash — batch 1's stats
-    delta on disk, its postings absent — then let the stream re-deliver
-    the batch: the stats guard must skip (no double count), the
-    anti-join must append exactly the missing postings, and the healed
-    stores must answer identically to the batch twin. Under the OLD
-    postings-first watermark this replay was skipped outright and the
-    stats delta was lost forever (avgdl/n_docs undercounting)."""
+    """Crash consistency across the TWO bm25 stores (round-8
+    discipline): simulate a crash BETWEEN the fold's two writes —
+    batch 1's stats partition committed, its postings partition never
+    written — then let the stream re-deliver the batch. The replay must
+    recompute batch 1 from the pre-batch state, REPLACE the stats
+    partition with identical rows (no double count), land the missing
+    postings, and the healed stores must answer identically to the
+    batch twin."""
     import pyspark.sql.functions as F
 
     from mtg_vector_db_spark.functions.text import tokens
@@ -1948,6 +1948,7 @@ def test_streaming_bm25_heals_torn_stats_first_crash(spark, tmp_path):
         bm25_probe,
         streaming_bm25_maintenance,
     )
+    from mtg_vector_db_spark.streaming.stores import append_batch
 
     src = tmp_path / "docs"
     src.mkdir()
@@ -1969,19 +1970,18 @@ def test_streaming_bm25_heals_torn_stats_first_crash(spark, tmp_path):
     run("ckpt")
 
     # The torn state a crash between the two writes leaves behind:
-    # batch 1's stats delta committed (the same rows the fold computes),
-    # its postings never written.
-    (
+    # batch 1's stats partition committed (the same rows the fold
+    # computes), its postings never written.
+    append_batch(
         spark.createDataFrame(w2, schema)
         .select(tokens(F.lower(F.col("text"))).alias("toks"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.size("toks")).alias("total_len"),
         )
-        .withColumn("batch_id", F.lit(1))
-        .coalesce(1)
-        .write.mode("append")
-        .parquet(stats)
+        .coalesce(1),
+        stats,
+        1,
     )
     spark.createDataFrame(w2, schema).coalesce(1).write.mode(
         "append"
@@ -2105,23 +2105,37 @@ def test_streaming_cc_maintenance_bucketed_rewrites_only_touched(
         ).trigger(availableNow=True).start()
         q.awaitTermination(120)
 
+    from mtg_vector_db_spark.streaming.stores import (
+        bucketed_snapshot_read,
+        latest_version,
+    )
+
     def bucket_mtimes():
+        # Serving view of each bucket = its newest COMMITTED version
+        # dir; untouched buckets must keep the same dir and mtimes.
         out = {}
         for d in store.iterdir():
-            if d.name.startswith("cluster_bucket="):
-                out[d.name] = sorted(
+            if not d.name.startswith("bucket="):
+                continue
+            v = latest_version(str(d))
+            vdir = d / f"v{v:012d}"
+            out[d.name] = (
+                vdir.name,
+                sorted(
                     (f.name, _os.path.getmtime(f))
-                    for f in d.iterdir()
+                    for f in vdir.iterdir()
                     if f.name.endswith(".parquet")
-                )
+                ),
+            )
         return out
+
+    def store_df():
+        return bucketed_snapshot_read(spark, str(store), "cluster_bucket")
 
     def store_map():
         return {
             r["doc_id"]: r["cluster_id"]
-            for r in spark.read.parquet(str(store)).select(
-                "doc_id", "cluster_id"
-            ).collect()
+            for r in store_df().select("doc_id", "cluster_id").collect()
         }
 
     # Three clusters whose docs land in distinct buckets (mod 4):
@@ -2133,7 +2147,7 @@ def test_streaming_cc_maintenance_bucketed_rewrites_only_touched(
     run("ckpt")
     assert store_map() == {1: 1, 2: 1, 4: 4, 8: 4, 7: 7, 11: 7}
     before = bucket_mtimes()
-    assert set(before) == {f"cluster_bucket={b}" for b in (0, 1, 2, 3)}
+    assert set(before) == {f"bucket={b}" for b in (0, 1, 2, 3)}
 
     # (2, 7) merges clusters 1 and 7 -> root 1. Only docs 7 and 11
     # change labels; both live in bucket 3. Buckets 0/1/2 stay frozen.
@@ -2143,8 +2157,8 @@ def test_streaming_cc_maintenance_bucketed_rewrites_only_touched(
     run("ckpt")
     after = bucket_mtimes()
     for b in (0, 1, 2):
-        assert after[f"cluster_bucket={b}"] == before[f"cluster_bucket={b}"], b
-    assert after["cluster_bucket=3"] != before["cluster_bucket=3"]
+        assert after[f"bucket={b}"] == before[f"bucket={b}"], b
+    assert after["bucket=3"] != before["bucket=3"]
 
     allp = spark.createDataFrame(w1 + [(2, 7)], schema)
     want = {
@@ -2153,9 +2167,9 @@ def test_streaming_cc_maintenance_bucketed_rewrites_only_touched(
     }
     got = store_map()
     assert got == want
-    # No duplicate/stale doc rows anywhere in the layout.
+    # No duplicate/stale doc rows anywhere in the serving view.
     assert (
-        spark.read.parquet(str(store))
+        store_df()
         .groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
     )
 
@@ -2229,16 +2243,17 @@ def test_streaming_neardup_replay_and_redelivery_safe(spark, tmp_path):
 def test_streaming_paragraph_dedup_heals_torn_out_first_crash(
     spark, tmp_path
 ):
-    """Round-7 hardening: the paragraph maintainer writes kept-docs
-    first (guarded by the out store's own watermark) and fingerprints
-    LAST. Simulate the only reachable torn state — batch 1's out rows
-    committed, its fingerprint append lost — by running a TWIN pipeline
-    to completion and copying only its out rows; the replay must skip
-    the duplicate out append and re-derive exactly the missing
-    fingerprints, converging to the twin's final state."""
+    """Round-8 discipline: simulate a crash between the paragraph
+    maintainer's two writes — batch 0's kept-docs partition committed,
+    its fingerprint partition lost — by running a TWIN pipeline to
+    completion and copying only its out partition; the replay must
+    REPLACE the out partition (idempotent, not duplicated) and
+    re-derive exactly the missing fingerprints, converging to the
+    twin's final state."""
     from mtg_vector_db_spark.streaming.pipelines import (
         streaming_paragraph_dedup,
     )
+    from mtg_vector_db_spark.streaming.stores import append_batch
 
     boiler = "subscribe to our newsletter for updates every day"
     rows = [(1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
@@ -2266,9 +2281,11 @@ def test_streaming_paragraph_dedup_heals_torn_out_first_crash(
     drain("twin")  # complete run: the ground truth
 
     # Torn state for the main pipeline: out committed, fps missing.
-    spark.read.parquet(str(tmp_path / "out_twin")).write.mode(
-        "append"
-    ).parquet(str(tmp_path / "out_main"))
+    append_batch(
+        spark.read.parquet(str(tmp_path / "out_twin")).drop("batch_id"),
+        str(tmp_path / "out_main"),
+        0,
+    )
     drain("main_src")  # build main's source
     # replay main against the torn stores
     src = tmp_path / "src_main"

@@ -319,14 +319,14 @@ def test_no_driver_collect_outside_documented_bounded_artifacts():
         ("cli.py", "run_search"),            # CLI display of k results
         ("explain.py", "main"),              # explain/limit display tool
         ("plans/corpus_queries.py", "c09_temperature_mix"),  # 1 row/source
-        # All maintenance-store reads funnel through _state_rows: each
-        # caller's store is bounded by construction (sketch cells, HLL
-        # registers, 1 manifest row/source, k reservoir rows, 1 row/dim).
-        ("streaming/pipelines.py", "_state_rows"),
-        # Append-only delta-store watermark: a single-row MAX aggregate
-        # (column-pruned scalar), not a state collect — the vocab store
-        # itself is corpus-sized and never leaves the executors.
-        ("streaming/pipelines.py", "_max_batch_id"),
+        # All bounded-state snapshot reads funnel through snapshot_rows:
+        # each caller's store is bounded by construction (sketch cells,
+        # HLL registers, 1 manifest row/source, k reservoir rows,
+        # 1 row/dim).
+        ("streaming/stores.py", "snapshot_rows"),
+        # Bucketed CC map: ≤ one row per bucket (a config-sized
+        # constant) steering driver-side version-dir selection.
+        ("streaming/pipelines.py", "cc_fold"),
         ("operators/quantize.py", "sq_train"),    # per-dim min/max scalars
         # Batched BPE round candidates: <=4*batch_m PAIR-TYPE rows
         # (vocabulary-bounded counts, never corpus rows) fetched for the

@@ -88,11 +88,23 @@ def test_auto_switches_to_shuffle_above_payload_bound(spark, monkeypatch):
 
     # 120 cells × (8·8 + 32) = 11.5 KB of payload — a 1-byte bound
     # forces the big-codebook path without building a big codebook.
+    # Static salt first: the strict no-broadcast plan (the auto-salt
+    # default adds a BOUNDED broadcast of the ≤ n_super-row salt
+    # table, which would trip the blanket assertion below).
     monkeypatch.setenv("SPARK_GRAFT_TWO_LEVEL_BROADCAST_MAX_BYTES", "1")
+    monkeypatch.setenv("SPARK_GRAFT_TWO_LEVEL_SHUFFLE_SALT", "8")
     above = _plan(two_level_assign(emb, cents))
     assert "ShuffledHashJoin" in above
     assert "BroadcastHashJoin" not in above
     assert "hashpartitioning(super_cell" in above
+
+    # Auto salt (the default): the member shards still ride the
+    # shuffle-hash join — the only broadcasts are the bounded salt
+    # table reaching each side.
+    monkeypatch.delenv("SPARK_GRAFT_TWO_LEVEL_SHUFFLE_SALT")
+    auto = _plan(two_level_assign(emb, cents))
+    assert "ShuffledHashJoin" in auto
+    assert "hashpartitioning(super_cell" in auto
 
 
 def test_explicit_strategy_wins_over_env(spark, monkeypatch):
@@ -271,3 +283,153 @@ def test_p53_oracle_green(spark, sf001):
     registry.load_all()
     df = registry.QUERIES["p53_imi_search"](spark, sf001)
     assert_matches_oracle(df, registry.ORACLES["p53_imi_search"], sf001)
+
+
+def test_auto_salt_equals_static_salt_bitwise(spark, monkeypatch):
+    """Round-8 VERDICT #4: the per-super auto salt must be pinned
+    bit-equal to the round-7 uniform static salt (the salt only
+    augments the join key — matched pairs are identical under any salt
+    table), through the shuffle path, single- and multi-probe."""
+    emb = _vecs(spark, 200, 8, seed=31)
+    cents = _cents(spark, 50, 8, seed=37)
+    monkeypatch.setenv("SPARK_GRAFT_TWO_LEVEL_BROADCAST_MAX_BYTES", "1")
+    for probe in (1, 3):
+        monkeypatch.setenv("SPARK_GRAFT_TWO_LEVEL_SHUFFLE_SALT", "8")
+        static = _rows(
+            two_level_assign(
+                emb, cents, n_probe_super=probe,
+                members_strategy="shuffle",
+            )
+        )
+        monkeypatch.delenv("SPARK_GRAFT_TWO_LEVEL_SHUFFLE_SALT")
+        auto = _rows(
+            two_level_assign(
+                emb, cents, n_probe_super=probe,
+                members_strategy="shuffle",
+            )
+        )
+        assert static == auto, f"probe={probe}"
+
+
+def test_trained_supers_equal_semantics_and_balance(spark):
+    """Round-8 VERDICT #3: super_strategy='trained' must (a) keep the
+    operator's contract — every vector assigned, assignment = nearest
+    cell within the probed supers' members, NULL only when all probed
+    supers are memberless — and (b) on a clustered fixture produce a
+    member-shard balance no worse than the arbitrary lowest-id supers
+    (max/mean shard width). Exactness vs the flat argmin at full probe
+    holds for ANY super codebook (every cell is reachable), which is
+    the oracle-comparable pin."""
+    from mtg_vector_db_spark.operators.ann import ivf_assign
+
+    emb = _vecs(spark, 200, 8, seed=41)
+    cents = _cents(spark, 48, 8, seed=43)
+
+    # (a) full probe ≡ flat argmin, trained codebook.
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in two_level_assign(
+            emb, cents, n_super=7, n_probe_super=7,
+            super_strategy="trained",
+        ).select("vec_id", "cell").collect()
+    }
+    flat = {
+        (r["vec_id"], r["cell"])
+        for r in ivf_assign(emb, cents).select("vec_id", "cell").collect()
+    }
+    assert got == flat
+
+    # (b) shard balance on the member (centroid→super) assignment.
+    def balance(strategy):
+        rows = two_level_assign(
+            emb, cents, n_super=7, n_probe_super=1,
+            super_strategy=strategy,
+        ).select("super_cell").groupBy("super_cell").count().collect()
+        widths = [r["count"] for r in rows]
+        return max(widths) / (sum(widths) / len(widths))
+
+    assert balance("trained") <= balance("lowest_id") * 1.25
+
+
+def test_min_pool_nprobe_guard_restores_small_corpus_recall(spark, sf001):
+    """Round-8 VERDICT #6: p52's committed operating point serves 0.92
+    at sf0.1 but 0.72 at sf0.01 — small corpora starve the candidate
+    pool (recall tracks pool size, not probe fraction; measured knee
+    ~25·k). min_pool_nprobe widens the probe until the EXPECTED pool
+    clears c·k: at the sf0.01 scale it must lift serving recall to
+    ≥0.9, and at production scale (pool already ≥ c·k) it must return
+    the caller's nprobe unchanged."""
+    from pyspark.sql import Window
+
+    from mtg_vector_db_spark.functions.vector import cosine_similarity
+    from mtg_vector_db_spark.operators.ann import (
+        ivf_ranked_assign,
+        min_pool_nprobe,
+        two_level_assign,
+    )
+    from mtg_vector_db_spark.operators.knn import knn_join
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    n = emb.count()
+    K, N_Q, CELLS = 10, 10, 64
+    seeds = emb.filter(F.col("vec_id") < CELLS).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "centroid"
+        ),
+    )
+    asg = two_level_assign(emb, seeds, n_super=8, n_probe_super=4).select(
+        "vec_id", "cell"
+    )
+    queries = emb.filter(F.col("vec_id") < N_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = knn_join(emb, queries, k=K, round_digits=6).select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+
+    def recall(nprobe):
+        pc = ivf_ranked_assign(
+            queries.select(
+                F.col("query_id").alias("vec_id"),
+                F.col("query_vec").alias("embedding"),
+            ),
+            seeds,
+            nprobe=nprobe,
+        ).select(F.col("vec_id").alias("query_id"), "cell")
+        cand = (
+            asg.join(F.broadcast(pc), "cell")
+            .join(F.broadcast(queries), "query_id")
+            .join(emb.select("vec_id", "embedding"), "vec_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(
+                    cosine_similarity(
+                        F.col("embedding"), F.col("query_vec")
+                    ),
+                    6,
+                ).alias("sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_id")
+        )
+        got = cand.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= K
+        )
+        return got.join(exact, ["query_id", "neighbor_id"]).count() / (
+            N_Q * K
+        )
+
+    guarded = min_pool_nprobe(n, CELLS, K, nprobe=8)
+    assert guarded > 8  # the small corpus must trigger the guard
+    assert recall(guarded) >= 0.9
+
+    # Production-scale behavior: a corpus whose default pool already
+    # clears c·k keeps the caller's nprobe (no silent over-probing).
+    assert min_pool_nprobe(1_000_000, CELLS, K, nprobe=8) == 8
+    # Degenerate guards: tiny corpus probes everything, never > cells.
+    assert min_pool_nprobe(1, CELLS, K, nprobe=8) == CELLS
