@@ -925,6 +925,7 @@ def two_level_assign(
     id_col: str = "vec_id",
     members_strategy: str = "auto",
     super_strategy: str = "lowest_id",
+    supers: DataFrame | None = None,
 ) -> DataFrame:
     """Two-level coarse quantization (the IMI / coarse-then-fine recipe)
     — the extreme-cardinality path past even the broadcast fold: at ~4M
@@ -1021,7 +1022,15 @@ def two_level_assign(
         F.col(cluster_col).alias("vec_id"),
         F.col(centroid_col).alias("embedding"),
     )
-    if super_strategy == "lowest_id":
+    if supers is not None:
+        # Precomputed level-1 codebook (the build-once/serve-many face:
+        # train or select once, assign many batches against the frozen
+        # supers — also the only way a 'trained' codebook is stable
+        # across calls, since kmeans float reduce order is not).
+        supers = supers.select(
+            F.col(super_col), F.col(centroid_col).alias("centroid")
+        )
+    elif super_strategy == "lowest_id":
         supers = (
             centroids.orderBy(cluster_col)
             .limit(n_super)

@@ -296,6 +296,18 @@ def bucketed_snapshot_write(
     rewritten, and a replay rewrites exactly the same bucket versions
     from the same ``before=batch_id`` base. The job stages all buckets
     in one write (one Spark job), then renames per bucket."""
+    # Checkpoint-reset guard, GLOBAL across buckets (a genuine crash
+    # replay is always of the store's max batch id — within one
+    # checkpoint ids are monotone and only the last batch re-delivers;
+    # a lower id means the checkpoint was reset, and re-folding history
+    # must not rewrite byte-frozen buckets).
+    gmax = None
+    for b in bucketed_snapshot_buckets(path):
+        v = latest_version(_bucket_dir(path, b))
+        if v is not None and (gmax is None or v > gmax):
+            gmax = v
+    if gmax is not None and batch_id < gmax:
+        return
     stage = os.path.join(path, f".stage-{int(batch_id):012d}")
     shutil.rmtree(stage, ignore_errors=True)
     # Partition the staged job by a SHADOW of the bucket column so the

@@ -324,6 +324,9 @@ def test_no_driver_collect_outside_documented_bounded_artifacts():
         # HLL registers, 1 manifest row/source, k reservoir rows,
         # 1 row/dim).
         ("streaming/stores.py", "snapshot_rows"),
+        # Append-store reset guard: a single-row MAX over the batch_id
+        # PARTITION column values — one scalar, never store rows.
+        ("streaming/stores.py", "_store_max_batch"),
         # Bucketed CC map: ≤ one row per bucket (a config-sized
         # constant) steering driver-side version-dir selection.
         ("streaming/pipelines.py", "cc_fold"),
