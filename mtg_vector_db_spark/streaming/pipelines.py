@@ -9,6 +9,13 @@ flagged extensions that let the same logical plans run incrementally:
 * :func:`hourly_event_counts` — watermarked tumbling-window aggregation
   over an event stream; the batch query r08_events_hourly is its exact
   batch equivalent (same window spec), which is how we test it.
+
+Persistence discipline (round 8): every maintainer's stores ride the
+crash-safe primitives in :mod:`mtg_vector_db_spark.streaming.stores`
+(idempotent per-batch partition appends / versioned snapshots), and
+every maintainer's fold is exposed as a module-level ``*_fold`` factory
+so the crash-replay harness (tests/test_crash_replay.py) can kill and
+replay it at arbitrary write boundaries.
 """
 
 from __future__ import annotations
