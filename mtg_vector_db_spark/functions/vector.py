@@ -65,6 +65,41 @@ def cosine_distance(
     return F.lit(1.0) - cosine_similarity(a, b)
 
 
+def cosine_similarity_prenorm(
+    a: Column, na: Column, b: Column, nb: Column
+) -> Column:
+    """``cosine_similarity(a, b)`` with the two norms supplied as columns.
+
+    Bit-identical to :func:`cosine_similarity` when ``na``/``nb`` are
+    :func:`l2_norm` of ``a``/``b``: the expression tree is the same
+    ``dot / (norm_a * norm_b)`` — same float64 ops in the same order —
+    only the norm subtrees are evaluated ONCE PER VECTOR (in the
+    projection that produced ``na``/``nb``) instead of once per pair.
+    Higher-order functions are interpreted (CodegenFallback, no common-
+    subexpression elimination), so on pair-expanded data the norm folds
+    are 2/3 of the scoring cost; hoisting them is the round-8 measured
+    2.1× on a 600k-pair NN-Descent scoring stage with zero unrounded
+    mismatches (OPTIMIZATION_r08.md)."""
+    return dot(a, b) / (na * nb)
+
+
+def lit_l2_norm(v: Sequence[float]) -> Column:
+    """The :func:`l2_norm` of a PLAN-LITERAL vector, computed driver-side.
+
+    Same arithmetic as the Catalyst fold — sequential float64
+    ``acc += x*x`` in array order, then ``sqrt`` — so the literal is
+    bit-identical to what ``l2_norm(vec_lit(v))`` evaluates to per row;
+    IEEE-754 doubles make the Python and JVM results the same bits.
+    Hoisting it means a single-query scan pays one O(d) fold per row
+    (the row vector's norm) instead of two."""
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc += float(x) * float(x)
+    return F.lit(math.sqrt(acc))
+
+
 def l2_normalize(a: Column) -> Column:
     """Unit-normalize a vector column. On the unit sphere, cosine top-k ≡
     Euclidean top-k, which is what lets MLlib's Euclidean LSH stand in for

@@ -1518,12 +1518,27 @@ def _score_pairs(
     """Exact cosine for an (a, b) pair list via two id-keyed embedding
     joins — wide vectors ride the join payload, never a shuffle key.
     ``emb_b`` lets the two pair sides resolve against different tables
-    (the append case: new vectors × frozen corpus)."""
-    from mtg_vector_db_spark.functions.vector import cosine_similarity
+    (the append case: new vectors × frozen corpus).
 
-    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    Norms are hoisted into the per-vector projections (round 8): the
+    pair expression is ``dot / (na * nb)`` with ``na``/``nb`` computed
+    once per vector — bit-identical to ``cosine_similarity(va, vb)``
+    (same ops, same order; see cosine_similarity_prenorm) at 1/3 the
+    interpreted-fold work per pair."""
+    from mtg_vector_db_spark.functions.vector import (
+        cosine_similarity_prenorm,
+        l2_norm,
+    )
+
+    ea = emb.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("va"),
+        l2_norm(F.col("embedding")).alias("_na"),
+    )
     eb = (emb_b if emb_b is not None else emb).select(
-        F.col("vec_id").alias("b"), F.col("embedding").alias("vb")
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("vb"),
+        l2_norm(F.col("embedding")).alias("_nb"),
     )
     return (
         pairs.join(ea, "a")
@@ -1532,7 +1547,10 @@ def _score_pairs(
             "a",
             "b",
             F.round(
-                cosine_similarity(F.col("va"), F.col("vb")), round_digits
+                cosine_similarity_prenorm(
+                    F.col("va"), F.col("_na"), F.col("vb"), F.col("_nb")
+                ),
+                round_digits,
             ).alias("sim"),
         )
     )

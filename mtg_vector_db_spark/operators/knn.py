@@ -121,10 +121,27 @@ def knn_join(
     ``rank``+filter plans a shuffle keyed on query_id only for rows that
     survive the per-partition top-k (AQE coalesces the small shuffle).
     """
-    sim = cosine_similarity(F.col(emb_col), F.col(q_vec_col))
+    from mtg_vector_db_spark.functions.vector import (
+        cosine_similarity_prenorm,
+        l2_norm,
+    )
+
+    # Norms hoisted to once-per-row / once-per-query (round 8): the
+    # cross-joined pair expression is dot/(ne*nq) — bit-identical to
+    # cosine_similarity(emb, qv) (same ops, same order) at 1/3 the
+    # interpreted HOF folds per (row × query) pair.
+    emb_n = emb.withColumn("_ne", l2_norm(F.col(emb_col)))
+    queries_n = queries.withColumn("_nq", l2_norm(F.col(q_vec_col)))
+    sim = cosine_similarity_prenorm(
+        F.col(emb_col), F.col("_ne"), F.col(q_vec_col), F.col("_nq")
+    )
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    pairs = emb.join(F.broadcast(queries)).withColumn(score_col, sim)
+    pairs = (
+        emb_n.join(F.broadcast(queries_n))
+        .withColumn(score_col, sim)
+        .drop("_ne", "_nq")
+    )
     if exclude_self:
         pairs = pairs.filter(F.col(emb_id_col) != F.col(q_id_col))
     w = (

@@ -2829,8 +2829,17 @@ def p36_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    exact = knn_join(emb, queries_df, k=_P36_K, round_digits=R).select(
-        "query_id", "vec_id", F.lit(1).alias("is_true")
+    from mtg_vector_db_spark.session import pin
+
+    # The exact top-k and the scored candidate pool are each consumed by
+    # every nprobe branch below (8 hits + 8 ncand subtrees in ONE final
+    # DAG); unpinned, Catalyst re-derives the scoring chain per branch
+    # (the round-3 c18 recompute defect — only exchange subtrees get
+    # reused). Pinning is semantics-neutral (eager localCheckpoint).
+    exact = pin(
+        knn_join(emb, queries_df, k=_P36_K, round_digits=R).select(
+            "query_id", "vec_id", F.lit(1).alias("is_true")
+        )
     )
     seeds = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").cast("int").alias("cell"),
@@ -2850,7 +2859,7 @@ def p36_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = F.round(
         cosine_similarity(F.col("embedding"), F.col("query_vec")), R
     )
-    cand = (
+    cand = pin(
         assigned.join(probe, "cell")
         .join(F.broadcast(queries_df), "query_id")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -5545,7 +5554,6 @@ def p52_two_level_operating_points(
 ) -> DataFrame:
     from pyspark.sql import Window
 
-    from mtg_vector_db_spark.functions.vector import cosine_similarity
     from mtg_vector_db_spark.operators.ann import (
         ivf_assign,
         ivf_ranked_assign,
@@ -5593,7 +5601,13 @@ def p52_two_level_operating_points(
     levels = F.explode(
         F.array(*[F.lit(p) for p in _P52_LEVELS])
     ).alias("p")
-    asg = (
+    # asg feeds four downstream subtrees (flat, both sides of agree, and
+    # the serving candidates) inside one final DAG; unpinned, the two
+    # full ranked-assignment passes above re-evaluate per consumer.
+    # Pinning is semantics-neutral (eager localCheckpoint).
+    from mtg_vector_db_spark.session import pin
+
+    asg = pin(
         cand.select("vec_id", "cell", "crank", "srank", levels)
         .filter(F.col("srank") <= F.col("p"))
         .withColumn("_rn", F.row_number().over(w_asg))
@@ -5636,13 +5650,34 @@ def p52_two_level_operating_points(
         seeds,
         nprobe=_P52_NPROBE,
     ).select(F.col("vec_id").alias("query_id"), "cell")
-    sim = F.round(
-        cosine_similarity(F.col("embedding"), F.col("query_vec")), R
+    # Norms hoisted to once-per-row / once-per-query (round 8): same
+    # dot/(ne*nq) tree as cosine_similarity — bit-identical, 1/3 the
+    # interpreted folds on the pair-expanded rescore.
+    from mtg_vector_db_spark.functions.vector import (
+        cosine_similarity_prenorm,
+        l2_norm,
     )
-    scand = (
+
+    sim = F.round(
+        cosine_similarity_prenorm(
+            F.col("embedding"),
+            F.col("_ne"),
+            F.col("query_vec"),
+            F.col("_nq"),
+        ),
+        R,
+    )
+    # scand feeds both the hits and n_cand branches — pin for the same
+    # reason as asg.
+    scand = pin(
         asg.join(probe, "cell")
-        .join(emb, "vec_id")
-        .join(F.broadcast(queries_df), "query_id")
+        .join(emb.withColumn("_ne", l2_norm(F.col("embedding"))), "vec_id")
+        .join(
+            F.broadcast(
+                queries_df.withColumn("_nq", l2_norm(F.col("query_vec")))
+            ),
+            "query_id",
+        )
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("p", "query_id", "vec_id", sim.alias("sim"))
     )

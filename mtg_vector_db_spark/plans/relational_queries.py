@@ -3880,49 +3880,49 @@ def r78_logbin_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(wcum).alias("cum"),
         F.sum("cnt").over(Window.partitionBy("flag")).alias("n"),
     )
-    # estimate = bucket midpoint of the bucket containing rank ceil(q·n)
-    out = []
+    # estimate = bucket midpoint of the bucket containing rank ceil(q·n).
+    # Round 8 (§2.4): all three quantiles come from ONE conditional
+    # aggregation over cum — the previous per-q filter+groupBy branches
+    # re-evaluated the sketch chain 3× and joined the results back;
+    # min(CASE WHEN cum >= rank THEN lo END) over the full group is the
+    # identical value (lo/hi strictly monotone in the (e, top4) order,
+    # rank ≤ n so the qualifying set is never empty).
+    est_cols = []
     for q, qname in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
         rank = F.ceil(F.lit(q) * F.col("n")).cast("long")
-        # lo/hi are strictly monotone in the (e, top4) bucket order, so
-        # the first qualifying bucket's bounds are simply min(lo)/min(hi).
-        hit = (
-            cum.filter(F.col("cum") >= rank)
-            .groupBy("flag")
-            .agg(
-                F.min("lo").alias("_lo"),
-                F.min("hi").alias("_hi"),
-                F.max("n").alias("n"),
-            )
-            .select(
-                "flag",
-                "n",
-                F.round(
-                    (F.col("_lo") + F.col("_hi")) / 200.0, 4
-                ).alias(f"{qname}_est"),
-            )
+        qual = F.col("cum") >= rank
+        est_cols.append(
+            F.round(
+                (
+                    F.min(F.when(qual, F.col("lo")))
+                    + F.min(F.when(qual, F.col("hi")))
+                )
+                / 200.0,
+                4,
+            ).alias(f"{qname}_est")
         )
-        out.append(hit)
-    est = out[0].join(out[1].drop("n"), "flag").join(
-        out[2].drop("n"), "flag"
-    )
+    est = cum.groupBy("flag").agg(F.max("n").alias("n"), *est_cols)
     # exact rank-based quantiles (the comparison report)
     wrn = Window.partitionBy("flag").orderBy("cents")
     ranked = binned.select(
         "flag", "cents", F.row_number().over(wrn).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy("flag")).alias("n"),
     )
-    exacts = None
+    # Same one-pass conditional-aggregation rewrite for the exact arm:
+    # the 600k-row rank window used to be re-evaluated by each of the
+    # three filter+groupBy branches (window results are not exchange-
+    # reusable subtrees); min(CASE WHEN rn >= rank THEN cents END) is
+    # the identical first-qualifying value per flag.
+    exact_cols = []
     for q, qname in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
         rank = F.ceil(F.lit(q) * F.col("n")).cast("long")
-        ex = (
-            ranked.filter(F.col("rn") >= rank)
-            .groupBy("flag")
-            .agg(
-                F.round(F.min("cents") / 100.0, 2).alias(f"{qname}_exact")
-            )
+        exact_cols.append(
+            F.round(
+                F.min(F.when(F.col("rn") >= rank, F.col("cents"))) / 100.0,
+                2,
+            ).alias(f"{qname}_exact")
         )
-        exacts = ex if exacts is None else exacts.join(ex, "flag")
+    exacts = ranked.groupBy("flag").agg(*exact_cols)
     return (
         est.join(exacts, "flag")
         .select(

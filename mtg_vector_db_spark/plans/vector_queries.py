@@ -1487,16 +1487,29 @@ def _mrl_frontier_sweep(emb: DataFrame, emb_col: str, qv: list) -> DataFrame:
     differ ONLY in the geometry they measure."""
     from pyspark.sql import Window
 
-    from mtg_vector_db_spark.functions.vector import cosine_similarity
+    from mtg_vector_db_spark.functions.vector import (
+        dot,
+        l2_norm,
+        lit_l2_norm,
+    )
     from mtg_vector_db_spark.session import pin
 
+    # Query-side norms hoisted to driver-computed literals (round 8):
+    # dot/(norm_row * lit_norm_q) is the same float64 tree as
+    # cosine_similarity (lit_l2_norm replays the sequential fold), so
+    # each of the 5 per-row scores drops one interpreted O(d) fold.
     cols = [
-        F.round(cosine_similarity(F.col(emb_col), qv), R).alias("fsim")
+        F.round(
+            dot(F.col(emb_col), qv)
+            / (l2_norm(F.col(emb_col)) * lit_l2_norm(qv)),
+            R,
+        ).alias("fsim")
     ]
     for p in _V18_PREFIXES:
+        sl = F.slice(F.col(emb_col), 1, p)
         cols.append(
             F.round(
-                cosine_similarity(F.slice(F.col(emb_col), 1, p), qv[:p]),
+                dot(sl, qv[:p]) / (l2_norm(sl) * lit_l2_norm(qv[:p])),
                 R,
             ).alias(f"psim{p}")
         )
@@ -1753,8 +1766,16 @@ def _v20_decayed(emb: DataFrame) -> DataFrame:
 
 @query("v20_mrl_decayed_frontier")
 def v20_mrl_decayed_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtg_vector_db_spark.session import pin
+
     (emb,) = tables(spark, sf_dir, "embeddings")
-    dec = _v20_decayed(emb)
+    # Pin the decayed corpus (round 8): the probe fetch below and the
+    # sweep's base pass are two consumers of the same 64-mix interpreted
+    # transform (whose 64×64 plane literal also bloats every plan that
+    # carries it); materializing it once halves the transform work and
+    # keeps the literal out of the downstream sweep plans. Semantics-
+    # neutral (eager localCheckpoint).
+    dec = pin(_v20_decayed(emb))
     # The probe is the decayed corpus vector 0 — computed through the
     # SAME Spark expression as the corpus (one bounded 1-row fetch, the
     # query_vector contract), so query and corpus share bit-identical
