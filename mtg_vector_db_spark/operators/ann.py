@@ -689,7 +689,17 @@ def dynamic_seed_cells(
 # threshold keeps every committed small-k query plan join-free (the
 # d06 no-BNLJ plan-hygiene assertion) while everything larger takes the
 # fast path automatically.
-IVF_LITERAL_MAX_CELLS = 64
+#
+# Round 8: threshold 64 → 32. The table above already showed broadcast
+# winning 2.7× END-TO-END at exactly 64 cells (0.85 s vs 2.34 s), yet
+# the ≤ comparison kept 64-cell codebooks (p52's two-level sweep) on the
+# slower literal path; re-measured this round at dim 64 / sf0.1:
+# literal 2.8 s vs broadcast 2.1 s for the 64-cell ranked assignment.
+# 32 keeps every small-k plan (d06's 8 cells, the p27/p36 8-cell seeds)
+# join-free while 64-cell codebooks take the measured-faster broadcast
+# fold. Strategies are pinned bit-equal (test_ivf_strategy), so no
+# query's answer moves.
+IVF_LITERAL_MAX_CELLS = 32
 
 
 def ivf_assign(

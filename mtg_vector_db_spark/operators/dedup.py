@@ -157,6 +157,7 @@ def bucket_pairs(
     key_cols: list[str],
     max_bucket_size: int | None = None,
     payload_col: str | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Candidate pairs from LSH buckets: groupBy the bucket key, collect
     the (sorted) member list, emit each 2-combination once, distinct across
@@ -207,9 +208,14 @@ def bucket_pairs(
                 else []
             ),
         )
-        .distinct()
     )
-    return pairs
+    # ``distinct=False`` lets a caller verify FIRST and dedup the (much
+    # smaller) verified set on scalar columns — e.g. simhash's Hamming
+    # filter drops most candidates and its payload columns are arrays,
+    # which are expensive distinct keys (round 8). The caller owns the
+    # cross-band dedup in that case; per-pair payloads are functions of
+    # the ids, so dedup-after-verify emits the identical pair set.
+    return pairs.distinct() if distinct else pairs
 
 
 def banded_signatures(
@@ -453,8 +459,18 @@ def simhash_neardup_pairs(
         F.col("blocks"),
         F.posexplode(F.col("blocks")).alias("band", "block"),
     )
+    # Verify BEFORE the cross-band dedup (round 8): a pair surfaces once
+    # per shared band (≤ ``bands``×) and the old distinct keyed on the
+    # int-array payloads; computing the (deterministic) Hamming distance
+    # per occurrence is ~12 codegen ops, after which the ≤ max_hamming
+    # filter drops most candidates and the dedup runs over three scalar
+    # columns on the survivors only. Same pair set, same distances.
     cand = bucket_pairs(
-        banded, ["band", "block"], max_bucket_size, payload_col="blocks"
+        banded,
+        ["band", "block"],
+        max_bucket_size,
+        payload_col="blocks",
+        distinct=False,
     ).withColumnsRenamed({"p_a": "blk_a", "p_b": "blk_b"})
     ham = sum(
         F.bit_count(F.get(F.col("blk_a"), b).bitwiseXOR(F.get(F.col("blk_b"), b)))
@@ -463,6 +479,7 @@ def simhash_neardup_pairs(
     return (
         cand.select("id_a", "id_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

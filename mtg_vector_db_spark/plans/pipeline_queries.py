@@ -5587,32 +5587,116 @@ def p52_two_level_operating_points(
 
     # ONE scored pass per codebook, rank order kept: "assigned cell at
     # probe p" = the min-rank cell whose super ranks within p.
-    cellr = ivf_ranked_assign(
-        emb, seeds, nprobe=_P52_CELLS, rank_col="crank"
-    ).select("vec_id", "cell", "crank")
-    supr = ivf_ranked_assign(
-        emb, supers, nprobe=_P52_NSUPER,
-        cluster_col="super", rank_col="srank",
-    ).select("vec_id", "super", "srank")
-    cand = cellr.join(F.broadcast(casg), "cell").join(
-        supr, ["vec_id", "super"]
-    )
-    w_asg = Window.partitionBy("p", "vec_id").orderBy("crank")
-    levels = F.explode(
-        F.array(*[F.lit(p) for p in _P52_LEVELS])
-    ).alias("p")
-    # asg feeds four downstream subtrees (flat, both sides of agree, and
-    # the serving candidates) inside one final DAG; unpinned, the two
-    # full ranked-assignment passes above re-evaluate per consumer.
-    # Pinning is semantics-neutral (eager localCheckpoint).
+    #
+    # Round 8 (§2.4 remove shuffles outright): the previous form exploded
+    # every (vector × cell) rank row (128k), shuffle-joined it with the
+    # per-vector super ranks on (vec_id, super), exploded ×4 probe
+    # levels, and took rn=1 per (p, vec_id) through a 512k-row window —
+    # three exchanges to express what is a PER-ROW computation. Both
+    # codebooks are scored map-side (_with_scored_cells), the cell→super
+    # membership folds to a 1-row broadcast map, and "assigned cell at
+    # probe p" is the first entry of the (dist, cell)-sorted array whose
+    # super's rank is ≤ p — array_sort's struct comparison IS the
+    # (dist, cell)/(dist, super) tie-break the window form ordered by,
+    # so the emitted (p, vec_id, cell) rows are identical (a (p, vec)
+    # whose probed supers attracted no cells emits no row, exactly like
+    # the empty window partition). Oracle unchanged (replays the window
+    # form; values equal).
+    from mtg_vector_db_spark.operators.ann import _with_scored_cells
     from mtg_vector_db_spark.session import pin
 
+    cscored = (
+        _with_scored_cells(emb, seeds, "embedding", "cell", "centroid")
+        .withColumnRenamed("_scored", "_csc")
+        .drop("_nx")
+    )
+    sscored = _with_scored_cells(
+        cscored, supers, "embedding", "super", "centroid"
+    ).withColumnRenamed("_scored", "_ssc")
+    cmap = casg.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("cell", "super"))
+        ).alias("_cmap")
+    )
+    levels_arr = F.array(*[F.lit(p) for p in _P52_LEVELS])
+    # Every shared subexpression is BOUND ONCE per row through
+    # singleton-array lambdas (HOFs are interpreted with no CSE — the
+    # l2_normalize discipline): the two sorts, then the super-rank map,
+    # then the per-cell (cell, srank) array; the four probe levels are
+    # then 4 cheap filters over 64 precomputed ranks.
+    srm = lambda ss: F.map_from_entries(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_P52_NSUPER)),
+            lambda i: F.struct(
+                F.element_at(ss, i.cast("int"))["cell"], i.cast("int")
+            ),
+        )
+    )
+    per_level = F.get(
+        F.transform(
+            F.array(
+                F.struct(
+                    F.array_sort(F.col("_csc")).alias("cs"),
+                    F.array_sort(F.col("_ssc")).alias("ss"),
+                )
+            ),
+            lambda b: F.get(
+                F.transform(
+                    F.array(
+                        F.struct(
+                            b["cs"].alias("cs"), srm(b["ss"]).alias("sm")
+                        )
+                    ),
+                    lambda b2: F.get(
+                        F.transform(
+                            F.array(
+                                F.transform(
+                                    b2["cs"],
+                                    lambda s: F.struct(
+                                        s["cell"].alias("cell"),
+                                        F.element_at(
+                                            b2["sm"],
+                                            F.element_at(
+                                                F.col("_cmap"), s["cell"]
+                                            ),
+                                        ).alias("srank"),
+                                    ),
+                                )
+                            ),
+                            lambda csr: F.filter(
+                                F.transform(
+                                    levels_arr,
+                                    lambda p: F.struct(
+                                        p.alias("p"),
+                                        F.filter(
+                                            csr, lambda s: s["srank"] <= p
+                                        ).alias("_picks"),
+                                    ),
+                                ),
+                                lambda e: F.size(e["_picks"]) > 0,
+                            ),
+                        ),
+                        0,
+                    ),
+                ),
+                0,
+            ),
+        ),
+        0,
+    )
+    # asg feeds four downstream subtrees (flat, both sides of agree, and
+    # the serving candidates) inside one final DAG; pin so the scored
+    # pass runs once. Semantics-neutral (eager localCheckpoint).
     asg = pin(
-        cand.select("vec_id", "cell", "crank", "srank", levels)
-        .filter(F.col("srank") <= F.col("p"))
-        .withColumn("_rn", F.row_number().over(w_asg))
-        .filter(F.col("_rn") == 1)
-        .select("p", "vec_id", "cell")
+        sscored.crossJoin(F.broadcast(cmap))
+        .select(
+            "vec_id", F.explode(per_level).alias("_e")
+        )
+        .select(
+            F.col("_e")["p"].alias("p"),
+            "vec_id",
+            F.element_at(F.col("_e")["_picks"], 1)["cell"].alias("cell"),
+        )
     )
     # probe=8 probes every super => flat assignment (exactness anchor).
     flat = asg.filter(F.col("p") == _P52_LEVELS[-1]).select(
