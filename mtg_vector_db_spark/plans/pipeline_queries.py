@@ -3379,22 +3379,34 @@ def p40_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # volume stays linear (16 at every committed test scale — the
     # dynamic guard changes nothing below ~2k vectors).
     nb = A.dynamic_bucket_count(emb, min_buckets=_P40_BUCKETS)
-    # pin, not persist (round-3 ADVICE): the round artifacts are
-    # ContextCleaner-released when the query's refs drop, so graph
-    # queries back-to-back don't grow the cached pool monotonically.
-    graphs = [pin(nn_descent_init(emb, nb, _P40_K))]
-    for _ in range(_P40_ROUNDS):
-        graphs.append(
-            pin(nn_descent_round(graphs[-1], emb, _P40_K))
-        )
     probes = emb.filter(F.col("vec_id") < _P40_PROBES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    exact = pin(
-        knn_join(emb, probes, k=_P40_EVAL_K, round_digits=6)
-        .select(F.col("query_id").alias("a"), F.col("vec_id").alias("b"))
-    )
+    # The exact-KNN audit is independent of the graph chain: submit its
+    # pin from a driver thread so its job backfills executors while the
+    # (inherently sequential) init/round pins run (§2.6 overlap of
+    # independent jobs). Job description is thread-local; results are
+    # the same pinned DataFrames either way.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        exact_fut = pool.submit(
+            lambda: pin(
+                knn_join(emb, probes, k=_P40_EVAL_K, round_digits=6).select(
+                    F.col("query_id").alias("a"), F.col("vec_id").alias("b")
+                )
+            )
+        )
+        # pin, not persist (round-3 ADVICE): the round artifacts are
+        # ContextCleaner-released when the query's refs drop, so graph
+        # queries back-to-back don't grow the cached pool monotonically.
+        graphs = [pin(nn_descent_init(emb, nb, _P40_K))]
+        for _ in range(_P40_ROUNDS):
+            graphs.append(
+                pin(nn_descent_round(graphs[-1], emb, _P40_K))
+            )
+        exact = exact_fut.result()
     # Recall denominator from the ACTUAL probe count (round-3 ADVICE:
     # the _P40_PROBES*_P40_EVAL_K constant silently understated recall
     # on corpora with sparse or non-zero-based vec_ids).
@@ -5458,25 +5470,33 @@ def p51_graph_refresh_serve_stored(
     # frozen artifact instead of an in-query 3-round build.
     g = spark.read.parquet(_stored_p48_base_path(spark, sf_dir, nb))
 
-    app = pin(nn_descent_append(g, corpus, new, nb, _P40_K))
-    refreshed = nn_descent_refresh_appended(
-        g.unionByName(app), corpus, new, k=_P40_K, rounds=1
-    )
-    rapp = pin(
-        refreshed.join(
-            new.select(F.col("vec_id").alias("a")), "a", "left_semi"
-        )
-    )
-
     probes = new.orderBy("vec_id").limit(_P40_PROBES)
     qdf = probes.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    exact = pin(
-        knn_join(corpus, qdf, k=_P40_EVAL_K, round_digits=6)
-        .select(F.col("query_id").alias("a"), F.col("vec_id").alias("b"))
-    )
+    # The exact audit is independent of the append→refresh chain —
+    # overlap its pin from a driver thread (§2.6), as in p40.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        exact_fut = pool.submit(
+            lambda: pin(
+                knn_join(corpus, qdf, k=_P40_EVAL_K, round_digits=6).select(
+                    F.col("query_id").alias("a"), F.col("vec_id").alias("b")
+                )
+            )
+        )
+        app = pin(nn_descent_append(g, corpus, new, nb, _P40_K))
+        refreshed = nn_descent_refresh_appended(
+            g.unionByName(app), corpus, new, k=_P40_K, rounds=1
+        )
+        rapp = pin(
+            refreshed.join(
+                new.select(F.col("vec_id").alias("a")), "a", "left_semi"
+            )
+        )
+        exact = exact_fut.result()
     npb = probes.agg(F.count(F.lit(1)).alias("n_probes"))
 
     def stage_row(lists: DataFrame, stage: str) -> DataFrame:
