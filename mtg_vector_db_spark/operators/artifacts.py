@@ -87,6 +87,27 @@ def _valid(path: str) -> bool:
     )
 
 
+def write_partitioned(df, tmp: str, *cols: str) -> None:
+    """``df.write.partitionBy(*cols).parquet(tmp)`` that stays READABLE
+    when ``df`` is empty (round 8, found by the empty-tables totality
+    gate via c31): a partitioned write of zero rows emits only a
+    ``_SUCCESS`` marker — no part files, no partition dirs — and a later
+    ``spark.read.parquet`` raises UNABLE_TO_INFER_SCHEMA, turning an
+    empty corpus into a plan-time error for every stored-layout serving
+    query. The empty case is written unpartitioned instead: one
+    schema-bearing empty file whose columns (incl. the would-be
+    partition columns, in the same trailing order a partitioned read
+    appends them) and types are identical, so readers see the same
+    empty relation an empty partitioned layout means. The emptiness
+    probe is a bounded take(1) on a build-once path."""
+    if df.isEmpty():
+        df.select(
+            *[c for c in df.columns if c not in cols], *cols
+        ).write.parquet(tmp)
+    else:
+        df.write.partitionBy(*cols).parquet(tmp)
+
+
 def ensure_artifact(path: str, build: Callable[[str], None]) -> str:
     """Build-once guard: if ``path`` holds a completed artifact, return
     ``"reused"``; otherwise run ``build(tmp_dir)`` (which must write a

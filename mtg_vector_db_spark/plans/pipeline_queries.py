@@ -4178,7 +4178,11 @@ def _stored_graph_path(spark: SparkSession, sf_dir: str, nb: int) -> str:
             .distinct()
             .withColumn("abucket", F.pmod(F.col("a"), F.lit(_P44_HOPBUCKETS)))
         )
-        und.write.partitionBy("abucket").parquet(tmp)
+        from mtg_vector_db_spark.operators.artifacts import (
+            write_partitioned,
+        )
+
+        write_partitioned(und, tmp, "abucket")
 
     ensure_artifact(path, build)
     return path
@@ -4323,9 +4327,15 @@ def _stored_ivf_path(spark: SparkSession, sf_dir: str) -> str:
 
         (emb,) = tables(spark, sf_dir, "embeddings")
         cents = dynamic_seed_cells(emb)
-        ivf_assign(emb, cents).select(
-            "vec_id", "embedding", "cell"
-        ).write.partitionBy("cell").parquet(tmp)
+        from mtg_vector_db_spark.operators.artifacts import (
+            write_partitioned,
+        )
+
+        write_partitioned(
+            ivf_assign(emb, cents).select("vec_id", "embedding", "cell"),
+            tmp,
+            "cell",
+        )
 
     ensure_artifact(path, build)
     return path
@@ -4694,7 +4704,11 @@ def _stored_ivfpq_path(spark: SparkSession, sf_dir: str) -> str:
         cells = ivf_assign(emb, dynamic_seed_cells(emb)).select(
             "vec_id", "cell"
         )
-        coded.join(cells, "vec_id").write.partitionBy("cell").parquet(tmp)
+        from mtg_vector_db_spark.operators.artifacts import (
+            write_partitioned,
+        )
+
+        write_partitioned(coded.join(cells, "vec_id"), tmp, "cell")
 
     ensure_artifact(path, build)
     return path

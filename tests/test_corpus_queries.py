@@ -18,7 +18,8 @@ CORPUS_QUERIES = [n for n in registry.QUERIES if n.startswith("c")]
 
 
 def test_family_registered():
-    assert len(CORPUS_QUERIES) == 30  # c01-c30 (c29 audit + c30 consumer, r4)
+    # c01-c31 (c29 audit + c30 consumer, r4; c31 stored-layout twin, r8)
+    assert len(CORPUS_QUERIES) == 31
     assert all(n in registry.ORACLES for n in CORPUS_QUERIES)
 
 
