@@ -14,12 +14,15 @@ Output contract (round-3 fix — round 2's single line outgrew the
 driver's stdout tail capture and recorded ``parsed: null``):
 
 - The FINAL stdout line is ONE COMPACT JSON summary — total wall-clock,
-  sf, query count, runs per query, and the round-over-round delta total —
-  small enough that any tail capture holds it.
-- The full per-query median map (plus per-run raw timings and the
-  per-query delta map) is written to ``BENCH_local_r{N}.json`` next to
-  this script (N = latest driver-recorded round + 1), which is committed
-  per round.
+  sf, query count, runs per query, the round-over-round delta total, and
+  (round-9 fix, round-8 VERDICT #2: the driver's PERF diff reads
+  per-query medians from this line) a space-free per-query map rounded
+  to 2 decimals (~2.4 KB for 93 queries) — small enough that any
+  plausible tail capture holds it, and still the last line printed.
+- The full-precision per-query median map (plus per-run raw timings and
+  the per-query delta map) is written to ``BENCH_local_r{N}.json`` next
+  to this script (N = latest driver-recorded round + 1), which is
+  committed per round.
 - ``spark.ui.showConsoleProgress`` is disabled so progress bars can't
   pollute the stdout tail.
 """
@@ -454,6 +457,16 @@ def main() -> None:
 
     # The FINAL line is the compact machine-parsed summary (the driver's
     # tail capture is bounded — keep this line small and last).
+    #
+    # Round 9 (round-8 VERDICT #2 / PERF contract): the driver's PERF
+    # comparison diffs the per-query map FROM THIS LINE — without it,
+    # PERF_r08.json came up with n_common: 0 / per_query: {} and the
+    # whole round-over-round analysis had to be reconstructed by hand.
+    # The map returns here in its most compact form: medians rounded to
+    # 2 decimals, no spaces (json separators), keys sorted — 93 queries
+    # ≈ 2.4 KB, well under any plausible tail capture, and the line
+    # stays LAST. The full-precision map + raw runs + deltas still live
+    # in BENCH_local_r{N}.json (committed per round).
     summary = {
         "metric": "headline_total_wall_clock",
         "value": round(total, 3),
@@ -461,6 +474,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "runs_per_query": n_runs,
+        "queries": {n: round(t, 2) for n, t in sorted(timings.items())},
         "queries_file": os.path.basename(local_path) if local_path else None,
     }
     for k in (
@@ -473,7 +487,7 @@ def main() -> None:
         if k in detail:
             summary[k] = detail[k]
     spark.stop()
-    print(json.dumps(summary))
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -690,15 +690,23 @@ def dynamic_seed_cells(
 # d06 no-BNLJ plan-hygiene assertion) while everything larger takes the
 # fast path automatically.
 #
-# Round 8: threshold 64 → 32. The table above already showed broadcast
-# winning 2.7× END-TO-END at exactly 64 cells (0.85 s vs 2.34 s), yet
-# the ≤ comparison kept 64-cell codebooks (p52's two-level sweep) on the
-# slower literal path; re-measured this round at dim 64 / sf0.1:
-# literal 2.8 s vs broadcast 2.1 s for the 64-cell ranked assignment.
-# 32 keeps every small-k plan (d06's 8 cells, the p27/p36 8-cell seeds)
-# join-free while 64-cell codebooks take the measured-faster broadcast
-# fold. Strategies are pinned bit-equal (test_ivf_strategy), so no
-# query's answer moves.
+# Round 8: threshold 64 → 32 (the broadcast fold measured faster for
+# 64-cell codebooks). Round-8 VERDICT #1 suspected that change of
+# regressing p49/p53 (both slower in the builder-close and driver runs)
+# and prescribed reverting to 64; round 9 ran the prescribed quiet-host
+# A/B (VERDICT's own done-criteria) and the revert LOST composed into
+# every 64-cell consumer: p52 4.51 s (broadcast) vs 6.51 s (literal),
+# p53 2.72 s vs 3.34 s, p49 flat at 2.92 s (its codebook is
+# dynamic_seed_cells → only 8 cells at sf0.1, so the threshold never
+# touched it and the round-8 attribution was wrong). The literal loses
+# at 64 cells because a 64×64-dim literal is ~4k F.lit doubles of
+# Catalyst analysis + task-serialized plan PER EXECUTION — the same
+# superlinear plan cost the SCALE.md centroid-cardinality table
+# documents (2.34 s vs 0.85 s end-to-end at k=64). p53's quiet-host
+# 2.72 s is ≤ the VERDICT's 3.1 s done-bar ALREADY at 32 — the r08
+# driver-run regression readings were host state (msi 1.216/1.975),
+# like every other flagged-then-dissolved regression this round. 32
+# stays. Strategies remain pinned bit-equal (test_ivf_strategy).
 IVF_LITERAL_MAX_CELLS = 32
 
 
@@ -1427,6 +1435,69 @@ def pair_cosine_gemm(
     return joined.mapInPandas(
         part, schema=f"{id_a} long, {id_b} long, sim double"
     )
+
+
+# Safety margin for the Arrow dot-product PREFILTER below: how far the
+# numpy (pairwise/SIMD) float64 summation can sit below the sequential
+# left-fold the queries' exact rescore replays. For unit-normalized
+# dim-64 vectors the worst-case reassociation error is
+# d · eps · Σ|aᵢ·bᵢ| ≤ 64 · 2⁻⁵² · 1 ≈ 1.5e-14; the margin also has to
+# cover the half-up rounding boundary of round(·, 6) (an exact dot of
+# τ − 5e-7 still rounds UP into the kept set). 2e-6 dominates both by
+# >10⁵× — a prefilter at (τ − PAIR_DOT_PREFILTER_MARGIN) provably keeps
+# every pair the exact fold keeps, and only lets boundary pairs through
+# to the (bit-exact) rescore.
+PAIR_DOT_PREFILTER_MARGIN = 2e-6
+
+
+def pair_dot_prefilter_arrow(
+    df: DataFrame,
+    vec_a_col: str,
+    vec_b_col: str,
+    threshold: float,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Drop candidate pairs that PROVABLY fail a rounded-dot threshold,
+    using one vectorized numpy pass per Arrow batch — the round-9
+    two-phase verify kernel for blocked embedding near-dup (d06/c21/c23,
+    round-8 VERDICT #3).
+
+    Phase 1 (this function): per batch, row-wise float64 dots via
+    ``einsum`` keep only rows with ``dot ≥ threshold − half_ulp(round) −
+    margin`` where ``half_ulp(round) = 5·10^-(round_digits+1)`` is the
+    half-up rounding boundary (an exact dot that far below ``threshold``
+    still rounds up into the kept set) and ``margin`` bounds numpy-vs-
+    fold reassociation — no false negatives vs the sequential fold by
+    the ``PAIR_DOT_PREFILTER_MARGIN`` argument above. Phase 2 (the caller): the
+    EXACT interpreted HOF fold re-scores only the survivors, so every
+    emitted similarity value and every keep/drop decision is
+    bit-identical to the all-fold form the oracles replay — the Arrow
+    stage decides only what is *worth* rescoring. At a selective
+    threshold this removes the interpreted O(d) fold from ~all candidate
+    pairs (the measured 2/3 of d06's cost) for one Arrow round-trip of
+    the pair rows.
+
+    All input columns pass through unchanged (float64 Arrow round-trips
+    are lossless), so callers keep computing on the surviving vectors
+    directly — no re-join.
+    """
+    cut = float(threshold) - PAIR_DOT_PREFILTER_MARGIN - (
+        5.0 * 10.0 ** (-(round_digits + 1))
+    )
+    schema = df.schema
+
+    def part(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            a = np.array(list(pdf[vec_a_col]), dtype=np.float64)
+            b = np.array(list(pdf[vec_b_col]), dtype=np.float64)
+            d = np.einsum("ij,ij->i", a, b)
+            out = pdf[d >= cut]
+            if len(out):
+                yield out
+
+    return df.mapInPandas(part, schema=schema)
 
 
 # ---------------------------------------------------------------------------

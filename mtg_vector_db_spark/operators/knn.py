@@ -121,6 +121,8 @@ def knn_join(
     ``rank``+filter plans a shuffle keyed on query_id only for rows that
     survive the per-partition top-k (AQE coalesces the small shuffle).
     """
+    import os
+
     from mtg_vector_db_spark.functions.vector import (
         cosine_similarity_prenorm,
         l2_norm,
@@ -130,6 +132,28 @@ def knn_join(
     # cross-joined pair expression is dot/(ne*nq) — bit-identical to
     # cosine_similarity(emb, qv) (same ops, same order) at 1/3 the
     # interpreted HOF folds per (row × query) pair.
+    # $SPARK_GRAFT_KNN_PLAIN=1: measurement-only A/B toggle (round 9,
+    # VERDICT #5) — the plain 3-fold pair expression.
+    if os.environ.get("SPARK_GRAFT_KNN_PLAIN") == "1":
+        sim = cosine_similarity(F.col(emb_col), F.col(q_vec_col))
+        if round_digits is not None:
+            sim = F.round(sim, round_digits)
+        pairs = emb.join(F.broadcast(queries)).withColumn(score_col, sim)
+        if exclude_self:
+            pairs = pairs.filter(F.col(emb_id_col) != F.col(q_id_col))
+        w0 = (
+            F.row_number()
+            .over(
+                Window.partitionBy(q_id_col).orderBy(
+                    F.desc(score_col), F.asc(emb_id_col)
+                )
+            )
+            .alias("rank")
+        )
+        return (
+            pairs.select(q_id_col, emb_id_col, score_col, w0)
+            .filter(F.col("rank") <= k)
+        )
     emb_n = emb.withColumn("_ne", l2_norm(F.col(emb_col)))
     queries_n = queries.withColumn("_nq", l2_norm(F.col(q_vec_col)))
     sim = cosine_similarity_prenorm(

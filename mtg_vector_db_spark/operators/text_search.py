@@ -32,17 +32,28 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     round_digits: int = 6,
+    tok: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document BM25 score against ``query_terms`` → ``(doc_id,
     bm25)`` for documents matching at least one term.
 
     idf = ln((N - df + 0.5)/(df + 0.5) + 1)  (Robertson, non-negative)
     score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·doclen/avgdl))
+
+    ``tok`` (round 9, guide §2.4): an optional pre-tokenized
+    ``(doc_id, toks)`` relation standing in for the default
+    ``tokens(lower(text))`` projection — callers that score the same
+    corpus several times in one DAG (p39's RM3 loop) pass a pinned
+    tokenization so the corpus is tokenized once instead of once per
+    scoring pass. Must be EXACTLY the default projection's rows for the
+    scores to be unchanged (the callers pass the same expression,
+    pinned).
     """
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        tokens(F.lower(F.col(text_col))).alias("toks"),
-    )
+    if tok is None:
+        tok = docs.select(
+            F.col(id_col).alias("doc_id"),
+            tokens(F.lower(F.col(text_col))).alias("toks"),
+        )
     stats = tok.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
     )
@@ -174,11 +185,13 @@ def bm25_weighted_scores(
     k1: float = 1.2,
     b: float = 0.75,
     round_digits: int = 6,
+    tok: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 with per-term weights from a (term, tw) DataFrame — the
     rescoring stage of pseudo-relevance feedback (RM3), where the
     expanded query carries data-derived weights instead of a literal
-    term list.
+    term list. ``tok`` as in :func:`bm25_scores` — a pre-tokenized
+    ``(doc_id, toks)`` stand-in for the default projection.
 
     score(d) = Σ_t tw(t) · idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
 
@@ -191,10 +204,11 @@ def bm25_weighted_scores(
     terms per doc the float sum order could differ between engines, and
     decimal addition is associative so the oracle replay is exact.
     """
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        tokens(F.lower(F.col(text_col))).alias("toks"),
-    )
+    if tok is None:
+        tok = docs.select(
+            F.col(id_col).alias("doc_id"),
+            tokens(F.lower(F.col(text_col))).alias("toks"),
+        )
     stats = tok.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
     )

@@ -1171,10 +1171,24 @@ def c21_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = a.select(
         F.col("vec_id").alias("id_hi"), "cell", F.col("nx").alias("nx_hi")
     )
+    # Two-phase verify (round 9, round-8 VERDICT #3): Arrow numpy
+    # prefilter drops the pairs that provably fail the threshold
+    # (margin-guarded, no false negatives), the exact HOF fold decides
+    # on the survivors only — the drop set is bit-identical to the
+    # all-fold form the oracle replays (see d06 for the argument).
+    from mtg_vector_db_spark.operators.ann import pair_dot_prefilter_arrow
+
     sim = F.round(dot(F.col("nx_lo"), F.col("nx_hi")), 6)
     dropped = (
-        lo.join(hi, "cell")
-        .filter(F.col("id_lo") < F.col("id_hi"))
+        pair_dot_prefilter_arrow(
+            lo.join(hi, "cell")
+            .filter(F.col("id_lo") < F.col("id_hi"))
+            .select("id_lo", "nx_lo", "id_hi", "nx_hi"),
+            "nx_lo",
+            "nx_hi",
+            _C21_TAU,
+            6,
+        )
         .filter(sim >= _C21_TAU)
         .select(F.col("id_hi").alias("vec_id"))
         .distinct()
@@ -1346,10 +1360,21 @@ def c23_semantic_contamination(
     nt = nx.select(
         F.col("vec_id").alias("train_id"), F.col("nx").alias("nxt")
     )
+    # Two-phase verify (round 9, round-8 VERDICT #3): Arrow numpy
+    # prefilter, exact-fold rescore of survivors — pairs the prefilter
+    # drops provably fail the sim ≥ τ gate, so the per-eval top-1 and
+    # every emitted sim are bit-identical (see d06 for the argument).
+    from mtg_vector_db_spark.operators.ann import pair_dot_prefilter_arrow
+
     sim = F.round(dot(F.col("nxe"), F.col("nxt")), 6)
     scored = (
-        cand.join(ne, "eval_id")
-        .join(nt, "train_id")
+        pair_dot_prefilter_arrow(
+            cand.join(ne, "eval_id").join(nt, "train_id"),
+            "nxe",
+            "nxt",
+            _C23_TAU,
+            6,
+        )
         .select("eval_id", "train_id", sim.alias("sim"))
         .filter(F.col("sim") >= _C23_TAU)
     )
@@ -2176,10 +2201,21 @@ def c31_semdedup_keep_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = a.select(
         F.col("vec_id").alias("id_hi"), "cell", F.col("nx").alias("nx_hi")
     )
+    # Two-phase verify — same round-9 Arrow prefilter + exact-fold
+    # rescore as c21 (the stored twin must keep byte-equal answers).
+    from mtg_vector_db_spark.operators.ann import pair_dot_prefilter_arrow
+
     sim = F.round(dot(F.col("nx_lo"), F.col("nx_hi")), 6)
     dropped = (
-        lo.join(hi, "cell")
-        .filter(F.col("id_lo") < F.col("id_hi"))
+        pair_dot_prefilter_arrow(
+            lo.join(hi, "cell")
+            .filter(F.col("id_lo") < F.col("id_hi"))
+            .select("id_lo", "nx_lo", "id_hi", "nx_hi"),
+            "nx_lo",
+            "nx_hi",
+            _C21_TAU,
+            6,
+        )
         .filter(sim >= _C21_TAU)
         .select(F.col("id_hi").alias("vec_id"))
         .distinct()

@@ -280,26 +280,48 @@ def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    # Verify with ONE fold per pair: vectors are normalized once per row
-    # (n·cost), so pair similarity is a plain dot — 3× fewer interpreted
-    # HOF folds than cosine per pair, and still bit-identical to the
-    # oracle, which replays the same normalize-then-inner-product.
-    # (Measured alternative: unrolling the fold into 64 element_at
-    # products blows the codegen method limit and runs 3× SLOWER as a
-    # giant interpreted tree — the HOF fold is the right form here.)
+    # Two-phase verify (round 9, round-8 VERDICT #3 / guide §4):
+    # vectors are normalized once per row, then an Arrow numpy prefilter
+    # (pair_dot_prefilter_arrow) drops the ~all candidate pairs that
+    # provably fail the threshold — margin-guarded, no false negatives —
+    # and ONLY the survivors pay the exact interpreted HOF fold, whose
+    # round(·, R) value is what the output carries and the final filter
+    # re-checks. Emitted sims and keep decisions are bit-identical to
+    # the all-fold form the oracle replays; the Arrow stage decides only
+    # what is worth rescoring. (The previous all-fold verify paid one
+    # interpreted O(d) fold per ~2M pairs — 2/3 of d06's cost. The
+    # all-numpy twin pair_cosine_gemm stays opt-in because ITS sims
+    # carry last-ulp summation risk; here numpy never produces an
+    # output value.)
+    from mtg_vector_db_spark.operators.ann import pair_dot_prefilter_arrow
+
     nx = emb.select(
         "vec_id", l2_normalize(F.col("embedding")).alias("nx")
     )
     ea = nx.select(F.col("vec_id").alias("id_a"), F.col("nx").alias("nx_a"))
     eb = nx.select(F.col("vec_id").alias("id_b"), F.col("nx").alias("nx_b"))
     sim = F.round(dot(F.col("nx_a"), F.col("nx_b")), R)
-    return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select("id_a", "id_b", sim.alias("sim"))
-        .filter(F.col("sim") >= _D06_TAU)
-        .orderBy("id_a", "id_b")
+    survivors = pair_dot_prefilter_arrow(
+        cand.join(ea, "id_a").join(eb, "id_b"),
+        "nx_a",
+        "nx_b",
+        _D06_TAU,
+        R,
     )
+    # Pin before the global ORDER BY (round 9, §3.3 "materialise to
+    # truncate the plan"): the final sort's range partitioner SAMPLES
+    # its child, and with only map-side operators between the distinct
+    # exchange and the sort, the sampling job re-ran the whole
+    # join+verify chain a second time (measured +1.2 s). Pinning the
+    # (output-sized) survivor set makes the sort sample a materialized
+    # relation. Semantics-neutral eager localCheckpoint.
+    from mtg_vector_db_spark.session import pin
+
+    return pin(
+        survivors.select("id_a", "id_b", sim.alias("sim")).filter(
+            F.col("sim") >= _D06_TAU
+        )
+    ).orderBy("id_a", "id_b")
 
 
 oracle(

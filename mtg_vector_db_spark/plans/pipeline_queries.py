@@ -1565,10 +1565,19 @@ def p24_decontaminated_corpus_build(spark: SparkSession, sf_dir: str) -> DataFra
     from mtg_vector_db_spark.operators import bloom as B, dedup as D
 
     (docs,) = tables(spark, sf_dir, "documents")
+    from mtg_vector_db_spark.session import pin
+
     # md5(text) window key: same dedup groups, fingerprint-width shuffle
     # (see p19; dedup.py exact_dup_stats is the canonical pattern).
+    #
+    # Pinned (round 9, guide §2.4): `deduped` feeds TWO sibling branches
+    # of the final DAG — the span miner (repeated_ngram_spans) and the
+    # span_kept join — so the md5 window shuffle over the full text
+    # corpus ran twice (the same shared-subtree recompute the CC family
+    # had; Catalyst reuses only exchange subtrees). Semantics-neutral
+    # eager localCheckpoint, recomputed from parquet every run.
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    deduped = (
+    deduped = pin(
         docs.select("doc_id", "lang", "text")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -1602,8 +1611,6 @@ def p24_decontaminated_corpus_build(spark: SparkSession, sf_dir: str) -> DataFra
     # production run this is the materialize-between-stages point (write
     # the gated corpus, then decontaminate); pin (vs persist) releases
     # the blocks when the query's refs drop — round-3 ADVICE.
-    from mtg_vector_db_spark.session import pin
-
     sp = pin(scored.withColumn("split", split))
     bench = sp.filter(F.col("split") != "train")
     train = sp.filter(F.col("split") == "train")
@@ -3226,14 +3233,26 @@ def p39_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_weighted_scores,
     )
 
+    from mtg_vector_db_spark.session import pin
+
     (docs,) = tables(spark, sf_dir, "documents")
+    # Tokenize the corpus ONCE (round 9, guide §2.4): the RM3 loop used
+    # to tokenize three times — inside bm25_scores (seed pass), here for
+    # the feedback-term extraction, and inside bm25_weighted_scores
+    # (expanded rescore) — and each scoring pass also re-derived the
+    # corpus stats from its own tokenization. One pinned (doc_id, toks)
+    # relation now feeds all three consumers; same expression, pinned,
+    # so every downstream number is unchanged (eager localCheckpoint,
+    # recomputed from parquet per run).
+    toks = pin(
+        docs.select(
+            "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+        )
+    )
     fb = (
-        bm25_scores(docs, _P39_SEED, round_digits=6)
+        bm25_scores(docs, _P39_SEED, round_digits=6, tok=toks)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_P39_FB_K)
-    )
-    toks = docs.select(
-        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
     )
     fbt = toks.join(F.broadcast(fb), "doc_id").select(
         "doc_id",
@@ -3270,7 +3289,7 @@ def p39_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qt = seeds.unionByName(expw)
     return (
-        bm25_weighted_scores(docs, qt, round_digits=6)
+        bm25_weighted_scores(docs, qt, round_digits=6, tok=toks)
         .orderBy(F.desc("score_prf"), F.asc("doc_id"))
         .limit(10)
     )
@@ -5639,8 +5658,17 @@ def p52_two_level_operating_points(
     from mtg_vector_db_spark.operators.ann import _with_scored_cells
     from mtg_vector_db_spark.session import pin
 
+    # strategy="broadcast" EXPLICITLY for the corpus-wide 64-cell scored
+    # pass (round 9): the round-9 A/B of round-8 VERDICT #1 measured the
+    # broadcast fold the end-to-end winner for this query (p52 4.51 s
+    # broadcast vs 6.51 s literal — the 64-cell plan literal costs ~4k
+    # F.lit doubles of Catalyst analysis per execution). The auto
+    # threshold (IVF_LITERAL_MAX_CELLS=32) picks the same path; the
+    # explicit argument pins the measured per-call-site choice.
     cscored = (
-        _with_scored_cells(emb, seeds, "embedding", "cell", "centroid")
+        _with_scored_cells(
+            emb, seeds, "embedding", "cell", "centroid", "broadcast"
+        )
         .withColumnRenamed("_scored", "_csc")
         .drop("_nx")
     )
