@@ -1165,32 +1165,27 @@ def c21_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = ivf_assign(emb, seeds).select("vec_id", "cell")
     nx = emb.select("vec_id", l2_normalize(F.col("embedding")).alias("nx"))
     a = assigned.join(nx, "vec_id")
-    lo = a.select(
-        F.col("vec_id").alias("id_lo"), "cell", F.col("nx").alias("nx_lo")
+    # Two-phase CELL-BLOCKED verify (round 9, round-8 VERDICT #3 +
+    # guide §8): one float64 GEMM per cell over vectors that move once,
+    # emitting only margin-guarded survivor id pairs (no false
+    # negatives); the exact HOF fold then decides on the survivors —
+    # the drop set is bit-identical to the all-pairs form the oracle
+    # replays (see d06 / cell_blocked_pair_prefilter for the argument).
+    # nprobe=1 here, so a pair surfaces in at most one cell and the
+    # survivor list needs no cross-cell distinct.
+    from mtg_vector_db_spark.operators.ann import (
+        cell_blocked_pair_prefilter,
     )
-    hi = a.select(
-        F.col("vec_id").alias("id_hi"), "cell", F.col("nx").alias("nx_hi")
-    )
-    # Two-phase verify (round 9, round-8 VERDICT #3): Arrow numpy
-    # prefilter drops the pairs that provably fail the threshold
-    # (margin-guarded, no false negatives), the exact HOF fold decides
-    # on the survivors only — the drop set is bit-identical to the
-    # all-fold form the oracle replays (see d06 for the argument).
-    from mtg_vector_db_spark.operators.ann import pair_dot_prefilter_arrow
 
+    survivors = cell_blocked_pair_prefilter(a, _C21_TAU)
+    lo = nx.select(F.col("vec_id").alias("id_a"), F.col("nx").alias("nx_lo"))
+    hi = nx.select(F.col("vec_id").alias("id_b"), F.col("nx").alias("nx_hi"))
     sim = F.round(dot(F.col("nx_lo"), F.col("nx_hi")), 6)
     dropped = (
-        pair_dot_prefilter_arrow(
-            lo.join(hi, "cell")
-            .filter(F.col("id_lo") < F.col("id_hi"))
-            .select("id_lo", "nx_lo", "id_hi", "nx_hi"),
-            "nx_lo",
-            "nx_hi",
-            _C21_TAU,
-            6,
-        )
+        survivors.join(lo, "id_a")
+        .join(hi, "id_b")
         .filter(sim >= _C21_TAU)
-        .select(F.col("id_hi").alias("vec_id"))
+        .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
     return (
@@ -1346,35 +1341,34 @@ def c23_semantic_contamination(
     tagged = blocked.withColumn(
         "is_eval", hash_fraction(F.col("vec_id")) >= 0.9
     )
-    ev = tagged.filter(F.col("is_eval")).select(
-        F.col("vec_id").alias("eval_id"), "cell"
-    )
-    tr = tagged.filter(~F.col("is_eval")).select(
-        F.col("vec_id").alias("train_id"), "cell"
-    )
-    cand = ev.join(tr, "cell").select("eval_id", "train_id").distinct()
     nx = emb.select(
         "vec_id", l2_normalize(F.col("embedding")).alias("nx")
+    )
+    # Two-phase CELL-BLOCKED verify (round 9, round-8 VERDICT #3 +
+    # guide §8), bipartite flavor: per-cell eval×train GEMM over
+    # vectors that move once keyed by cell, margin-guarded survivor
+    # pairs (no false negatives), exact-fold rescore of the (distinct —
+    # nprobe=3 cells can repeat a pair) survivors only. The per-eval
+    # top-1 and every emitted sim are bit-identical to the all-pairs
+    # form the oracle replays (see d06 for the argument).
+    from mtg_vector_db_spark.operators.ann import (
+        cell_blocked_pair_prefilter,
+    )
+
+    asg = tagged.join(nx, "vec_id")
+    survivors = (
+        cell_blocked_pair_prefilter(asg, _C23_TAU, flag_col="is_eval")
+        .withColumnsRenamed({"id_a": "eval_id", "id_b": "train_id"})
+        .distinct()
     )
     ne = nx.select(F.col("vec_id").alias("eval_id"), F.col("nx").alias("nxe"))
     nt = nx.select(
         F.col("vec_id").alias("train_id"), F.col("nx").alias("nxt")
     )
-    # Two-phase verify (round 9, round-8 VERDICT #3): Arrow numpy
-    # prefilter, exact-fold rescore of survivors — pairs the prefilter
-    # drops provably fail the sim ≥ τ gate, so the per-eval top-1 and
-    # every emitted sim are bit-identical (see d06 for the argument).
-    from mtg_vector_db_spark.operators.ann import pair_dot_prefilter_arrow
-
     sim = F.round(dot(F.col("nxe"), F.col("nxt")), 6)
     scored = (
-        pair_dot_prefilter_arrow(
-            cand.join(ne, "eval_id").join(nt, "train_id"),
-            "nxe",
-            "nxt",
-            _C23_TAU,
-            6,
-        )
+        survivors.join(ne, "eval_id")
+        .join(nt, "train_id")
         .select("eval_id", "train_id", sim.alias("sim"))
         .filter(F.col("sim") >= _C23_TAU)
     )
@@ -2195,29 +2189,23 @@ def c31_semdedup_keep_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = layout.select(
         "vec_id", "cell", l2_normalize(F.col("embedding")).alias("nx")
     )
-    lo = a.select(
-        F.col("vec_id").alias("id_lo"), "cell", F.col("nx").alias("nx_lo")
+    # Two-phase CELL-BLOCKED verify — same round-9 kernel as c21 (the
+    # stored twin must keep byte-equal answers); the stored layout is
+    # one cell per vector, so no cross-cell distinct either.
+    from mtg_vector_db_spark.operators.ann import (
+        cell_blocked_pair_prefilter,
     )
-    hi = a.select(
-        F.col("vec_id").alias("id_hi"), "cell", F.col("nx").alias("nx_hi")
-    )
-    # Two-phase verify — same round-9 Arrow prefilter + exact-fold
-    # rescore as c21 (the stored twin must keep byte-equal answers).
-    from mtg_vector_db_spark.operators.ann import pair_dot_prefilter_arrow
 
+    survivors = cell_blocked_pair_prefilter(a, _C21_TAU)
+    nxl = a.select("vec_id", "nx")
+    lo = nxl.select(F.col("vec_id").alias("id_a"), F.col("nx").alias("nx_lo"))
+    hi = nxl.select(F.col("vec_id").alias("id_b"), F.col("nx").alias("nx_hi"))
     sim = F.round(dot(F.col("nx_lo"), F.col("nx_hi")), 6)
     dropped = (
-        pair_dot_prefilter_arrow(
-            lo.join(hi, "cell")
-            .filter(F.col("id_lo") < F.col("id_hi"))
-            .select("id_lo", "nx_lo", "id_hi", "nx_hi"),
-            "nx_lo",
-            "nx_hi",
-            _C21_TAU,
-            6,
-        )
+        survivors.join(lo, "id_a")
+        .join(hi, "id_b")
         .filter(sim >= _C21_TAU)
-        .select(F.col("id_hi").alias("vec_id"))
+        .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
     return (

@@ -272,55 +272,46 @@ def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver round-trip.
     seeds = dynamic_seed_cells(emb)
     blocked = ivf_multi_assign(emb, seeds, nprobe=_D06_NPROBE)
-    a = blocked.select(F.col("vec_id").alias("id_a"), "cell")
-    b = blocked.select(F.col("vec_id").alias("id_b"), "cell")
-    cand = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    # Two-phase verify (round 9, round-8 VERDICT #3 / guide §4):
-    # vectors are normalized once per row, then an Arrow numpy prefilter
-    # (pair_dot_prefilter_arrow) drops the ~all candidate pairs that
-    # provably fail the threshold — margin-guarded, no false negatives —
-    # and ONLY the survivors pay the exact interpreted HOF fold, whose
-    # round(·, R) value is what the output carries and the final filter
-    # re-checks. Emitted sims and keep decisions are bit-identical to
-    # the all-fold form the oracle replays; the Arrow stage decides only
-    # what is worth rescoring. (The previous all-fold verify paid one
-    # interpreted O(d) fold per ~2M pairs — 2/3 of d06's cost. The
+    # Two-phase CELL-BLOCKED verify (round 9, round-8 VERDICT #3 +
+    # guide §8 "move heavy bytes once"): instead of materializing the
+    # Σ|cell|² candidate-pair rows and attaching two full vectors to
+    # each (≈22M pairs × ~1 KB ≈ 22 GB through the joins at sf1 —
+    # measured memory-bandwidth-bound: no faster on 32 cores than 8),
+    # each normalized vector moves ONCE keyed by cell and a per-cell
+    # float64 GEMM emits only the id pairs that could clear the
+    # threshold (margin-guarded, no false negatives — see
+    # cell_blocked_pair_prefilter). Survivors are distinct'd (a pair
+    # can share several of its nprobe cells), then the EXACT
+    # interpreted HOF fold rescores them — every emitted sim and every
+    # keep decision is the fold's, bit-identical to the all-pairs form
+    # the oracle replays; numpy never produces an output value. (The
     # all-numpy twin pair_cosine_gemm stays opt-in because ITS sims
-    # carry last-ulp summation risk; here numpy never produces an
-    # output value.)
-    from mtg_vector_db_spark.operators.ann import pair_dot_prefilter_arrow
+    # carry last-ulp summation risk.)
+    from mtg_vector_db_spark.operators.ann import (
+        cell_blocked_pair_prefilter,
+    )
+    from mtg_vector_db_spark.session import pin
 
+    asg = blocked.select(
+        "vec_id", "cell", l2_normalize(F.col("embedding")).alias("nx")
+    )
+    survivors = cell_blocked_pair_prefilter(
+        asg, _D06_TAU, round_digits=R
+    ).distinct()
     nx = emb.select(
         "vec_id", l2_normalize(F.col("embedding")).alias("nx")
     )
     ea = nx.select(F.col("vec_id").alias("id_a"), F.col("nx").alias("nx_a"))
     eb = nx.select(F.col("vec_id").alias("id_b"), F.col("nx").alias("nx_b"))
     sim = F.round(dot(F.col("nx_a"), F.col("nx_b")), R)
-    survivors = pair_dot_prefilter_arrow(
-        cand.join(ea, "id_a").join(eb, "id_b"),
-        "nx_a",
-        "nx_b",
-        _D06_TAU,
-        R,
-    )
-    # Pin before the global ORDER BY (round 9, §3.3 "materialise to
-    # truncate the plan"): the final sort's range partitioner SAMPLES
-    # its child, and with only map-side operators between the distinct
-    # exchange and the sort, the sampling job re-ran the whole
-    # join+verify chain a second time (measured +1.2 s). Pinning the
-    # (output-sized) survivor set makes the sort sample a materialized
-    # relation. Semantics-neutral eager localCheckpoint.
-    from mtg_vector_db_spark.session import pin
-
+    # Pin before the global ORDER BY (§3.3): the range partitioner
+    # samples its child; pinning the (output-sized) rescored relation
+    # keeps the sampling job off the verify chain.
     return pin(
-        survivors.select("id_a", "id_b", sim.alias("sim")).filter(
-            F.col("sim") >= _D06_TAU
-        )
+        survivors.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= _D06_TAU)
     ).orderBy("id_a", "id_b")
 
 
